@@ -1,0 +1,108 @@
+"""Batched pixel comparison metrics (common/pixel.c).
+
+SAD / SSD / SATD / SA8D / variance, operating on int32 pixel blocks with
+arbitrary leading batch dims. These are the cost functions of motion
+estimation and mode decision; on TPU they are evaluated for *many
+candidates at once* (the generalisation of the reference's _x3/_x4 merged
+functions, common/pixel.h:85-102).
+
+SATD matches the reference's summation structure exactly: the 2-D 4x4
+Hadamard abs-sum is computed per 4x4 block, halved (>>1) per 8x4 unit
+(x264_pixel_satd_8x4, common/pixel.c:211) — or per 4x4 block for 4-wide
+shapes (x264_pixel_satd_4x4, common/pixel.c:187) — then summed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+I32 = jnp.int32
+
+_H4 = np.array([[1, 1, 1, 1],
+                [1, 1, -1, -1],
+                [1, -1, -1, 1],
+                [1, -1, 1, -1]], dtype=np.int32)
+
+
+def sad(a, b, axes=(-2, -1)):
+    """Sum of absolute differences over the trailing block dims."""
+    return jnp.sum(jnp.abs(a.astype(I32) - b.astype(I32)), axis=axes)
+
+
+def ssd(a, b, axes=(-2, -1)):
+    d = a.astype(I32) - b.astype(I32)
+    return jnp.sum(d * d, axis=axes)
+
+
+def _tile44(x):
+    """(..., H, W) -> (..., H//4, W//4, 4, 4)."""
+    *lead, h, w = x.shape
+    x = x.reshape(*lead, h // 4, 4, w // 4, 4)
+    return jnp.swapaxes(x, -3, -2)
+
+
+def _abs_had44(diff):
+    """Per-4x4 sum |H d H| . diff: (..., H, W) -> (..., H//4, W//4)."""
+    t = _tile44(diff.astype(I32))
+    h = jnp.asarray(_H4)
+    had = jnp.matmul(jnp.matmul(h, t), h)
+    return jnp.sum(jnp.abs(had), axis=(-2, -1))
+
+
+def satd(a, b):
+    """x264-equivalent SATD over (..., H, W) blocks; H%4==0, W%4==0.
+
+    For W%8==0 shapes the >>1 happens per 8x4 unit; for 4-wide shapes per
+    4x4 block — matching PIXEL_SATD_C composition (common/pixel.c:233-252).
+    """
+    d = a.astype(I32) - b.astype(I32)
+    s44 = _abs_had44(d)                      # (..., H//4, W//4)
+    w4 = a.shape[-1] // 4
+    if w4 % 2 == 0:
+        pair = s44.reshape(s44.shape[:-1] + (w4 // 2, 2)).sum(axis=-1)
+        return jnp.sum(pair >> 1, axis=(-2, -1))
+    return jnp.sum(s44 >> 1, axis=(-2, -1))
+
+
+def sa8d_8x8(a, b):
+    """8x8 SA8D: abs-sum of the 2-D 8x8 Hadamard of the diff, (+2)>>2
+    (sa8d_8x8 + x264_pixel_sa8d_8x8, common/pixel.c:256-295)."""
+    d = a.astype(I32) - b.astype(I32)
+    h8 = _h8()
+    had = jnp.matmul(jnp.matmul(h8, d), h8)
+    return (jnp.sum(jnp.abs(had), axis=(-2, -1)) + 2) >> 2
+
+
+def sa8d_16x16(a, b):
+    """Sum of the four 8x8 SA8D abs-sums, then one (+2)>>2
+    (x264_pixel_sa8d_16x16, common/pixel.c:297)."""
+    d = a.astype(I32) - b.astype(I32)
+    *lead, hh, ww = d.shape
+    t = d.reshape(*lead, 2, 8, 2, 8).swapaxes(-3, -2)
+    h8 = _h8()
+    had = jnp.matmul(jnp.matmul(h8, t), h8)
+    s = jnp.sum(jnp.abs(had), axis=(-4, -3, -2, -1))
+    return (s + 2) >> 2
+
+
+_H8_CACHE = None
+
+
+def _h8():
+    global _H8_CACHE
+    if _H8_CACHE is None:
+        h = np.array([[1]])
+        for _ in range(3):
+            h = np.block([[h, h], [h, -h]])
+        _H8_CACHE = jnp.asarray(h.astype(np.int32))
+    return _H8_CACHE
+
+
+def var(pix, shift):
+    """Variance*N of a block: sqr - (sum*sum >> shift)
+    (PIXEL_VAR_C, common/pixel.c:140-161); shift=8 for 16x16, 6 for 8x8."""
+    p = pix.astype(I32)
+    s = jnp.sum(p, axis=(-2, -1))
+    sq = jnp.sum(p * p, axis=(-2, -1))
+    return sq - ((s * s) >> shift)

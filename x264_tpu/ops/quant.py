@@ -1,0 +1,87 @@
+"""Quantization / dequantization, batched, bit-exact (common/quant.c:33-178).
+
+All functions take coefficient arrays with arbitrary leading batch dims and
+per-call mf/bias/dequant tables (host-derived in tables.QuantTables, passed
+in as arrays so a single jitted encoder supports any QP via gather).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+I32 = jnp.int32
+
+
+def quant(coef, mf, bias):
+    """Deadzone quantization (QUANT_ONE, common/quant.c:33):
+    level = sign(c) * ((bias + |c|) * mf >> 16).
+
+    coef: (..., N) int32; mf/bias broadcastable to coef.
+    """
+    coef = coef.astype(I32)
+    mf = mf.astype(I32)
+    bias = bias.astype(I32)
+    mag = ((bias + jnp.abs(coef)) * mf) >> 16
+    return jnp.where(coef >= 0, mag, -mag)
+
+
+def dequant(level, dmf, qp_div6, shift_base):
+    """Dequantization (dequant_4x4 / dequant_8x8, common/quant.c:76-146).
+
+    level: (..., N) int32 quantized coefficients.
+    dmf:   dequant multipliers for qp%6 already gathered, broadcastable.
+    qp_div6: scalar or broadcastable int (qp // 6).
+    shift_base: 4 for the 4x4 transform, 6 for 8x8 — i_qbits = qp/6 - base.
+
+    Works for traced qp: both shift directions are computed and selected.
+    """
+    level = level.astype(I32)
+    dmf = dmf.astype(I32)
+    qbits = qp_div6 - shift_base
+    prod = level * dmf
+    # left-shift branch (qbits >= 0)
+    lhs = prod << jnp.maximum(qbits, 0)
+    # right-shift branch with rounding (qbits < 0)
+    neg = jnp.maximum(-qbits, 0)
+    f = jnp.where(qbits < 0, 1 << jnp.maximum(neg - 1, 0), 0)
+    rhs = (prod + f) >> neg
+    return jnp.where(qbits >= 0, lhs, rhs)
+
+
+def quant_dc(coef, mf0, bias0):
+    """DC quantization: quant_4x4_dc / quant_2x2_dc (common/quant.c:58-74).
+    Callers pass mf0 = quant_mf[qp][0] >> 1 and bias0 = bias[qp][0] << 1,
+    as at encoder/macroblock.c:282-283,363."""
+    return quant(coef, mf0, bias0)
+
+
+def dequant_4x4_dc(level, dmf0, qp_div6):
+    """dequant_4x4_dc (common/quant.c:148): applied after the inverse DC
+    Hadamard; i_qbits = qp/6 - 6, single multiplier dmf0 = dequant_mf[qp%6][0]."""
+    level = level.astype(I32)
+    dmf0 = dmf0.astype(I32)
+    qbits = qp_div6 - 6
+    lhs = (level * (dmf0 << jnp.maximum(qbits, 0)))
+    neg = jnp.maximum(-qbits, 0)
+    f = jnp.where(qbits < 0, 1 << jnp.maximum(neg - 1, 0), 0)
+    rhs = (level * dmf0 + f) >> neg
+    return jnp.where(qbits >= 0, lhs, rhs)
+
+
+def dequant_2x2_dc(hadamard_out, dmf0, qp_div6):
+    """Chroma DC dequant after the inverse 2x2 Hadamard
+    (idct_dequant_2x2_dc, encoder/macroblock.c:53-60):
+    out = (x * dmf) >> (5 - qp/6), with dmf pre-shifted left when qp/6 > 5.
+    No rounding term (matches the reference exactly).
+    """
+    x = hadamard_out.astype(I32)
+    dmf0 = dmf0.astype(I32)
+    qbits = qp_div6 - 5
+    dmf_eff = dmf0 << jnp.maximum(qbits, 0)
+    shift = jnp.maximum(-qbits, 0)
+    return (x * dmf_eff) >> shift
+
+
+def nonzero(level, axis=None):
+    """1 if any coefficient is nonzero (the nz flags of quant_*)."""
+    return jnp.any(level != 0, axis=axis)

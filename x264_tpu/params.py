@@ -1,0 +1,249 @@
+"""Encoder parameters — the analogue of x264_param_t (x264.h:152-295) with
+the validation/clamping rules of x264_validate_parameters
+(encoder/encoder.c:335-606) and the string option parser of
+x264_param_parse (common/common.c).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+# analyse.inter partition flags (x264.h X264_ANALYSE_*)
+ANALYSE_I4x4 = 0x0001
+ANALYSE_I8x8 = 0x0002
+ANALYSE_PSUB16x16 = 0x0010
+ANALYSE_PSUB8x8 = 0x0020
+ANALYSE_BSUB16x16 = 0x0100
+
+# ME methods (X264_ME_*)
+ME_DIA, ME_HEX, ME_UMH, ME_ESA, ME_TESA = 0, 1, 2, 3, 4
+ME_NAMES = ["dia", "hex", "umh", "esa", "tesa"]
+
+# direct MV prediction modes
+DIRECT_NONE, DIRECT_SPATIAL, DIRECT_TEMPORAL, DIRECT_AUTO = 0, 1, 2, 3
+
+# rate-control methods (X264_RC_*)
+RC_CQP, RC_CRF, RC_ABR = 0, 1, 2
+
+# AQ
+AQ_NONE, AQ_VARIANCE = 0, 1
+
+# b-adapt
+B_ADAPT_NONE, B_ADAPT_FAST, B_ADAPT_TRELLIS = 0, 1, 2
+
+# slice types
+TYPE_AUTO, TYPE_IDR, TYPE_I, TYPE_P, TYPE_BREF, TYPE_B = 0, 1, 2, 3, 4, 5
+
+PROFILE_BASELINE, PROFILE_MAIN, PROFILE_HIGH = 66, 77, 100
+
+
+@dataclass
+class AnalyseParams:
+    """x264.h:232-262 (analyse struct); defaults common/common.c:110-144."""
+    intra: int = ANALYSE_I4x4 | ANALYSE_I8x8
+    inter: int = ANALYSE_I4x4 | ANALYSE_I8x8 | ANALYSE_PSUB16x16 | ANALYSE_BSUB16x16
+    b_transform_8x8: bool = True
+    b_weighted_bipred: bool = True
+    i_direct_mv_pred: int = DIRECT_SPATIAL
+    i_chroma_qp_offset: int = 0
+    i_me_method: int = ME_HEX
+    i_me_range: int = 16
+    i_mv_range: int = -1           # auto from level
+    i_mv_range_thread: int = -1    # auto
+    i_subpel_refine: int = 6       # subme: 1-9
+    b_chroma_me: bool = True
+    b_mixed_references: bool = False
+    i_trellis: int = 0
+    b_fast_pskip: bool = True
+    b_dct_decimate: bool = True
+    i_noise_reduction: int = 0
+    f_psy_rd: float = 1.0
+    f_psy_trellis: float = 0.0
+    b_psy: bool = True
+    i_luma_deadzone: tuple = (21, 11)   # {inter, intra}
+    b_psnr: bool = True
+    b_ssim: bool = True
+
+
+@dataclass
+class RCParams:
+    """x264.h:264-292 (rc struct); defaults common/common.c:84-109."""
+    i_rc_method: int = RC_CRF
+    i_qp_constant: int = 26
+    i_qp_min: int = 10
+    i_qp_max: int = 51
+    i_qp_step: int = 4
+    i_bitrate: int = 0
+    f_rf_constant: float = 23.0
+    f_rate_tolerance: float = 1.0
+    i_vbv_max_bitrate: int = 0
+    i_vbv_buffer_size: int = 0
+    f_vbv_buffer_init: float = 0.9
+    f_ip_factor: float = 1.4
+    f_pb_factor: float = 1.3
+    i_aq_mode: int = AQ_VARIANCE
+    f_aq_strength: float = 1.0
+    b_stat_write: bool = False
+    psz_stat_out: str = "x264_tpu_2pass.log"
+    b_stat_read: bool = False
+    psz_stat_in: str = "x264_tpu_2pass.log"
+    f_qcompress: float = 0.6
+    f_qblur: float = 0.5
+    f_complexity_blur: float = 20.0
+
+
+@dataclass
+class EncoderParams:
+    """Top-level parameters (x264_param_t, x264.h:152-295)."""
+    # stream geometry
+    i_width: int = 0
+    i_height: int = 0
+    i_csp: str = "i420"
+    # frame-type decision
+    i_keyint_max: int = 250
+    i_keyint_min: int = 25
+    i_scenecut_threshold: int = 40
+    i_bframe: int = 0
+    i_bframe_adaptive: int = B_ADAPT_FAST
+    i_bframe_bias: int = 0
+    b_bframe_pyramid: bool = False
+    i_frame_reference: int = 1
+    i_dpb_size: int = 1
+    # features
+    b_cabac: bool = True
+    i_cabac_init_idc: int = 0
+    b_deblocking_filter: bool = True
+    i_deblocking_filter_alphac0: int = 0
+    i_deblocking_filter_beta: int = 0
+    b_interlaced: bool = False
+    # quality
+    i_level_idc: int = -1         # auto
+    analyse: AnalyseParams = field(default_factory=AnalyseParams)
+    rc: RCParams = field(default_factory=RCParams)
+    # timing
+    i_fps_num: int = 25
+    i_fps_den: int = 1
+    # parallelism (TPU): number of chips to shard MB rows across, and
+    # frames in flight (the analogue of i_threads frame pipelining)
+    i_mb_row_shards: int = 1
+    i_frame_parallel: int = 1
+    b_deterministic: bool = True
+    # logging
+    i_log_level: int = 2
+
+    # ------------------------------------------------------------------
+    def validate(self) -> "EncoderParams":
+        """Clamp/fix parameters (x264_validate_parameters,
+        encoder/encoder.c:335-606). Returns self (mutated)."""
+        if self.i_width <= 0 or self.i_height <= 0:
+            raise ValueError(f"invalid size {self.i_width}x{self.i_height}")
+        if self.i_width % 2 or self.i_height % 2:
+            raise ValueError("width/height must be even for i420")
+
+        rc = self.rc
+        rc.i_qp_constant = _clip(rc.i_qp_constant, 0, 51)
+        rc.i_qp_min = min(rc.i_qp_min, rc.i_qp_constant)
+        rc.i_qp_max = _clip(rc.i_qp_max, rc.i_qp_min, 51)
+        if rc.i_rc_method == RC_CQP:
+            rc.i_aq_mode = AQ_NONE
+            if rc.i_qp_constant == 0:
+                # lossless: transform bypass (encoder/encoder.c:392-406)
+                self.analyse.b_transform_8x8 = False
+                self.analyse.i_trellis = 0
+
+        a = self.analyse
+        a.i_me_method = _clip(a.i_me_method, ME_DIA, ME_TESA)
+        a.i_subpel_refine = _clip(a.i_subpel_refine, 1, 9)
+        a.i_me_range = _clip(a.i_me_range, 4, 64)
+        if a.i_mv_range <= 0:
+            a.i_mv_range = 512  # level 4+ default; level logic narrows this
+
+        self.i_frame_reference = _clip(self.i_frame_reference, 1, 16)
+        self.i_bframe = _clip(self.i_bframe, 0, 16)
+        if self.i_bframe == 0:
+            self.b_bframe_pyramid = False
+        self.i_keyint_max = max(self.i_keyint_max, 1)
+        self.i_keyint_min = _clip(self.i_keyint_min, 1, self.i_keyint_max // 2 + 1)
+        self.i_mb_row_shards = max(1, self.i_mb_row_shards)
+        self.i_frame_parallel = max(1, self.i_frame_parallel)
+        return self
+
+    # ------------------------------------------------------------------
+    @property
+    def mb_width(self) -> int:
+        return (self.i_width + 15) // 16
+
+    @property
+    def mb_height(self) -> int:
+        return (self.i_height + 15) // 16
+
+    def profile(self) -> int:
+        """Minimum profile for the enabled feature set
+        (x264_sps_init logic, encoder/set.c:77-110)."""
+        if self.analyse.b_transform_8x8 or self.analyse.i_trellis:
+            return PROFILE_HIGH
+        if self.b_cabac or self.i_bframe > 0:
+            return PROFILE_MAIN
+        return PROFILE_BASELINE
+
+    # ------------------------------------------------------------------
+    _OPT_ALIASES = {
+        "qp": ("rc.i_qp_constant", int),
+        "crf": ("rc.f_rf_constant", float),
+        "bitrate": ("rc.i_bitrate", int),
+        "keyint": ("i_keyint_max", int),
+        "min-keyint": ("i_keyint_min", int),
+        "bframes": ("i_bframe", int),
+        "b-adapt": ("i_bframe_adaptive", int),
+        "ref": ("i_frame_reference", int),
+        "cabac": ("b_cabac", lambda v: bool(int(v))),
+        "deblock": ("b_deblocking_filter", lambda v: bool(int(v))),
+        "subme": ("analyse.i_subpel_refine", int),
+        "me": ("analyse.i_me_method", lambda v: ME_NAMES.index(v)),
+        "merange": ("analyse.i_me_range", int),
+        "trellis": ("analyse.i_trellis", int),
+        "8x8dct": ("analyse.b_transform_8x8", lambda v: bool(int(v))),
+        "aq-mode": ("rc.i_aq_mode", int),
+        "aq-strength": ("rc.f_aq_strength", float),
+        "fps": ("i_fps_num", int),
+    }
+
+    def parse(self, name: str, value: str) -> "EncoderParams":
+        """String option parsing (x264_param_parse, common/common.c)."""
+        if name not in self._OPT_ALIASES:
+            raise KeyError(f"unknown option: {name}")
+        path, conv = self._OPT_ALIASES[name]
+        obj = self
+        parts = path.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        setattr(obj, parts[-1], conv(value))
+        if name == "qp":
+            self.rc.i_rc_method = RC_CQP
+        if name == "bitrate":
+            self.rc.i_rc_method = RC_ABR
+        return self
+
+    def to_string(self) -> str:
+        """Option serialization (x264_param2string) for the SEI / stats
+        header."""
+        a, rc = self.analyse, self.rc
+        return (f"cabac={int(self.b_cabac)} ref={self.i_frame_reference} "
+                f"deblock={int(self.b_deblocking_filter)} "
+                f"me={ME_NAMES[a.i_me_method]} subme={a.i_subpel_refine} "
+                f"8x8dct={int(a.b_transform_8x8)} trellis={a.i_trellis} "
+                f"bframes={self.i_bframe} keyint={self.i_keyint_max} "
+                f"rc={['cqp','crf','abr'][rc.i_rc_method]} "
+                f"qp={rc.i_qp_constant} aq={rc.i_aq_mode}:{rc.f_aq_strength}")
+
+
+def _clip(x, lo, hi):
+    return max(lo, min(hi, x))
+
+
+def preset_defaults() -> EncoderParams:
+    """The reference's built-in defaults (common/common.c:39-144) — the
+    'preset medium equivalent' named in BASELINE.md."""
+    return EncoderParams()
