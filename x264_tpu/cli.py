@@ -1,0 +1,135 @@
+"""Command-line front-end — the analogue of x264.c (main:88, Parse, Encode).
+
+Usage:
+    python -m x264_tpu.cli input.y4m -o out.264 [options]
+    python -m x264_tpu.cli input.yuv --input-res 352x288 -o out.264 --qp 26
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .params import EncoderParams, RC_CQP, RC_CRF, RC_ABR, ME_NAMES
+from .encoder.core import Encoder, Frame
+from .io.y4m import Y4MReader, YUVReader, write_y4m
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser(
+        prog="x264_tpu", description="TPU-native H.264 encoder")
+    ap.add_argument("input", help="input .y4m or raw .yuv (i420)")
+    ap.add_argument("-o", "--output", required=True, help="output .264")
+    ap.add_argument("--input-res", help="WxH for raw YUV input")
+    ap.add_argument("--fps", type=float, default=None)
+    ap.add_argument("--frames", type=int, default=0,
+                    help="max frames to encode (0 = all)")
+    # rate control
+    ap.add_argument("-q", "--qp", type=int, default=None,
+                    help="constant QP (CQP mode)")
+    ap.add_argument("--crf", type=float, default=None)
+    ap.add_argument("-B", "--bitrate", type=int, default=None)
+    # structure
+    ap.add_argument("-I", "--keyint", type=int, default=250)
+    ap.add_argument("-i", "--min-keyint", type=int, default=25)
+    ap.add_argument("-b", "--bframes", type=int, default=0)
+    ap.add_argument("-r", "--ref", type=int, default=1)
+    # features
+    ap.add_argument("--no-cabac", action="store_true")
+    ap.add_argument("--no-deblock", action="store_true")
+    ap.add_argument("--no-8x8dct", action="store_true")
+    ap.add_argument("-m", "--subme", type=int, default=6)
+    ap.add_argument("--me", choices=ME_NAMES, default="hex")
+    ap.add_argument("--merange", type=int, default=16)
+    ap.add_argument("--trellis", type=int, default=0)
+    ap.add_argument("--aq-mode", type=int, default=1)
+    # debug
+    ap.add_argument("--dump-yuv", help="write reconstruction to .y4m "
+                    "(doc/regression_test.txt flow)")
+    ap.add_argument("--quiet", action="store_true")
+    return ap
+
+
+def params_from_args(args, width, height, fps_num, fps_den) -> EncoderParams:
+    p = EncoderParams(i_width=width, i_height=height,
+                      i_fps_num=fps_num, i_fps_den=fps_den)
+    if args.qp is not None:
+        p.rc.i_rc_method = RC_CQP
+        p.rc.i_qp_constant = args.qp
+    elif args.bitrate is not None:
+        p.rc.i_rc_method = RC_ABR
+        p.rc.i_bitrate = args.bitrate
+    elif args.crf is not None:
+        p.rc.i_rc_method = RC_CRF
+        p.rc.f_rf_constant = args.crf
+    p.i_keyint_max = args.keyint
+    p.i_keyint_min = args.min_keyint
+    p.i_bframe = args.bframes
+    p.i_frame_reference = args.ref
+    p.b_cabac = not args.no_cabac
+    p.b_deblocking_filter = not args.no_deblock
+    p.analyse.b_transform_8x8 = not args.no_8x8dct
+    p.analyse.i_subpel_refine = args.subme
+    p.analyse.i_me_method = ME_NAMES.index(args.me)
+    p.analyse.i_me_range = args.merange
+    p.analyse.i_trellis = args.trellis
+    p.rc.i_aq_mode = args.aq_mode
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    if args.input.endswith(".y4m"):
+        reader = Y4MReader(args.input)
+        width, height = reader.width, reader.height
+        fps_num, fps_den = reader.fps_num, reader.fps_den
+    else:
+        if not args.input_res:
+            print("raw YUV input requires --input-res WxH", file=sys.stderr)
+            return 1
+        w, h = args.input_res.lower().split("x")
+        width, height = int(w), int(h)
+        fps_num, fps_den = 25, 1
+        reader = YUVReader(args.input, width, height)
+    if args.fps:
+        fps_num, fps_den = int(args.fps * 1000), 1000
+
+    p = params_from_args(args, width, height, fps_num, fps_den)
+    enc = Encoder(p)
+
+    t0 = time.time()
+    n = 0
+    total_bits = 0
+    recons = []
+    with open(args.output, "wb") as out:
+        out.write(enc.headers())
+        for (y, u, v) in reader:
+            ef = enc.encode(Frame(y, u, v))
+            out.write(ef.payload)
+            total_bits += ef.bits
+            if args.dump_yuv:
+                recons.append((ef.recon.y, ef.recon.u, ef.recon.v))
+            n += 1
+            if not args.quiet and n % 10 == 0:
+                el = time.time() - t0
+                print(f"\r{n} frames, {n/el:.2f} fps", end="", file=sys.stderr)
+            if args.frames and n >= args.frames:
+                break
+    el = time.time() - t0
+    fps = fps_num / fps_den
+    kbps = total_bits * fps / max(n, 1) / 1000
+    if not args.quiet:
+        print(f"\nencoded {n} frames, {n/max(el,1e-9):.2f} fps, "
+              f"{kbps:.2f} kb/s", file=sys.stderr)
+    if args.dump_yuv:
+        write_y4m(args.dump_yuv, recons, width, height, (fps_num, fps_den))
+    reader.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

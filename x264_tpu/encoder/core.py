@@ -1,28 +1,201 @@
 """Encoder orchestration — the analogue of encoder/encoder.c.
 
-Hosts the open/encode/close lifecycle (x264_encoder_open:623,
-x264_encoder_encode:1362, x264_encoder_close:1878): parameter validation,
-header generation, frame-type decision, and dispatch of per-frame work to
-the jitted TPU pipelines.
+Open/encode/close lifecycle (x264_encoder_open:623, x264_encoder_encode:1362,
+x264_encoder_close:1878): parameter validation, header generation, frame-type
+decision, dispatch of per-frame work to the jitted TPU pipelines, and
+entropy-coding + NAL assembly of the device-produced coefficient planes.
 """
 
 from __future__ import annotations
 
-from ..params import EncoderParams
+import numpy as np
 
-# The real implementation lands with the intra pipeline; this module keeps
-# the public surface importable while subsystems are built bottom-up.
+from ..params import EncoderParams, RC_CQP
+from .. import tables
+from ..headers import SPS, PPS, SliceHeader, SLICE_I
+from ..entropy.bitstream import BitWriter, nal_unit, NAL_SLICE_IDR
+from ..entropy import cavlc
+from . import intra
+
+
+def pad_plane(plane: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Edge-replicate to MB-aligned size (expand_border_mod16,
+    common/frame.c:310-330)."""
+    h, w = plane.shape
+    out = np.empty((target_h, target_w), dtype=plane.dtype)
+    out[:h, :w] = plane
+    if w < target_w:
+        out[:h, w:] = plane[:, w - 1:w]
+    if h < target_h:
+        out[h:, :] = out[h - 1:h, :]
+    return out
+
+
+class Frame:
+    """A picture in planar 8-bit 4:2:0 (x264_picture_t analogue)."""
+
+    def __init__(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        self.y, self.u, self.v = y, u, v
+
+    @property
+    def shape(self):
+        return self.y.shape
+
+
+class EncodedFrame:
+    def __init__(self, payload: bytes, frame_type: str, recon: Frame,
+                 bits: int):
+        self.payload = payload
+        self.frame_type = frame_type
+        self.recon = recon
+        self.bits = bits
 
 
 class Encoder:
+    """x264_encoder_open / encode / close."""
+
     def __init__(self, params: EncoderParams):
         self.params = params.validate()
+        p = self.params
+        self.sps = SPS.from_params(p)
+        self.pps = PPS.from_params(p)
+        self.frame_num = 0
+        self.idr_pic_id = 0
+        self.poc = 0
+        self.frame_count = 0
+        self.qt = tables.QuantTables(
+            luma_deadzone_inter=p.analyse.i_luma_deadzone[0],
+            luma_deadzone_intra=p.analyse.i_luma_deadzone[1])
+        self._qtab_cache = {}
 
+    # ------------------------------------------------------------- headers
     def headers(self) -> bytes:
-        raise NotImplementedError
+        """x264_encoder_headers: SPS + PPS NALs."""
+        return self.sps.write() + self.pps.write()
 
-    def encode(self, frame):
-        raise NotImplementedError
+    # ------------------------------------------------------------- encode
+    def encode(self, frame: Frame) -> EncodedFrame:
+        p = self.params
+        qp = p.rc.i_qp_constant if p.rc.i_rc_method == RC_CQP else 26
+        # round 1: all frames are IDR I-frames (config 1 of BASELINE.json);
+        # the GOP structure / lookahead lands with the inter path.
+        payload, recon = self._encode_idr(frame, qp)
+        self.frame_count += 1
+        return EncodedFrame(payload, "IDR", recon, len(payload) * 8)
+
+    def _qtab(self, qp_y: int, qp_c: int):
+        key = (qp_y, qp_c)
+        if key not in self._qtab_cache:
+            self._qtab_cache[key] = intra.make_qtab(qp_y, qp_c, self.qt)
+        return self._qtab_cache[key]
+
+    def _encode_idr(self, frame: Frame, qp: int):
+        p = self.params
+        mb_w, mb_h = p.mb_width, p.mb_height
+        y = pad_plane(np.asarray(frame.y, np.int32), mb_h * 16, mb_w * 16)
+        u = pad_plane(np.asarray(frame.u, np.int32), mb_h * 8, mb_w * 8)
+        v = pad_plane(np.asarray(frame.v, np.int32), mb_h * 8, mb_w * 8)
+
+        qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
+        lam = int(tables.LAMBDA_TABLE[qp])
+
+        out = intra.encode_i16_frame(mb_h, mb_w, y, u, v,
+                                     self._qtab(qp, qp_c), lam)
+        out = {k: np.asarray(val) for k, val in out.items()}
+
+        slice_bytes = self._write_i_slice(out, qp, mb_w, mb_h)
+        recon = Frame(out["recon_y"][:frame.y.shape[0], :frame.y.shape[1]],
+                      out["recon_u"][:frame.u.shape[0], :frame.u.shape[1]],
+                      out["recon_v"][:frame.v.shape[0], :frame.v.shape[1]])
+        self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
+        self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+        return slice_bytes, recon
+
+    # ------------------------------------------------------------- slice
+    def _write_i_slice(self, out: dict, qp: int, mb_w: int, mb_h: int) -> bytes:
+        """Entropy-code one I slice from the device coefficient planes
+        (x264_slice_write, encoder/encoder.c:1141, CAVLC path)."""
+        p = self.params
+        high = self.sps.profile_idc >= 100
+
+        luma_ac = out["luma_ac"]      # (mbh, mbw, 16z, 16)
+        chroma_ac = out["chroma_ac"]  # (mbh, mbw, 2, 4, 16)
+        luma_dc = out["luma_dc"]
+        chroma_dc = out["chroma_dc"]
+
+        # cbp decisions (x264_mb_encode_i16x16 / _8x8_chroma semantics)
+        cbp_luma = np.any(luma_ac[..., 1:] != 0, axis=(-2, -1))   # bool
+        cnz_ac = np.any(chroma_ac[..., 1:] != 0, axis=(-2, -1))   # per ch
+        cnz_dc = np.any(chroma_dc != 0, axis=-1)
+        cbp_chroma = np.where(cnz_ac.any(-1), 2,
+                              np.where(cnz_dc.any(-1), 1, 0))
+
+        # per-4x4 total_coeff maps for nC prediction
+        # luma: z-scan block i of MB (my,mx) sits at global 4x4 coords
+        bz = tables.LUMA4x4_BLOCK_XY  # (16,2) of (bx,by)
+        counts = np.count_nonzero(luma_ac[..., 1:], axis=-1)      # (mbh,mbw,16)
+        counts = np.where(cbp_luma[..., None], counts, 0)
+        luma_map = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int32)
+        my, mx = np.meshgrid(np.arange(mb_h), np.arange(mb_w), indexing="ij")
+        for i in range(16):
+            bx, by = int(bz[i][0]), int(bz[i][1])
+            luma_map[my * 4 + by, mx * 4 + bx] = counts[..., i]
+
+        ccounts = np.count_nonzero(chroma_ac[..., 1:], axis=-1)   # (mbh,mbw,2,4)
+        ccounts = np.where((cbp_chroma == 2)[..., None, None], ccounts, 0)
+        chroma_map = np.zeros((2, mb_h * 2, mb_w * 2), dtype=np.int32)
+        for ch in range(2):
+            for i in range(4):
+                bx, by = int(tables.CHROMA_BLOCK_XY[i][0]), int(tables.CHROMA_BLOCK_XY[i][1])
+                chroma_map[ch, my * 2 + by, mx * 2 + bx] = ccounts[..., ch, i]
+
+        def nc_from_map(m, gy, gx):
+            a = m[gy, gx - 1] if gx > 0 else -1
+            b = m[gy - 1, gx] if gy > 0 else -1
+            if a >= 0 and b >= 0:
+                return (a + b + 1) >> 1
+            if a >= 0:
+                return int(a)
+            if b >= 0:
+                return int(b)
+            return 0
+
+        bs = BitWriter()
+        sh = SliceHeader(
+            slice_type=SLICE_I, frame_num=self.frame_num,
+            idr_pic_id=self.idr_pic_id, poc_lsb=0,
+            qp=qp, pic_init_qp=self.pps.pic_init_qp,
+            disable_deblock=1 if not p.b_deblocking_filter else 1,  # TODO deblock
+            cabac=False,
+            log2_max_frame_num=self.sps.log2_max_frame_num,
+            log2_max_poc_lsb=self.sps.log2_max_poc_lsb,
+        )
+        sh.write_rbsp(bs, nal_ref_idc=3)
+
+        mode16 = out["mode16"]
+        modec = out["modec"]
+        for myi in range(mb_h):
+            for mxi in range(mb_w):
+                nc_l = np.empty(16, dtype=np.int32)
+                for i in range(16):
+                    bx, by = int(bz[i][0]), int(bz[i][1])
+                    nc_l[i] = nc_from_map(luma_map, myi * 4 + by, mxi * 4 + bx)
+                nc_c = np.empty((2, 4), dtype=np.int32)
+                for ch in range(2):
+                    for i in range(4):
+                        bx, by = (int(tables.CHROMA_BLOCK_XY[i][0]),
+                                  int(tables.CHROMA_BLOCK_XY[i][1]))
+                        nc_c[ch, i] = nc_from_map(
+                            chroma_map[ch], myi * 2 + by, mxi * 2 + bx)
+                cavlc.write_mb_i16x16(
+                    bs, 0, int(mode16[myi, mxi]), int(modec[myi, mxi]),
+                    15 if cbp_luma[myi, mxi] else 0,
+                    int(cbp_chroma[myi, mxi]), 0,
+                    luma_dc[myi, mxi], luma_ac[myi, mxi],
+                    chroma_dc[myi, mxi], chroma_ac[myi, mxi],
+                    nc_l, nc_c, high_profile=high)
+        bs.rbsp_trailing()
+        return nal_unit(NAL_SLICE_IDR, 3, bs.pack())
 
     def close(self):
         pass

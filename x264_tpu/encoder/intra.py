@@ -1,0 +1,267 @@
+"""Jitted all-intra (I16x16 + chroma) frame pipeline.
+
+The reference encodes macroblocks strictly sequentially because intra
+prediction reads the reconstruction of the left/top neighbors
+(x264_slice_write hot loop, encoder/encoder.c:1141). On TPU we restructure
+this as a *wavefront*: macroblocks on the same anti-diagonal (x + y = d)
+have no mutual dependency, so each `lax.scan` step encodes a whole
+diagonal batched — predictions, SATD mode decision, DCT, quant, dequant,
+IDCT and reconstruction all vectorized over the diagonal
+(SURVEY.md §7 design stance).
+
+Per-MB semantics mirror x264_mb_analyse_intra (encoder/analyse.c:612) with
+mbcmp=SATD, x264_mb_encode_i16x16 and x264_mb_encode_8x8_chroma
+(encoder/macroblock.c:117-364).
+
+The pipeline emits quantized, zig-zag-scanned coefficient planes; entropy
+coding consumes them (device→host today, device-side scan planned).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import dct as odct
+from ..ops import predict as opred
+from ..ops import pixel as opix
+from ..ops import quant as oquant
+from .. import tables
+
+I32 = jnp.int32
+
+# ue() bit cost of the fixed-up mode index (x264_mb_analyse_intra's
+# lambda * bs_size_ue term, encoder/analyse.c:677)
+_MODE_BITS_16 = np.array([1, 3, 3, 5], dtype=np.int32)
+_BIG = np.int32(1 << 28)
+
+
+def _tile16(plane, mb_h, mb_w):
+    """(H, W) -> (mb_h, mb_w, 16, 16)."""
+    return plane.reshape(mb_h, 16, mb_w, 16).swapaxes(1, 2)
+
+
+def _untile(tiles):
+    mb_h, mb_w, th, tw = tiles.shape
+    return tiles.swapaxes(1, 2).reshape(mb_h * th, mb_w * tw)
+
+
+def _blocks4_raster(block, n):
+    """(..., n*4, n*4) -> (..., n, n, 4, 4) raster block order."""
+    s = block.shape[:-2]
+    x = block.reshape(*s, n, 4, n, 4)
+    return jnp.swapaxes(x, -3, -2)
+
+
+def _unblocks4(blocks, n):
+    s = blocks.shape[:-4]
+    return jnp.swapaxes(blocks, -3, -2).reshape(*s, n * 4, n * 4)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam):
+    """Encode one all-I16x16 frame.
+
+    y: (mb_h*16, mb_w*16) int32; u, v: (mb_h*8, mb_w*8) int32.
+    qtab: dict of quant table arrays (see core.make_qtab).
+    lam: int32 lambda for mode cost.
+
+    Returns dict of per-MB arrays (modes, coefficients in zig-zag order,
+    nz flags, recon planes).
+    """
+    K = min(mb_h, mb_w)            # max wavefront width
+    D = mb_h + mb_w - 1            # number of diagonals
+    zig = jnp.asarray(tables.ZIGZAG4)
+
+    y_tiles = _tile16(y.astype(I32), mb_h, mb_w)
+    u_tiles = u.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
+    v_tiles = v.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
+
+    state = dict(
+        ty=jnp.zeros((mb_h, mb_w, 16, 16), I32),
+        tu=jnp.zeros((mb_h, mb_w, 8, 8), I32),
+        tv=jnp.zeros((mb_h, mb_w, 8, 8), I32),
+        mode16=jnp.zeros((mb_h, mb_w), I32),
+        modec=jnp.zeros((mb_h, mb_w), I32),
+        luma_dc=jnp.zeros((mb_h, mb_w, 16), I32),
+        luma_ac=jnp.zeros((mb_h, mb_w, 16, 16), I32),
+        chroma_dc=jnp.zeros((mb_h, mb_w, 2, 4), I32),
+        chroma_ac=jnp.zeros((mb_h, mb_w, 2, 4, 16), I32),
+    )
+
+    def diag_step(state, d):
+        ys = jnp.maximum(0, d - (mb_w - 1)) + jnp.arange(K, dtype=I32)
+        xs = d - ys
+        valid = (ys < mb_h) & (xs >= 0) & (xs < mb_w)
+        yc = jnp.clip(ys, 0, mb_h - 1)
+        xc = jnp.clip(xs, 0, mb_w - 1)
+        ym = jnp.clip(ys - 1, 0, mb_h - 1)
+        xm = jnp.clip(xs - 1, 0, mb_w - 1)
+        has_top = valid & (ys > 0)
+        has_left = valid & (xs > 0)
+
+        ty, tu, tv = state["ty"], state["tu"], state["tv"]
+
+        # ------------------------------------------------ luma
+        fenc = y_tiles[yc, xc]                       # (K,16,16)
+        top = ty[ym, xc, 15, :]                      # (K,16)
+        left = ty[yc, xm, :, 15]
+        topleft = ty[ym, xm, 15, 15]
+
+        preds = opred.predict_16x16(top, left, topleft, has_top, has_left)
+        avail = opred.mode_available_16x16(has_top, has_left)
+        satd = opix.satd(fenc[:, None], preds)       # (K,4)
+        cost = satd + lam * jnp.asarray(_MODE_BITS_16)
+        cost = jnp.where(avail, cost, _BIG)
+        mode = jnp.argmin(cost, axis=-1).astype(I32)
+        pred = jnp.take_along_axis(
+            preds, mode[:, None, None, None], axis=1)[:, 0]
+
+        # i16x16 residual path (x264_mb_encode_i16x16,
+        # encoder/macroblock.c:117)
+        diff = fenc - pred
+        blocks = _blocks4_raster(diff, 4)            # (K,4,4,4,4) raster
+        coef = odct.dct4x4(blocks)
+        dc_raster = coef[..., 0, 0]                  # (K,4,4)
+        ac = coef.at[..., 0, 0].set(0)
+
+        ac_lv = oquant.quant(
+            ac.reshape(K, 16, 16), qtab["y_mf"], qtab["y_bias"]
+        ).reshape(K, 4, 4, 4, 4)
+        blk_nz = jnp.any(ac_lv != 0, axis=(-2, -1))  # (K,4,4)
+        cbp_luma = jnp.any(blk_nz, axis=(-2, -1))    # (K,)
+
+        ac_deq = oquant.dequant(
+            ac_lv.reshape(K, 16, 16), qtab["y_dmf"], qtab["y_qpdiv6"], 4
+        ).reshape(K, 4, 4, 4, 4)
+
+        dc_had = odct.hadamard4x4_fwd(dc_raster)
+        dc_lv = oquant.quant_dc(dc_had, qtab["y_mf_dc"], qtab["y_bias_dc"])
+        dc_rec = oquant.dequant_4x4_dc(
+            odct.hadamard4x4_inv(dc_lv), qtab["y_dmf0"], qtab["y_qpdiv6"])
+
+        full = odct.idct4x4(ac_deq.at[..., 0, 0].set(dc_rec))
+        dconly = jnp.broadcast_to(
+            ((dc_rec + 32) >> 6)[..., None, None], full.shape)
+        res = jnp.where(cbp_luma[:, None, None, None, None], full, dconly)
+        recon = jnp.clip(pred + _unblocks4(res, 4), 0, 255)
+
+        # zig-zag outputs: block order = z-scan within MB
+        zorder = jnp.asarray(tables.LUMA4x4_RASTER_OF_Z)
+        ac_z = ac_lv.reshape(K, 16, 16)[:, zorder][:, :, zig]
+        dc_z = dc_lv.reshape(K, 16)[:, zig]
+
+        # ------------------------------------------------ chroma
+        def chroma_path(t_ref, c_tiles):
+            fencc = c_tiles[yc, xc]
+            ctop = t_ref[ym, xc, 7, :]
+            cleft = t_ref[yc, xm, :, 7]
+            ctl = t_ref[ym, xm, 7, 7]
+            cpreds = opred.predict_8x8c(ctop, cleft, ctl, has_top, has_left)
+            csatd = opix.satd(fencc[:, None], cpreds)
+            return fencc, cpreds, csatd
+
+        fu, pu, su = chroma_path(tu, u_tiles)
+        fv, pv, sv = chroma_path(tv, v_tiles)
+        cavail = opred.mode_available_8x8c(has_top, has_left)
+        ccost = jnp.where(cavail, su + sv, _BIG)
+        cmode = jnp.argmin(ccost, axis=-1).astype(I32)
+
+        def chroma_encode(fencc, cpreds):
+            cpred = jnp.take_along_axis(
+                cpreds, cmode[:, None, None, None], axis=1)[:, 0]
+            cdiff = fencc - cpred
+            cblocks = _blocks4_raster(cdiff, 2)       # (K,2,2,4,4)
+            ccoef = odct.dct4x4(cblocks)
+            cdc = ccoef[..., 0, 0]                    # (K,2,2)
+            cac = ccoef.at[..., 0, 0].set(0)
+            cac_lv = oquant.quant(
+                cac.reshape(K, 4, 16), qtab["c_mf"], qtab["c_bias"]
+            ).reshape(K, 2, 2, 4, 4)
+            cnz_ac = jnp.any(cac_lv != 0, axis=(-4, -3, -2, -1))   # (K,)
+            cac_deq = oquant.dequant(
+                cac_lv.reshape(K, 4, 16), qtab["c_dmf"], qtab["c_qpdiv6"], 4
+            ).reshape(K, 2, 2, 4, 4)
+            cdc_had = odct.hadamard2x2(cdc)
+            cdc_lv = oquant.quant_dc(cdc_had, qtab["c_mf_dc"], qtab["c_bias_dc"])
+            cnz_dc = jnp.any(cdc_lv != 0, axis=(-2, -1))
+            cdc_rec = oquant.dequant_2x2_dc(
+                odct.hadamard2x2(cdc_lv), qtab["c_dmf0"], qtab["c_qpdiv6"])
+            cfull = odct.idct4x4(cac_deq.at[..., 0, 0].set(cdc_rec))
+            cdconly = jnp.broadcast_to(
+                ((cdc_rec + 32) >> 6)[..., None, None], cfull.shape)
+            cres = jnp.where(cnz_ac[:, None, None, None, None], cfull, cdconly)
+            crecon = jnp.clip(cpred + _unblocks4(cres, 2), 0, 255)
+            # outputs: dc in spec scan [c00,c01,c10,c11]; ac zig-zag,
+            # block order raster (== spec chroma 4x4 block order)
+            cdc_out = cdc_lv.reshape(K, 4)
+            cac_out = cac_lv.reshape(K, 4, 16)[:, :, zig]
+            return crecon, cdc_out, cac_out, cnz_ac, cnz_dc
+
+        ru, dcu, acu, nzau, nzdu = chroma_encode(fu, pu)
+        rv, dcv, acv, nzav, nzdv = chroma_encode(fv, pv)
+
+        # ------------------------------------------------ scatter
+        oy = jnp.where(valid, yc, mb_h)   # out-of-bounds -> dropped
+        ox = jnp.where(valid, xc, mb_w)
+
+        def scat(dst, val):
+            return dst.at[oy, ox].set(val, mode="drop")
+
+        state = dict(
+            ty=scat(ty, recon),
+            tu=scat(tu, ru),
+            tv=scat(tv, rv),
+            mode16=scat(state["mode16"], mode),
+            modec=scat(state["modec"], cmode),
+            luma_dc=scat(state["luma_dc"], dc_z),
+            luma_ac=scat(state["luma_ac"], ac_z),
+            chroma_dc=scat(state["chroma_dc"],
+                           jnp.stack([dcu, dcv], axis=1)),
+            chroma_ac=scat(state["chroma_ac"],
+                           jnp.stack([acu, acv], axis=1)),
+        )
+        return state, None
+
+    state, _ = jax.lax.scan(diag_step, state, jnp.arange(D, dtype=I32))
+
+    return dict(
+        recon_y=_untile(state["ty"]),
+        recon_u=_untile(state["tu"]),
+        recon_v=_untile(state["tv"]),
+        mode16=state["mode16"],
+        modec=state["modec"],
+        luma_dc=state["luma_dc"],
+        luma_ac=state["luma_ac"],
+        chroma_dc=state["chroma_dc"],
+        chroma_ac=state["chroma_ac"],
+    )
+
+
+def make_qtab(qp_y: int, qp_c: int, qt: tables.QuantTables | None = None):
+    """Gather the per-QP table slices the jitted pipeline needs.
+
+    Luma uses CQM_4IY, chroma CQM_4IC; DC multipliers follow
+    encoder/macroblock.c:282 (mf[0]>>1, bias[0]<<1).
+    """
+    qt = qt or tables.DEFAULT_QUANT
+    a = lambda x: jnp.asarray(np.asarray(x, np.int32))
+    return dict(
+        y_mf=a(qt.quant4_mf[tables.CQM_4IY, qp_y]),
+        y_bias=a(qt.quant4_bias[tables.CQM_4IY, qp_y]),
+        y_dmf=a(qt.dequant4_mf[tables.CQM_4IY, qp_y % 6]),
+        y_dmf0=a(qt.dequant4_mf[tables.CQM_4IY, qp_y % 6][0]),
+        y_mf_dc=a(qt.quant4_mf[tables.CQM_4IY, qp_y][0] >> 1),
+        y_bias_dc=a(qt.quant4_bias[tables.CQM_4IY, qp_y][0] << 1),
+        y_qpdiv6=a(qp_y // 6),
+        c_mf=a(qt.quant4_mf[tables.CQM_4IC, qp_c]),
+        c_bias=a(qt.quant4_bias[tables.CQM_4IC, qp_c]),
+        c_dmf=a(qt.dequant4_mf[tables.CQM_4IC, qp_c % 6]),
+        c_dmf0=a(qt.dequant4_mf[tables.CQM_4IC, qp_c % 6][0]),
+        c_mf_dc=a(qt.quant4_mf[tables.CQM_4IC, qp_c][0] >> 1),
+        c_bias_dc=a(qt.quant4_bias[tables.CQM_4IC, qp_c][0] << 1),
+        c_qpdiv6=a(qp_c // 6),
+    )
