@@ -14,7 +14,7 @@ from ..params import EncoderParams, RC_CQP
 from .. import tables
 from ..headers import SPS, PPS, SliceHeader, SLICE_I
 from ..entropy.bitstream import BitWriter, nal_unit, NAL_SLICE_IDR
-from ..entropy import cavlc
+from ..entropy.cavlc_vec import i16_slice_codes as cavlc_vec_i16_slice
 from . import intra
 
 
@@ -114,86 +114,21 @@ class Encoder:
     # ------------------------------------------------------------- slice
     def _write_i_slice(self, out: dict, qp: int, mb_w: int, mb_h: int) -> bytes:
         """Entropy-code one I slice from the device coefficient planes
-        (x264_slice_write, encoder/encoder.c:1141, CAVLC path)."""
-        p = self.params
-        high = self.sps.profile_idc >= 100
-
-        luma_ac = out["luma_ac"]      # (mbh, mbw, 16z, 16)
-        chroma_ac = out["chroma_ac"]  # (mbh, mbw, 2, 4, 16)
-        luma_dc = out["luma_dc"]
-        chroma_dc = out["chroma_dc"]
-
-        # cbp decisions (x264_mb_encode_i16x16 / _8x8_chroma semantics)
-        cbp_luma = np.any(luma_ac[..., 1:] != 0, axis=(-2, -1))   # bool
-        cnz_ac = np.any(chroma_ac[..., 1:] != 0, axis=(-2, -1))   # per ch
-        cnz_dc = np.any(chroma_dc != 0, axis=-1)
-        cbp_chroma = np.where(cnz_ac.any(-1), 2,
-                              np.where(cnz_dc.any(-1), 1, 0))
-
-        # per-4x4 total_coeff maps for nC prediction
-        # luma: z-scan block i of MB (my,mx) sits at global 4x4 coords
-        bz = tables.LUMA4x4_BLOCK_XY  # (16,2) of (bx,by)
-        counts = np.count_nonzero(luma_ac[..., 1:], axis=-1)      # (mbh,mbw,16)
-        counts = np.where(cbp_luma[..., None], counts, 0)
-        luma_map = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int32)
-        my, mx = np.meshgrid(np.arange(mb_h), np.arange(mb_w), indexing="ij")
-        for i in range(16):
-            bx, by = int(bz[i][0]), int(bz[i][1])
-            luma_map[my * 4 + by, mx * 4 + bx] = counts[..., i]
-
-        ccounts = np.count_nonzero(chroma_ac[..., 1:], axis=-1)   # (mbh,mbw,2,4)
-        ccounts = np.where((cbp_chroma == 2)[..., None, None], ccounts, 0)
-        chroma_map = np.zeros((2, mb_h * 2, mb_w * 2), dtype=np.int32)
-        for ch in range(2):
-            for i in range(4):
-                bx, by = int(tables.CHROMA_BLOCK_XY[i][0]), int(tables.CHROMA_BLOCK_XY[i][1])
-                chroma_map[ch, my * 2 + by, mx * 2 + bx] = ccounts[..., ch, i]
-
-        def nc_from_map(m, gy, gx):
-            a = m[gy, gx - 1] if gx > 0 else -1
-            b = m[gy - 1, gx] if gy > 0 else -1
-            if a >= 0 and b >= 0:
-                return (a + b + 1) >> 1
-            if a >= 0:
-                return int(a)
-            if b >= 0:
-                return int(b)
-            return 0
-
+        (x264_slice_write, encoder/encoder.c:1141, CAVLC path), fully
+        vectorized (cavlc_vec)."""
         bs = BitWriter()
         sh = SliceHeader(
             slice_type=SLICE_I, frame_num=self.frame_num,
             idr_pic_id=self.idr_pic_id, poc_lsb=0,
             qp=qp, pic_init_qp=self.pps.pic_init_qp,
-            disable_deblock=1 if not p.b_deblocking_filter else 1,  # TODO deblock
+            disable_deblock=1,  # deblocking lands with the loop-filter pass
             cabac=False,
             log2_max_frame_num=self.sps.log2_max_frame_num,
             log2_max_poc_lsb=self.sps.log2_max_poc_lsb,
         )
         sh.write_rbsp(bs, nal_ref_idc=3)
-
-        mode16 = out["mode16"]
-        modec = out["modec"]
-        for myi in range(mb_h):
-            for mxi in range(mb_w):
-                nc_l = np.empty(16, dtype=np.int32)
-                for i in range(16):
-                    bx, by = int(bz[i][0]), int(bz[i][1])
-                    nc_l[i] = nc_from_map(luma_map, myi * 4 + by, mxi * 4 + bx)
-                nc_c = np.empty((2, 4), dtype=np.int32)
-                for ch in range(2):
-                    for i in range(4):
-                        bx, by = (int(tables.CHROMA_BLOCK_XY[i][0]),
-                                  int(tables.CHROMA_BLOCK_XY[i][1]))
-                        nc_c[ch, i] = nc_from_map(
-                            chroma_map[ch], myi * 2 + by, mxi * 2 + bx)
-                cavlc.write_mb_i16x16(
-                    bs, 0, int(mode16[myi, mxi]), int(modec[myi, mxi]),
-                    15 if cbp_luma[myi, mxi] else 0,
-                    int(cbp_chroma[myi, mxi]), 0,
-                    luma_dc[myi, mxi], luma_ac[myi, mxi],
-                    chroma_dc[myi, mxi], chroma_ac[myi, mxi],
-                    nc_l, nc_c, high_profile=high)
+        vals, lens = cavlc_vec_i16_slice(out, mb_w, mb_h)
+        bs.put_codes(vals, lens)
         bs.rbsp_trailing()
         return nal_unit(NAL_SLICE_IDR, 3, bs.pack())
 
