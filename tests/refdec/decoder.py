@@ -19,6 +19,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import golden_dsp as G  # noqa: E402
+import golden_deblock  # noqa: E402
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from x264_tpu.entropy import cavlc_tables as T  # noqa: E402
@@ -261,12 +262,12 @@ class Decoder:
             if br.bit():
                 raise NotImplementedError("adaptive marking")
         qp = pps.pic_init_qp + br.se()
+        disable_deblock, alpha_div2, beta_div2 = 1, 0, 0
         if pps.deblocking_control:
             disable_deblock = br.ue()
             if disable_deblock != 1:
-                br.se()
-                br.se()
-            assert disable_deblock == 1, "deblocking decode not yet supported"
+                alpha_div2 = br.se()
+                beta_div2 = br.se()
 
         mb_w, mb_h = sps.mb_width, sps.mb_height
         Y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.int64)
@@ -274,12 +275,25 @@ class Decoder:
         V = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int64)
         nnz_l = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int64)
         nnz_c = np.zeros((2, mb_h * 2, mb_w * 2), dtype=np.int64)
+        qp_mb = np.zeros((mb_h, mb_w), dtype=np.int32)
+        intra_mb = np.zeros((mb_h, mb_w), dtype=bool)
 
         qt = enc_tables.DEFAULT_QUANT
 
         for my in range(mb_h):
             for mx in range(mb_w):
-                self._decode_mb_i(br, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c)
+                qp = self._decode_mb_i(br, my, mx, qp, qt, Y, U, V,
+                                       nnz_l, nnz_c)
+                qp_mb[my, mx] = qp
+                intra_mb[my, mx] = True
+
+        if disable_deblock != 1:
+            # per-4x4 nnz incl. the I16x16 DC (irrelevant for intra-only
+            # frames where bS >= 3, but kept for when P lands)
+            golden_deblock.deblock_frame(
+                Y, U, V, qp_mb, intra_mb, nnz4=nnz_l,
+                alpha_off=2 * alpha_div2, beta_off=2 * beta_div2,
+                chroma_qp_offset=pps.chroma_qp_offset)
 
         return DecodedFrame(
             Y[:mb_h * 16 - sps.crop_b, :mb_w * 16 - sps.crop_r].astype(np.uint8),
@@ -413,6 +427,7 @@ class Decoder:
                 blk = cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
                 cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = np.clip(blk, 0, 255)
             P[c0y:c0y + 8, c0x:c0x + 8] = cmb
+        return qp
 
 
 def decode_annexb(stream: bytes):

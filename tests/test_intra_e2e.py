@@ -34,12 +34,13 @@ def psnr(a, b):
     return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
 
 
-@pytest.mark.parametrize("qp", [18, 26, 38])
-def test_intra_cif_roundtrip(qp):
+@pytest.mark.parametrize("qp,deblock", [(18, True), (26, False), (26, True),
+                                        (38, True)])
+def test_intra_cif_roundtrip(qp, deblock):
     w, h = 352, 288
     y, u, v = synth_frame(w, h)
     p = EncoderParams(i_width=w, i_height=h, b_cabac=False,
-                      b_deblocking_filter=False)
+                      b_deblocking_filter=deblock)
     p.rc.i_rc_method = 0
     p.rc.i_qp_constant = qp
     enc = Encoder(p)
@@ -62,8 +63,7 @@ def test_intra_small_sizes():
     """Non-CIF geometries incl. cropping (width/height not MB-aligned)."""
     for (w, h) in [(64, 64), (48, 32), (40, 24)]:
         y, u, v = synth_frame(w, h, seed=3)
-        p = EncoderParams(i_width=w, i_height=h, b_cabac=False,
-                          b_deblocking_filter=False)
+        p = EncoderParams(i_width=w, i_height=h, b_cabac=False)
         p.rc.i_rc_method = 0
         p.rc.i_qp_constant = 30
         enc = Encoder(p)

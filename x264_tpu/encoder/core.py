@@ -15,6 +15,7 @@ from .. import tables
 from ..headers import SPS, PPS, SliceHeader, SLICE_I
 from ..entropy.bitstream import BitWriter, nal_unit, NAL_SLICE_IDR
 from ..entropy.cavlc_vec import i16_slice_codes as cavlc_vec_i16_slice
+from ..ops import deblock as odeblock
 from . import intra
 
 
@@ -104,24 +105,53 @@ class Encoder:
         out = {k: np.asarray(val) for k, val in out.items()}
 
         slice_bytes = self._write_i_slice(out, qp, mb_w, mb_h)
-        recon = Frame(out["recon_y"][:frame.y.shape[0], :frame.y.shape[1]],
-                      out["recon_u"][:frame.u.shape[0], :frame.u.shape[1]],
-                      out["recon_v"][:frame.v.shape[0], :frame.v.shape[1]])
+        ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+        if p.b_deblocking_filter:
+            ry, ru, rv = self._deblock(
+                ry, ru, rv,
+                qp_mb=np.full((mb_h, mb_w), qp, np.int32),
+                intra_mb=np.ones((mb_h, mb_w), bool))
+        recon = Frame(ry[:frame.y.shape[0], :frame.y.shape[1]],
+                      ru[:frame.u.shape[0], :frame.u.shape[1]],
+                      rv[:frame.v.shape[0], :frame.v.shape[1]])
         self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
         self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         return slice_bytes, recon
+
+    def _deblock(self, ry, ru, rv, qp_mb, intra_mb, nnz4=None, ref4=None,
+                 mv4=None, ref4_l1=None, mv4_l1=None, is_b=False):
+        """Run the in-loop filter pass (x264_fdec_filter_row analogue)."""
+        p = self.params
+        mb_h, mb_w = qp_mb.shape
+        z4 = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+        zmv = np.zeros((mb_h * 4, mb_w * 4, 2), np.int32)
+        ry, ru, rv = odeblock.deblock_frame(
+            mb_h, mb_w, ry, ru, rv, qp_mb, intra_mb,
+            z4 if nnz4 is None else nnz4,
+            z4 if ref4 is None else ref4,
+            zmv if mv4 is None else mv4,
+            z4 if ref4_l1 is None else ref4_l1,
+            zmv if mv4_l1 is None else mv4_l1,
+            is_b,
+            2 * p.i_deblocking_filter_alphac0,
+            2 * p.i_deblocking_filter_beta,
+            p.analyse.i_chroma_qp_offset)
+        return np.asarray(ry), np.asarray(ru), np.asarray(rv)
 
     # ------------------------------------------------------------- slice
     def _write_i_slice(self, out: dict, qp: int, mb_w: int, mb_h: int) -> bytes:
         """Entropy-code one I slice from the device coefficient planes
         (x264_slice_write, encoder/encoder.c:1141, CAVLC path), fully
         vectorized (cavlc_vec)."""
+        p = self.params
         bs = BitWriter()
         sh = SliceHeader(
             slice_type=SLICE_I, frame_num=self.frame_num,
             idr_pic_id=self.idr_pic_id, poc_lsb=0,
             qp=qp, pic_init_qp=self.pps.pic_init_qp,
-            disable_deblock=1,  # deblocking lands with the loop-filter pass
+            disable_deblock=0 if p.b_deblocking_filter else 1,
+            alpha_c0_offset=p.i_deblocking_filter_alphac0,
+            beta_offset=p.i_deblocking_filter_beta,
             cabac=False,
             log2_max_frame_num=self.sps.log2_max_frame_num,
             log2_max_poc_lsb=self.sps.log2_max_poc_lsb,

@@ -212,3 +212,38 @@ LAMBDA_TABLE = np.array(
 LAMBDA2_TABLE = np.array(
     [max(1, int(round((2.0 ** ((q - 12) / 6.0)) ** 2 * 0.9))) for q in range(52)],
     dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Deblocking filter tables (spec Tables 8-16 / 8-17; the same constants
+# appear as i_alpha_table / i_beta_table / i_tc0_table in common/frame.c:376).
+# Indexed by clip(indexA/indexB, 0, 51); out-of-range clamping reproduces the
+# reference's +-12 padded tables.
+# ---------------------------------------------------------------------------
+
+ALPHA_TABLE = np.array(
+    [0] * 16 +
+    [4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+     40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182,
+     203, 226, 255, 255], dtype=np.int32)
+
+BETA_TABLE = np.array(
+    [0] * 16 +
+    [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10,
+     11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18],
+    dtype=np.int32)
+
+# TC0_TABLE[indexA][bS] for bS in 0..3 (column 0 unused, kept 0; the
+# reference keeps -1 there and relies on tc<0 => skip, we mask on bS>0).
+TC0_TABLE = np.array(
+    [[0, 0, 0, 0]] * 17 + [
+        [0, 0, 0, 1], [0, 0, 0, 1], [0, 0, 0, 1], [0, 0, 0, 1],
+        [0, 0, 1, 1], [0, 0, 1, 1], [0, 1, 1, 1], [0, 1, 1, 1],
+        [0, 1, 1, 1], [0, 1, 1, 1], [0, 1, 1, 2], [0, 1, 1, 2],
+        [0, 1, 1, 2], [0, 1, 1, 2], [0, 1, 2, 3], [0, 1, 2, 3],
+        [0, 2, 2, 3], [0, 2, 2, 4], [0, 2, 3, 4], [0, 2, 3, 4],
+        [0, 3, 3, 5], [0, 3, 4, 6], [0, 3, 4, 6], [0, 4, 5, 7],
+        [0, 4, 5, 8], [0, 4, 6, 9], [0, 5, 7, 10], [0, 6, 8, 11],
+        [0, 6, 8, 13], [0, 7, 10, 14], [0, 8, 11, 16], [0, 9, 12, 18],
+        [0, 10, 13, 20], [0, 11, 15, 23], [0, 13, 17, 25]],
+    dtype=np.int32)
