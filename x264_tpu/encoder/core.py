@@ -15,8 +15,10 @@ from .. import tables
 from ..headers import SPS, PPS, SliceHeader, SLICE_I
 from ..entropy.bitstream import BitWriter, nal_unit, NAL_SLICE_IDR
 from ..entropy.cavlc_vec import i16_slice_codes as cavlc_vec_i16_slice
+from ..entropy import device as edev
 from ..ops import deblock as odeblock
 from . import intra
+from . import pipeline
 
 
 def pad_plane(plane: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
@@ -90,30 +92,70 @@ class Encoder:
             self._qtab_cache[key] = intra.make_qtab(qp_y, qp_c, self.qt)
         return self._qtab_cache[key]
 
+    def _slice_header(self, qp: int) -> SliceHeader:
+        p = self.params
+        return SliceHeader(
+            slice_type=SLICE_I, frame_num=self.frame_num,
+            idr_pic_id=self.idr_pic_id, poc_lsb=0,
+            qp=qp, pic_init_qp=self.pps.pic_init_qp,
+            disable_deblock=0 if p.b_deblocking_filter else 1,
+            alpha_c0_offset=p.i_deblocking_filter_alphac0,
+            beta_offset=p.i_deblocking_filter_beta,
+            cabac=p.b_cabac,
+            log2_max_frame_num=self.sps.log2_max_frame_num,
+            log2_max_poc_lsb=self.sps.log2_max_poc_lsb,
+        )
+
+    # d2h transfer bucket for the packed bitstream (words); bucketing
+    # bounds the number of distinct slice shapes jit sees
+    _WORD_BUCKET = 1 << 15
+
+    def _fetch_rbsp(self, words, nbits: int, cap_words: int) -> bytes:
+        nwords = (nbits + 31) // 32
+        nb = min(cap_words,
+                 (nwords + self._WORD_BUCKET - 1)
+                 // self._WORD_BUCKET * self._WORD_BUCKET)
+        return edev.words_to_bytes(np.asarray(words[:nb]), nbits)
+
     def _encode_idr(self, frame: Frame, qp: int):
         p = self.params
         mb_w, mb_h = p.mb_width, p.mb_height
-        y = pad_plane(np.asarray(frame.y, np.int32), mb_h * 16, mb_w * 16)
-        u = pad_plane(np.asarray(frame.u, np.int32), mb_h * 8, mb_w * 8)
-        v = pad_plane(np.asarray(frame.v, np.int32), mb_h * 8, mb_w * 8)
+        y = pad_plane(np.asarray(frame.y, np.uint8), mb_h * 16, mb_w * 16)
+        u = pad_plane(np.asarray(frame.u, np.uint8), mb_h * 8, mb_w * 8)
+        v = pad_plane(np.asarray(frame.v, np.uint8), mb_h * 8, mb_w * 8)
 
         qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
         lam = int(tables.LAMBDA_TABLE[qp])
 
-        out = intra.encode_i16_frame(mb_h, mb_w, y, u, v,
-                                     self._qtab(qp, qp_c), lam)
-        out = {k: np.asarray(val) for k, val in out.items()}
+        hdr = BitWriter()
+        self._slice_header(qp).write_rbsp(hdr, nal_ref_idc=3)
+        hdr_vals, hdr_lens = edev.header_slots(hdr)
 
-        slice_bytes = self._write_i_slice(out, qp, mb_w, mb_h)
-        ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
-        if p.b_deblocking_filter:
-            ry, ru, rv = self._deblock(
-                ry, ru, rv,
-                qp_mb=np.full((mb_h, mb_w), qp, np.int32),
-                intra_mb=np.ones((mb_h, mb_w), bool))
-        recon = Frame(ry[:frame.y.shape[0], :frame.y.shape[1]],
-                      ru[:frame.u.shape[0], :frame.u.shape[1]],
-                      rv[:frame.v.shape[0], :frame.v.shape[1]])
+        out = pipeline.encode_i16_idr(
+            mb_h, mb_w, bool(p.b_deblocking_filter),
+            y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
+            hdr_vals, hdr_lens,
+            2 * p.i_deblocking_filter_alphac0,
+            2 * p.i_deblocking_filter_beta,
+            p.analyse.i_chroma_qp_offset)
+
+        nbits = int(out["nbits"])
+        cap_words = pipeline.capacity_words(mb_h * mb_w)
+        if nbits <= cap_words * 32:
+            rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
+            slice_bytes = nal_unit(NAL_SLICE_IDR, 3, rbsp)
+        else:  # pathological frame overflowed the device buffer: host path
+            coef = intra.encode_i16_frame(
+                mb_h, mb_w, y.astype(np.int32), u.astype(np.int32),
+                v.astype(np.int32), self._qtab(qp, qp_c), lam)
+            coef = {k: np.asarray(val) for k, val in coef.items()}
+            slice_bytes = self._write_i_slice(coef, qp, mb_w, mb_h)
+
+        # recon stays device-resident (it is DPB state); host access via
+        # the returned Frame materializes lazily
+        recon = Frame(out["recon_y"][:frame.y.shape[0], :frame.y.shape[1]],
+                      out["recon_u"][:frame.u.shape[0], :frame.u.shape[1]],
+                      out["recon_v"][:frame.v.shape[0], :frame.v.shape[1]])
         self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
         self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         return slice_bytes, recon
@@ -143,20 +185,8 @@ class Encoder:
         """Entropy-code one I slice from the device coefficient planes
         (x264_slice_write, encoder/encoder.c:1141, CAVLC path), fully
         vectorized (cavlc_vec)."""
-        p = self.params
         bs = BitWriter()
-        sh = SliceHeader(
-            slice_type=SLICE_I, frame_num=self.frame_num,
-            idr_pic_id=self.idr_pic_id, poc_lsb=0,
-            qp=qp, pic_init_qp=self.pps.pic_init_qp,
-            disable_deblock=0 if p.b_deblocking_filter else 1,
-            alpha_c0_offset=p.i_deblocking_filter_alphac0,
-            beta_offset=p.i_deblocking_filter_beta,
-            cabac=False,
-            log2_max_frame_num=self.sps.log2_max_frame_num,
-            log2_max_poc_lsb=self.sps.log2_max_poc_lsb,
-        )
-        sh.write_rbsp(bs, nal_ref_idc=3)
+        self._slice_header(qp).write_rbsp(bs, nal_ref_idc=3)
         vals, lens = cavlc_vec_i16_slice(out, mb_w, mb_h)
         bs.put_codes(vals, lens)
         bs.rbsp_trailing()

@@ -107,18 +107,35 @@ class BitWriter:
         return out[:nbytes].tobytes()
 
 
-def nal_escape(payload: bytes) -> bytes:
-    """Emulation prevention (x264_nal_encode, x264.h:405-409): insert 0x03
-    after any 00 00 when the next byte is <= 0x03."""
-    out = bytearray()
-    zeros = 0
-    for byte in payload:
+def _nal_escape_scalar(payload, start: int, zeros: int) -> bytes:
+    out = bytearray(payload[:start])
+    for byte in payload[start:]:
         if zeros >= 2 and byte <= 3:
             out.append(3)
             zeros = 0
         out.append(byte)
         zeros = zeros + 1 if byte == 0 else 0
     return bytes(out)
+
+
+def nal_escape(payload: bytes) -> bytes:
+    """Emulation prevention (x264_nal_encode, x264.h:405-409): insert 0x03
+    after any 00 00 when the next byte is <= 0x03.
+
+    Vectorized candidate detection; escape sequences are rare in
+    compressed data, so the scalar fixup only runs from the first
+    candidate onward (usually never)."""
+    if len(payload) < 3:
+        return payload
+    b = np.frombuffer(payload, dtype=np.uint8)
+    cand = (b[:-2] == 0) & (b[1:-1] == 0) & (b[2:] <= 3)
+    hits = np.flatnonzero(cand)
+    if hits.size == 0:
+        return payload
+    # at the first candidate, exactly two zeros precede it (any longer
+    # zero run would itself have been an earlier candidate)
+    first = int(hits[0])            # escape needed at byte first+2
+    return _nal_escape_scalar(payload, first + 2, 2)
 
 
 def nal_unit(nal_type: int, ref_idc: int, rbsp: bytes,

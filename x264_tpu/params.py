@@ -142,6 +142,16 @@ class EncoderParams:
         if self.i_width % 2 or self.i_height % 2:
             raise ValueError("width/height must be even for i420")
 
+        if self.b_cabac:
+            # CABAC writer not implemented yet: force CAVLC so defaults
+            # always produce a decodable stream (validate-and-log
+            # contract of x264_validate_parameters, encoder/encoder.c:335)
+            if self.i_log_level >= 1:
+                import sys
+                print("x264_tpu [warning]: CABAC not yet implemented, "
+                      "using CAVLC", file=sys.stderr)
+            self.b_cabac = False
+
         rc = self.rc
         rc.i_qp_constant = _clip(rc.i_qp_constant, 0, 51)
         rc.i_qp_min = min(rc.i_qp_min, rc.i_qp_constant)
