@@ -20,6 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import golden_dsp as G  # noqa: E402
 import golden_deblock  # noqa: E402
+import golden_mc  # noqa: E402
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from x264_tpu.entropy import cavlc_tables as T  # noqa: E402
@@ -52,6 +53,19 @@ _RUN_BEFORE_DEC = [
     _build_decode_table(T.RUN_BEFORE[i]) for i in range(7)]
 
 _CT_INDEX = [0, 0, 1, 1, 2, 2, 2, 2] + [3] * 9
+
+# inverse of the spec Table 9-4 CBP mapping (encoder side:
+# entropy/device.py CBP_TO_GOLOMB_*)
+from x264_tpu.entropy.device import (  # noqa: E402
+    CBP_TO_GOLOMB_INTER, CBP_TO_GOLOMB_INTRA)
+_GOLOMB_TO_CBP_INTER = np.zeros(48, np.int64)
+_GOLOMB_TO_CBP_INTER[CBP_TO_GOLOMB_INTER] = np.arange(48)
+_GOLOMB_TO_CBP_INTRA = np.zeros(48, np.int64)
+_GOLOMB_TO_CBP_INTRA[CBP_TO_GOLOMB_INTRA] = np.arange(48)
+
+
+def _median3(a, b, c):
+    return a + b + c - min(a, b, c) - max(a, b, c)
 
 
 def _read_vlc(br: BitReader, table: dict, max_len=20):
@@ -229,38 +243,49 @@ class Decoder:
         self.sps = None
         self.pps = None
         self.frames = []
+        self.ref = None   # DPB: (Y, U, V) full deblocked planes
 
     def decode_nal(self, nal: bytes):
         nal_type = nal[0] & 0x1F
+        nal_ref_idc = (nal[0] >> 5) & 3
         rbsp = unescape(nal[1:])
         if nal_type == 7:
             self.sps = parse_sps(rbsp)
         elif nal_type == 8:
             self.pps = parse_pps(rbsp)
         elif nal_type in (1, 5):
-            self.frames.append(self._decode_slice(rbsp, nal_type == 5))
+            self.frames.append(
+                self._decode_slice(rbsp, nal_type == 5, nal_ref_idc))
         # SEI/AUD ignored
 
     # ------------------------------------------------------------ slice
-    def _decode_slice(self, rbsp: bytes, is_idr: bool) -> DecodedFrame:
+    def _decode_slice(self, rbsp: bytes, is_idr: bool,
+                      nal_ref_idc: int = 3) -> DecodedFrame:
         sps, pps = self.sps, self.pps
         br = BitReader(rbsp)
         first_mb = br.ue()
         assert first_mb == 0, "multi-slice not yet supported"
-        slice_type = br.ue()
-        assert slice_type % 5 == 2, "only I slices supported"
+        slice_type = br.ue() % 5
+        assert slice_type in (0, 2), "only I/P slices supported"
+        is_p = slice_type == 0
         pps_id = br.ue()
         br.u(sps.log2_max_frame_num)  # frame_num
         if is_idr:
             br.ue()  # idr_pic_id
         br.u(sps.log2_max_poc_lsb)    # poc_lsb
-        # dec_ref_pic_marking (nal_ref_idc != 0 assumed for IDR/I here)
-        if is_idr:
-            br.bit()
-            br.bit()
-        else:
-            if br.bit():
-                raise NotImplementedError("adaptive marking")
+        num_ref = pps.num_ref_idx_l0
+        if is_p:
+            if br.bit():              # num_ref_idx_active_override
+                num_ref = br.ue() + 1
+            assert br.bit() == 0, "ref list reordering unsupported"
+        assert num_ref == 1, "multi-ref decode not yet supported"
+        if nal_ref_idc != 0:
+            if is_idr:
+                br.bit()
+                br.bit()
+            else:
+                if br.bit():
+                    raise NotImplementedError("adaptive marking")
         qp = pps.pic_init_qp + br.se()
         disable_deblock, alpha_div2, beta_div2 = 1, 0, 0
         if pps.deblocking_control:
@@ -277,28 +302,200 @@ class Decoder:
         nnz_c = np.zeros((2, mb_h * 2, mb_w * 2), dtype=np.int64)
         qp_mb = np.zeros((mb_h, mb_w), dtype=np.int32)
         intra_mb = np.zeros((mb_h, mb_w), dtype=bool)
+        # MV/ref fields for MV prediction + deblock bS (-2 = outside)
+        mv_f = np.zeros((mb_h, mb_w, 2), dtype=np.int64)
+        ref_f = np.full((mb_h, mb_w), -2, dtype=np.int64)
 
         qt = enc_tables.DEFAULT_QUANT
 
-        for my in range(mb_h):
-            for mx in range(mb_w):
-                qp = self._decode_mb_i(br, my, mx, qp, qt, Y, U, V,
-                                       nnz_l, nnz_c)
+        if not is_p:
+            for my in range(mb_h):
+                for mx in range(mb_w):
+                    qp = self._decode_mb_i(br, my, mx, qp, qt, Y, U, V,
+                                           nnz_l, nnz_c)
+                    qp_mb[my, mx] = qp
+                    intra_mb[my, mx] = True
+        else:
+            assert self.ref is not None, "P slice with empty DPB"
+            nmb = mb_h * mb_w
+            mb_i = 0
+            while mb_i < nmb:
+                skip_run = br.ue()
+                for _ in range(skip_run):
+                    my, mx = divmod(mb_i, mb_w)
+                    self._decode_mb_pskip(my, mx, Y, U, V, mv_f, ref_f)
+                    qp_mb[my, mx] = qp
+                    mb_i += 1
+                if mb_i >= nmb:
+                    break
+                my, mx = divmod(mb_i, mb_w)
+                qp = self._decode_mb_p(br, my, mx, qp, qt, Y, U, V,
+                                       nnz_l, nnz_c, mv_f, ref_f,
+                                       intra_mb)
                 qp_mb[my, mx] = qp
-                intra_mb[my, mx] = True
+                mb_i += 1
 
         if disable_deblock != 1:
-            # per-4x4 nnz incl. the I16x16 DC (irrelevant for intra-only
-            # frames where bS >= 3, but kept for when P lands)
+            ref4 = np.repeat(np.repeat(np.where(ref_f < 0, 0, ref_f), 4, 0),
+                             4, 1)
+            mv4 = np.repeat(np.repeat(mv_f, 4, 0), 4, 1)
             golden_deblock.deblock_frame(
                 Y, U, V, qp_mb, intra_mb, nnz4=nnz_l,
+                ref4=ref4, mv4=mv4,
                 alpha_off=2 * alpha_div2, beta_off=2 * beta_div2,
                 chroma_qp_offset=pps.chroma_qp_offset)
 
+        self.ref = (Y.copy(), U.copy(), V.copy())
         return DecodedFrame(
             Y[:mb_h * 16 - sps.crop_b, :mb_w * 16 - sps.crop_r].astype(np.uint8),
             U[:(mb_h * 16 - sps.crop_b) // 2, :(mb_w * 16 - sps.crop_r) // 2].astype(np.uint8),
             V[:(mb_h * 16 - sps.crop_b) // 2, :(mb_w * 16 - sps.crop_r) // 2].astype(np.uint8))
+
+    # ----------------------------------------------------- MV prediction
+    def _nbr(self, ref_f, mv_f, my, mx):
+        mb_h, mb_w = ref_f.shape
+        if my < 0 or mx < 0 or my >= mb_h or mx >= mb_w:
+            return -2, np.zeros(2, np.int64)
+        return int(ref_f[my, mx]), mv_f[my, mx]
+
+    def _mvp_16x16(self, ref_f, mv_f, my, mx):
+        """Spec 8.4.1.3 median prediction for a 16x16 partition
+        (x264_mb_predict_mv_16x16, common/macroblock.c:96)."""
+        ra, mva = self._nbr(ref_f, mv_f, my, mx - 1)
+        rb, mvb = self._nbr(ref_f, mv_f, my - 1, mx)
+        rc, mvc = self._nbr(ref_f, mv_f, my - 1, mx + 1)
+        if rc == -2:
+            rc, mvc = self._nbr(ref_f, mv_f, my - 1, mx - 1)
+        cnt = (ra == 0) + (rb == 0) + (rc == 0)
+        if cnt > 1:
+            return np.array([_median3(mva[0], mvb[0], mvc[0]),
+                             _median3(mva[1], mvb[1], mvc[1])], np.int64)
+        if cnt == 1:
+            return (mva if ra == 0 else (mvb if rb == 0 else mvc)).copy()
+        if rb == -2 and rc == -2 and ra != -2:
+            return mva.copy()
+        return np.array([_median3(mva[0], mvb[0], mvc[0]),
+                         _median3(mva[1], mvb[1], mvc[1])], np.int64)
+
+    def _mv_pskip(self, ref_f, mv_f, my, mx):
+        """x264_mb_predict_mv_pskip (common/macroblock.c:133)."""
+        ra, mva = self._nbr(ref_f, mv_f, my, mx - 1)
+        rb, mvb = self._nbr(ref_f, mv_f, my - 1, mx)
+        if ra == -2 or rb == -2 \
+                or (ra == 0 and mva[0] == 0 and mva[1] == 0) \
+                or (rb == 0 and mvb[0] == 0 and mvb[1] == 0):
+            return np.zeros(2, np.int64)
+        return self._mvp_16x16(ref_f, mv_f, my, mx)
+
+    # ----------------------------------------------------- P macroblocks
+    def _inter_pred(self, my, mx, mv):
+        refY, refU, refV = self.ref
+        py = golden_mc.mc_luma(refY, my * 16, mx * 16,
+                               int(mv[0]), int(mv[1]), 16, 16)
+        pu = golden_mc.mc_chroma(refU, my * 8, mx * 8,
+                                 int(mv[0]), int(mv[1]), 8, 8)
+        pv = golden_mc.mc_chroma(refV, my * 8, mx * 8,
+                                 int(mv[0]), int(mv[1]), 8, 8)
+        return py, pu, pv
+
+    def _decode_mb_pskip(self, my, mx, Y, U, V, mv_f, ref_f):
+        mv = self._mv_pskip(ref_f, mv_f, my, mx)
+        py, pu, pv = self._inter_pred(my, mx, mv)
+        Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = py
+        U[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pu
+        V[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pv
+        mv_f[my, mx] = mv
+        ref_f[my, mx] = 0
+
+    def _decode_mb_p(self, br, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
+                     mv_f, ref_f, intra_mb):
+        pps = self.pps
+        mb_type = br.ue()
+        if mb_type >= 5:
+            # intra MB in a P slice (mb_type offset 5)
+            ref_f[my, mx] = -1
+            intra_mb[my, mx] = True
+            return self._decode_mb_i(br, my, mx, qp, qt, Y, U, V,
+                                     nnz_l, nnz_c, mb_type - 5)
+        assert mb_type == 0, f"only P_L0_16x16 supported, got {mb_type}"
+        # single ref -> no ref_idx coded
+        mvd = np.array([br.se(), br.se()], np.int64)
+        mvp = self._mvp_16x16(ref_f, mv_f, my, mx)
+        mv = mvp + mvd
+        mv_f[my, mx] = mv
+        ref_f[my, mx] = 0
+
+        cbp = int(_GOLOMB_TO_CBP_INTER[br.ue()])
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = qp + br.se()
+        qpc = _chroma_qp(qp, pps.chroma_qp_offset)
+
+        py, pu, pv = self._inter_pred(my, mx, mv)
+
+        # luma residual: full 4x4 blocks per coded 8x8 group
+        dmf = qt.dequant4_mf[enc_tables.CQM_4PY, qp % 6]
+        mb = py.astype(np.int64)
+        for i in range(16):
+            bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
+            if (cbp_luma >> (i // 4)) & 1:
+                nc = self._nc(nnz_l, my * 4 + by, mx * 4 + bx)
+                z = decode_residual(br, nc, 16)
+                nnz_l[my * 4 + by, mx * 4 + bx] = np.count_nonzero(z)
+                blk = np.zeros(16, dtype=np.int64)
+                blk[np.asarray(ZIG4)] = z
+                r = G.idct4x4(G.dequant(blk, dmf, qp, 4).reshape(4, 4))
+                b = mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
+                mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = b
+            else:
+                nnz_l[my * 4 + by, mx * 4 + bx] = 0
+        Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = np.clip(mb, 0, 255)
+
+        # chroma residual (DC 2x2 + AC per cbp_chroma), P matrices
+        cdmf = qt.dequant4_mf[enc_tables.CQM_4PC, qpc % 6]
+        cdc = np.zeros((2, 2, 2), dtype=np.int64)
+        cac = np.zeros((2, 4, 4, 4), dtype=np.int64)
+        if cbp_chroma:
+            for ch in range(2):
+                z = decode_residual(br, -1, 4)
+                cdc[ch] = z.reshape(2, 2)
+            if cbp_chroma & 2:
+                for ch in range(2):
+                    for i in range(4):
+                        bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
+                            int(enc_tables.CHROMA_BLOCK_XY[i][1])
+                        nc = self._nc(nnz_c[ch], my * 2 + by, mx * 2 + bx)
+                        z = decode_residual(br, nc, 15)
+                        nnz_c[ch, my * 2 + by, mx * 2 + bx] = \
+                            np.count_nonzero(z)
+                        a = np.zeros(16, dtype=np.int64)
+                        a[np.asarray(ZIG4)[1:]] = z
+                        cac[ch, i] = a.reshape(4, 4)
+        if not (cbp_chroma & 2):
+            nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+
+        for ch, (P, pred) in ((0, (U, pu)), (1, (V, pv))):
+            dc_rec = G.dequant_2x2_dc(G.hadamard2x2(cdc[ch]),
+                                      int(cdmf[0]), qpc)
+            cmb = pred.astype(np.int64)
+            for i in range(4):
+                bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
+                    int(enc_tables.CHROMA_BLOCK_XY[i][1])
+                if cbp_chroma & 2 and np.any(cac[ch, i]):
+                    b = G.dequant(cac[ch, i].ravel(), cdmf, qpc, 4) \
+                        .reshape(4, 4)
+                    b[0, 0] = dc_rec[by, bx]
+                    r = G.idct4x4(b)
+                elif cbp_chroma:
+                    r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
+                                dtype=np.int64)
+                else:
+                    r = np.zeros((4, 4), dtype=np.int64)
+                blk = cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
+                cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    np.clip(blk, 0, 255)
+            P[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = cmb
+        return qp
 
     # ------------------------------------------------------------ macroblock
     def _nc(self, m, gy, gx):
@@ -312,9 +509,11 @@ class Decoder:
             return int(b)
         return 0
 
-    def _decode_mb_i(self, br, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c):
+    def _decode_mb_i(self, br, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
+                     mb_type=None):
         sps, pps = self.sps, self.pps
-        mb_type = br.ue()
+        if mb_type is None:
+            mb_type = br.ue()
         if mb_type == 0:
             raise NotImplementedError("I_4x4 decode")
         if mb_type == 25:

@@ -133,10 +133,11 @@ def test_default_params_stream_decodes():
     frame = _mkframe(rng, w, h)
     p = EncoderParams(i_width=w, i_height=h, i_log_level=0)
     enc = Encoder(p)
-    stream = enc.headers() + enc.encode(frame).payload
+    ef = enc.encode(frame)
+    stream = enc.headers() + ef.payload
     frames = decode_annexb(stream)
     assert len(frames) == 1
-    rec = enc.encode(frame).recon  # deterministic re-encode for recon
+    rec = ef.recon
     np.testing.assert_array_equal(frames[0].y, rec.y)
     np.testing.assert_array_equal(frames[0].u, rec.u)
     np.testing.assert_array_equal(frames[0].v, rec.v)

@@ -125,6 +125,7 @@ def main(argv=None):
     if not args.quiet:
         print(f"\nencoded {n} frames, {n/max(el,1e-9):.2f} fps, "
               f"{kbps:.2f} kb/s", file=sys.stderr)
+    enc.close()   # prints the PSNR/SSIM/frame-type report (x264_print_stats)
     if args.dump_yuv:
         write_y4m(args.dump_yuv, recons, width, height, (fps_num, fps_den))
     reader.close()

@@ -12,13 +12,15 @@ import numpy as np
 
 from ..params import EncoderParams, RC_CQP
 from .. import tables
-from ..headers import SPS, PPS, SliceHeader, SLICE_I
-from ..entropy.bitstream import BitWriter, nal_unit, NAL_SLICE_IDR
+from ..headers import SPS, PPS, SliceHeader, SLICE_I, SLICE_P
+from ..entropy.bitstream import BitWriter, nal_unit, NAL_SLICE_IDR, NAL_SLICE
 from ..entropy.cavlc_vec import i16_slice_codes as cavlc_vec_i16_slice
 from ..entropy import device as edev
 from ..ops import deblock as odeblock
 from . import intra
+from . import inter
 from . import pipeline
+from . import stats as estats
 
 
 def pad_plane(plane: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
@@ -70,6 +72,20 @@ class Encoder:
             luma_deadzone_inter=p.analyse.i_luma_deadzone[0],
             luma_deadzone_intra=p.analyse.i_luma_deadzone[1])
         self._qtab_cache = {}
+        self._qtab_p_cache = {}
+        # DPB: deblocked reconstruction of the reference frame + the MV
+        # field used to seed the next frame's ME (device-resident)
+        self._ref = None
+        self._prev_mv = None
+        self._gop_pos = 0
+        self._last_mb_counts = None
+        # ME window clamped so every candidate + subpel tap stays inside
+        # the PAD=32 frame border (the reference instead clamps per-MB,
+        # x264_mb_analyse_init, encoder/analyse.c:220)
+        self._me_range = min(p.analyse.i_me_range, 24)
+        self.stats = estats.Stats(
+            p.i_width, p.i_height, p.i_fps_num / max(1, p.i_fps_den),
+            b_psnr=p.analyse.b_psnr, b_ssim=p.analyse.b_ssim)
 
     # ------------------------------------------------------------- headers
     def headers(self) -> bytes:
@@ -78,13 +94,30 @@ class Encoder:
 
     # ------------------------------------------------------------- encode
     def encode(self, frame: Frame) -> EncodedFrame:
+        """x264_encoder_encode: frame-type decision (keyint GOP, IDR-only
+        refresh — scenecut/lookahead not yet wired) + per-type pipeline."""
         p = self.params
         qp = p.rc.i_qp_constant if p.rc.i_rc_method == RC_CQP else 26
-        # round 1: all frames are IDR I-frames (config 1 of BASELINE.json);
-        # the GOP structure / lookahead lands with the inter path.
-        payload, recon = self._encode_idr(frame, qp)
+        is_idr = (self._gop_pos == 0 or self._ref is None
+                  or p.i_keyint_max == 1)
+        if is_idr:
+            payload, recon = self._encode_idr(frame, qp)
+            ftype = "IDR"
+        else:
+            payload, recon = self._encode_p(frame, qp)
+            ftype = "P"
+        self._gop_pos = (self._gop_pos + 1) % max(1, p.i_keyint_max)
         self.frame_count += 1
-        return EncodedFrame(payload, "IDR", recon, len(payload) * 8)
+
+        metrics = None
+        if p.analyse.b_psnr or p.analyse.b_ssim:
+            metrics = estats.frame_metrics(
+                np.asarray(frame.y), np.asarray(frame.u),
+                np.asarray(frame.v), recon.y, recon.u, recon.v,
+                p.i_width, p.i_height)
+        self.stats.add_frame(ftype, len(payload) * 8, qp, metrics,
+                             self._last_mb_counts)
+        return EncodedFrame(payload, ftype, recon, len(payload) * 8)
 
     def _qtab(self, qp_y: int, qp_c: int):
         key = (qp_y, qp_c)
@@ -92,11 +125,18 @@ class Encoder:
             self._qtab_cache[key] = intra.make_qtab(qp_y, qp_c, self.qt)
         return self._qtab_cache[key]
 
-    def _slice_header(self, qp: int) -> SliceHeader:
+    def _qtab_p(self, qp_y: int, qp_c: int):
+        key = (qp_y, qp_c)
+        if key not in self._qtab_p_cache:
+            self._qtab_p_cache[key] = inter.make_qtab_p(qp_y, qp_c, self.qt)
+        return self._qtab_p_cache[key]
+
+    def _slice_header(self, qp: int, slice_type: int = SLICE_I) -> SliceHeader:
         p = self.params
         return SliceHeader(
-            slice_type=SLICE_I, frame_num=self.frame_num,
-            idr_pic_id=self.idr_pic_id, poc_lsb=0,
+            slice_type=slice_type, frame_num=self.frame_num,
+            idr_pic_id=self.idr_pic_id if slice_type == SLICE_I else -1,
+            poc_lsb=self.poc % (1 << self.sps.log2_max_poc_lsb),
             qp=qp, pic_init_qp=self.pps.pic_init_qp,
             disable_deblock=0 if p.b_deblocking_filter else 1,
             alpha_c0_offset=p.i_deblocking_filter_alphac0,
@@ -117,47 +157,119 @@ class Encoder:
                  // self._WORD_BUCKET * self._WORD_BUCKET)
         return edev.words_to_bytes(np.asarray(words[:nb]), nbits)
 
-    def _encode_idr(self, frame: Frame, qp: int):
+    def _pad_input(self, frame: Frame):
         p = self.params
         mb_w, mb_h = p.mb_width, p.mb_height
         y = pad_plane(np.asarray(frame.y, np.uint8), mb_h * 16, mb_w * 16)
         u = pad_plane(np.asarray(frame.u, np.uint8), mb_h * 8, mb_w * 8)
         v = pad_plane(np.asarray(frame.v, np.uint8), mb_h * 8, mb_w * 8)
+        return y, u, v
+
+    def _finish_frame(self, out, frame: Frame):
+        """Update DPB state and crop the recon view (x264_reference_update,
+        encoder/encoder.c:1059)."""
+        self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        recon = Frame(out["recon_y"][:frame.y.shape[0], :frame.y.shape[1]],
+                      out["recon_u"][:frame.u.shape[0], :frame.u.shape[1]],
+                      out["recon_v"][:frame.v.shape[0], :frame.v.shape[1]])
+        self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
+        self.poc += 2
+        return recon
+
+    def _encode_idr(self, frame: Frame, qp: int):
+        p = self.params
+        mb_w, mb_h = p.mb_width, p.mb_height
+        y, u, v = self._pad_input(frame)
+
+        qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
+        lam = int(tables.LAMBDA_TABLE[qp])
+
+        # IDR resets frame_num/POC (spec 7.4.3) and the ME seed field
+        self.frame_num = 0
+        self.poc = 0
+        self._prev_mv = None
+
+        if p.b_cabac:
+            out = pipeline.encode_i16_idr_cabac(
+                mb_h, mb_w, bool(p.b_deblocking_filter),
+                y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
+                2 * p.i_deblocking_filter_alphac0,
+                2 * p.i_deblocking_filter_beta,
+                p.analyse.i_chroma_qp_offset)
+            slice_bytes = self._cabac_nal(out, qp, SLICE_I, NAL_SLICE_IDR, 3,
+                                          mb_h * mb_w)
+        else:
+            hdr = BitWriter()
+            self._slice_header(qp).write_rbsp(hdr, nal_ref_idc=3)
+            hdr_vals, hdr_lens = edev.header_slots(hdr)
+
+            out = pipeline.encode_i16_idr(
+                mb_h, mb_w, bool(p.b_deblocking_filter),
+                y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
+                hdr_vals, hdr_lens,
+                2 * p.i_deblocking_filter_alphac0,
+                2 * p.i_deblocking_filter_beta,
+                p.analyse.i_chroma_qp_offset)
+
+            nbits = int(out["nbits"])
+            cap_words = pipeline.capacity_words(mb_h * mb_w)
+            if nbits <= cap_words * 32:
+                rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
+                slice_bytes = nal_unit(NAL_SLICE_IDR, 3, rbsp)
+            else:  # pathological frame overflowed device buffer: host path
+                coef = intra.encode_i16_frame(
+                    mb_h, mb_w, y.astype(np.int32), u.astype(np.int32),
+                    v.astype(np.int32), self._qtab(qp, qp_c), lam)
+                coef = {k: np.asarray(val) for k, val in coef.items()}
+                slice_bytes = self._write_i_slice(coef, qp, mb_w, mb_h)
+
+        recon = self._finish_frame(out, frame)
+        self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+        self._last_mb_counts = (mb_h * mb_w, 0, 0)
+        return slice_bytes, recon
+
+    def _encode_p(self, frame: Frame, qp: int):
+        """One P frame against the single-entry DPB
+        (x264_encoder_encode P path; ME/MC per SURVEY §7 step 4)."""
+        import jax.numpy as jnp
+        p = self.params
+        mb_w, mb_h = p.mb_width, p.mb_height
+        y, u, v = self._pad_input(frame)
 
         qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
         lam = int(tables.LAMBDA_TABLE[qp])
 
         hdr = BitWriter()
-        self._slice_header(qp).write_rbsp(hdr, nal_ref_idc=3)
+        self._slice_header(qp, SLICE_P).write_rbsp(hdr, nal_ref_idc=2)
         hdr_vals, hdr_lens = edev.header_slots(hdr)
 
-        out = pipeline.encode_i16_idr(
-            mb_h, mb_w, bool(p.b_deblocking_filter),
-            y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
+        mvp_seed = (self._prev_mv if self._prev_mv is not None
+                    else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
+        ry, ru, rv = self._ref
+        out = pipeline.encode_p(
+            mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
+            y, u, v, ry, ru, rv,
+            self._qtab_p(qp, qp_c), lam, qp, qp_c,
             hdr_vals, hdr_lens,
             2 * p.i_deblocking_filter_alphac0,
             2 * p.i_deblocking_filter_beta,
-            p.analyse.i_chroma_qp_offset)
+            p.analyse.i_chroma_qp_offset,
+            mvp_seed)
 
         nbits = int(out["nbits"])
         cap_words = pipeline.capacity_words(mb_h * mb_w)
-        if nbits <= cap_words * 32:
-            rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
-            slice_bytes = nal_unit(NAL_SLICE_IDR, 3, rbsp)
-        else:  # pathological frame overflowed the device buffer: host path
-            coef = intra.encode_i16_frame(
-                mb_h, mb_w, y.astype(np.int32), u.astype(np.int32),
-                v.astype(np.int32), self._qtab(qp, qp_c), lam)
-            coef = {k: np.asarray(val) for k, val in coef.items()}
-            slice_bytes = self._write_i_slice(coef, qp, mb_w, mb_h)
+        if nbits > cap_words * 32:
+            raise RuntimeError(
+                f"P slice overflowed the device pack buffer ({nbits} bits)")
+        rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
+        slice_bytes = nal_unit(NAL_SLICE, 2, rbsp)
 
-        # recon stays device-resident (it is DPB state); host access via
-        # the returned Frame materializes lazily
-        recon = Frame(out["recon_y"][:frame.y.shape[0], :frame.y.shape[1]],
-                      out["recon_u"][:frame.u.shape[0], :frame.u.shape[1]],
-                      out["recon_v"][:frame.v.shape[0], :frame.v.shape[1]])
-        self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
-        self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+        self._prev_mv = out["mv"]
+        recon = self._finish_frame(out, frame)
+        n_intra = out["intra_mb"].sum()
+        n_skip = out["skip"].sum()
+        self._last_mb_counts = (n_intra, mb_h * mb_w - n_intra - n_skip,
+                                n_skip)
         return slice_bytes, recon
 
     def _deblock(self, ry, ru, rv, qp_mb, intra_mb, nnz4=None, ref4=None,
@@ -180,6 +292,35 @@ class Encoder:
             p.analyse.i_chroma_qp_offset)
         return np.asarray(ry), np.asarray(ru), np.asarray(rv)
 
+    def _cabac_nal(self, out: dict, qp: int, slice_type: int,
+                   nal_type: int, nal_ref_idc: int, nmb: int) -> bytes:
+        """Assemble a CABAC slice NAL: host slice header + alignment,
+        native arithmetic coding of the device-produced op stream
+        (x264_slice_write CABAC branch, encoder/encoder.c:1155-1199)."""
+        from ..entropy import cabac as ecabac
+        from ..entropy import cabac_tables as ctab
+
+        n_ops = int(out["n_ops"])
+        if n_ops > pipeline.cabac_capacity(nmb):
+            raise RuntimeError(
+                f"CABAC op stream overflowed device buffer ({n_ops} ops)")
+        ops = np.asarray(out["ops"][:n_ops])
+
+        hdr = BitWriter()
+        self._slice_header(qp, slice_type).write_rbsp(
+            hdr, nal_ref_idc=nal_ref_idc)
+        # cabac_alignment_one_bit (spec 7.3.4)
+        pad = (-hdr.bit_pos) % 8
+        if pad:
+            hdr.put((1 << pad) - 1, pad)
+        hdr_bytes = bytearray(hdr.pack())
+
+        states = ctab.init_states(slice_type == SLICE_I, qp,
+                                  self.params.i_cabac_init_idc)
+        payload, fixup = ecabac.encode_ops(states, ops, hdr_bytes[-1])
+        hdr_bytes[-1] = fixup
+        return nal_unit(nal_type, nal_ref_idc, bytes(hdr_bytes) + payload)
+
     # ------------------------------------------------------------- slice
     def _write_i_slice(self, out: dict, qp: int, mb_w: int, mb_h: int) -> bytes:
         """Entropy-code one I slice from the device coefficient planes
@@ -192,5 +333,12 @@ class Encoder:
         bs.rbsp_trailing()
         return nal_unit(NAL_SLICE_IDR, 3, bs.pack())
 
-    def close(self):
-        pass
+    def close(self) -> dict:
+        """x264_encoder_close: emit the global stats report
+        (encoder/encoder.c:1878-2080) and return it as a dict."""
+        summary = self.stats.summary()
+        if self.params.i_log_level >= 1 and summary:
+            import sys
+            for line in self.stats.report_lines():
+                print(f"x264_tpu [info]: {line}", file=sys.stderr)
+        return summary

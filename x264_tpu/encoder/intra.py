@@ -61,6 +61,105 @@ def _unblocks4(blocks, n):
     return jnp.swapaxes(blocks, -3, -2).reshape(*s, n * 4, n * 4)
 
 
+def luma_i16_path(fenc, top, left, topleft, has_top, has_left, qtab, lam):
+    """I16x16 luma: mode decision + residual + reconstruction for a batch
+    of MBs (x264_mb_analyse_intra, encoder/analyse.c:612 +
+    x264_mb_encode_i16x16, encoder/macroblock.c:184).
+
+    fenc: (K, 16, 16); top/left: (K, 16); topleft: (K,).
+    Returns dict(cost, mode, recon, dc_z, ac_z, cbp) — dc_z (K, 16) and
+    ac_z (K, 16, 16) zig-zag coefficients in z-scan block order.
+    """
+    K = fenc.shape[0]
+    zig = jnp.asarray(tables.ZIGZAG4)
+
+    preds = opred.predict_16x16(top, left, topleft, has_top, has_left)
+    avail = opred.mode_available_16x16(has_top, has_left)
+    satd = opix.satd(fenc[:, None], preds)       # (K,4)
+    cost = satd + lam * jnp.asarray(_MODE_BITS_16)
+    cost = jnp.where(avail, cost, _BIG)
+    mode = jnp.argmin(cost, axis=-1).astype(I32)
+    best_cost = jnp.min(cost, axis=-1)
+    pred = jnp.take_along_axis(
+        preds, mode[:, None, None, None], axis=1)[:, 0]
+
+    # i16x16 residual path (x264_mb_encode_i16x16,
+    # encoder/macroblock.c:117)
+    diff = fenc - pred
+    blocks = _blocks4_raster(diff, 4)            # (K,4,4,4,4) raster
+    coef = odct.dct4x4(blocks)
+    dc_raster = coef[..., 0, 0]                  # (K,4,4)
+    ac = coef.at[..., 0, 0].set(0)
+
+    ac_lv = oquant.quant(
+        ac.reshape(K, 16, 16), qtab["y_mf"], qtab["y_bias"]
+    ).reshape(K, 4, 4, 4, 4)
+    blk_nz = jnp.any(ac_lv != 0, axis=(-2, -1))  # (K,4,4)
+    cbp_luma = jnp.any(blk_nz, axis=(-2, -1))    # (K,)
+
+    ac_deq = oquant.dequant(
+        ac_lv.reshape(K, 16, 16), qtab["y_dmf"], qtab["y_qpdiv6"], 4
+    ).reshape(K, 4, 4, 4, 4)
+
+    dc_had = odct.hadamard4x4_fwd(dc_raster)
+    dc_lv = oquant.quant_dc(dc_had, qtab["y_mf_dc"], qtab["y_bias_dc"])
+    dc_rec = oquant.dequant_4x4_dc(
+        odct.hadamard4x4_inv(dc_lv), qtab["y_dmf0"], qtab["y_qpdiv6"])
+
+    full = odct.idct4x4(ac_deq.at[..., 0, 0].set(dc_rec))
+    dconly = jnp.broadcast_to(
+        ((dc_rec + 32) >> 6)[..., None, None], full.shape)
+    res = jnp.where(cbp_luma[:, None, None, None, None], full, dconly)
+    recon = jnp.clip(pred + _unblocks4(res, 4), 0, 255)
+
+    # zig-zag outputs: block order = z-scan within MB
+    zorder = jnp.asarray(tables.LUMA4x4_RASTER_OF_Z)
+    ac_z = ac_lv.reshape(K, 16, 16)[:, zorder][:, :, zig]
+    dc_z = dc_lv.reshape(K, 16)[:, zig]
+    return dict(cost=best_cost, mode=mode, recon=recon,
+                dc_z=dc_z, ac_z=ac_z, cbp=cbp_luma)
+
+
+def chroma_residual(fencc, cpred, qtab, pfx="c"):
+    """Chroma 8x8 residual path for one channel, arbitrary leading dims
+    (x264_mb_encode_8x8_chroma, encoder/macroblock.c:272).
+
+    Returns (recon, dc_out (*,4), ac_out (*,4,16) zig-zag, nz_ac, nz_dc).
+    qtab keys are read with the given prefix ("c" intra, "pc" inter).
+    """
+    zig = jnp.asarray(tables.ZIGZAG4)
+    lead = fencc.shape[:-2]
+    cdiff = fencc - cpred
+    cblocks = _blocks4_raster(cdiff, 2)       # (*,2,2,4,4)
+    ccoef = odct.dct4x4(cblocks)
+    cdc = ccoef[..., 0, 0]                    # (*,2,2)
+    cac = ccoef.at[..., 0, 0].set(0)
+    cac_lv = oquant.quant(
+        cac.reshape(*lead, 4, 16), qtab[f"{pfx}_mf"], qtab[f"{pfx}_bias"]
+    ).reshape(*lead, 2, 2, 4, 4)
+    cnz_ac = jnp.any(cac_lv != 0, axis=(-4, -3, -2, -1))   # (*,)
+    cac_deq = oquant.dequant(
+        cac_lv.reshape(*lead, 4, 16), qtab[f"{pfx}_dmf"],
+        qtab[f"{pfx}_qpdiv6"], 4
+    ).reshape(*lead, 2, 2, 4, 4)
+    cdc_had = odct.hadamard2x2(cdc)
+    cdc_lv = oquant.quant_dc(cdc_had, qtab[f"{pfx}_mf_dc"],
+                             qtab[f"{pfx}_bias_dc"])
+    cnz_dc = jnp.any(cdc_lv != 0, axis=(-2, -1))
+    cdc_rec = oquant.dequant_2x2_dc(
+        odct.hadamard2x2(cdc_lv), qtab[f"{pfx}_dmf0"], qtab[f"{pfx}_qpdiv6"])
+    cfull = odct.idct4x4(cac_deq.at[..., 0, 0].set(cdc_rec))
+    cdconly = jnp.broadcast_to(
+        ((cdc_rec + 32) >> 6)[..., None, None], cfull.shape)
+    cres = jnp.where(cnz_ac[..., None, None, None, None], cfull, cdconly)
+    crecon = jnp.clip(cpred + _unblocks4(cres, 2), 0, 255)
+    # outputs: dc in spec scan [c00,c01,c10,c11]; ac zig-zag,
+    # block order raster (== spec chroma 4x4 block order)
+    cdc_out = cdc_lv.reshape(*lead, 4)
+    cac_out = cac_lv.reshape(*lead, 4, 16)[..., zig]
+    return crecon, cdc_out, cac_out, cnz_ac, cnz_dc
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam):
     """Encode one all-I16x16 frame.
@@ -111,48 +210,10 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam):
         left = ty[yc, xm, :, 15]
         topleft = ty[ym, xm, 15, 15]
 
-        preds = opred.predict_16x16(top, left, topleft, has_top, has_left)
-        avail = opred.mode_available_16x16(has_top, has_left)
-        satd = opix.satd(fenc[:, None], preds)       # (K,4)
-        cost = satd + lam * jnp.asarray(_MODE_BITS_16)
-        cost = jnp.where(avail, cost, _BIG)
-        mode = jnp.argmin(cost, axis=-1).astype(I32)
-        pred = jnp.take_along_axis(
-            preds, mode[:, None, None, None], axis=1)[:, 0]
-
-        # i16x16 residual path (x264_mb_encode_i16x16,
-        # encoder/macroblock.c:117)
-        diff = fenc - pred
-        blocks = _blocks4_raster(diff, 4)            # (K,4,4,4,4) raster
-        coef = odct.dct4x4(blocks)
-        dc_raster = coef[..., 0, 0]                  # (K,4,4)
-        ac = coef.at[..., 0, 0].set(0)
-
-        ac_lv = oquant.quant(
-            ac.reshape(K, 16, 16), qtab["y_mf"], qtab["y_bias"]
-        ).reshape(K, 4, 4, 4, 4)
-        blk_nz = jnp.any(ac_lv != 0, axis=(-2, -1))  # (K,4,4)
-        cbp_luma = jnp.any(blk_nz, axis=(-2, -1))    # (K,)
-
-        ac_deq = oquant.dequant(
-            ac_lv.reshape(K, 16, 16), qtab["y_dmf"], qtab["y_qpdiv6"], 4
-        ).reshape(K, 4, 4, 4, 4)
-
-        dc_had = odct.hadamard4x4_fwd(dc_raster)
-        dc_lv = oquant.quant_dc(dc_had, qtab["y_mf_dc"], qtab["y_bias_dc"])
-        dc_rec = oquant.dequant_4x4_dc(
-            odct.hadamard4x4_inv(dc_lv), qtab["y_dmf0"], qtab["y_qpdiv6"])
-
-        full = odct.idct4x4(ac_deq.at[..., 0, 0].set(dc_rec))
-        dconly = jnp.broadcast_to(
-            ((dc_rec + 32) >> 6)[..., None, None], full.shape)
-        res = jnp.where(cbp_luma[:, None, None, None, None], full, dconly)
-        recon = jnp.clip(pred + _unblocks4(res, 4), 0, 255)
-
-        # zig-zag outputs: block order = z-scan within MB
-        zorder = jnp.asarray(tables.LUMA4x4_RASTER_OF_Z)
-        ac_z = ac_lv.reshape(K, 16, 16)[:, zorder][:, :, zig]
-        dc_z = dc_lv.reshape(K, 16)[:, zig]
+        lp = luma_i16_path(fenc, top, left, topleft, has_top, has_left,
+                           qtab, lam)
+        mode, recon = lp["mode"], lp["recon"]
+        dc_z, ac_z = lp["dc_z"], lp["ac_z"]
 
         # ------------------------------------------------ chroma
         def chroma_path(t_ref, c_tiles):
@@ -173,33 +234,7 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam):
         def chroma_encode(fencc, cpreds):
             cpred = jnp.take_along_axis(
                 cpreds, cmode[:, None, None, None], axis=1)[:, 0]
-            cdiff = fencc - cpred
-            cblocks = _blocks4_raster(cdiff, 2)       # (K,2,2,4,4)
-            ccoef = odct.dct4x4(cblocks)
-            cdc = ccoef[..., 0, 0]                    # (K,2,2)
-            cac = ccoef.at[..., 0, 0].set(0)
-            cac_lv = oquant.quant(
-                cac.reshape(K, 4, 16), qtab["c_mf"], qtab["c_bias"]
-            ).reshape(K, 2, 2, 4, 4)
-            cnz_ac = jnp.any(cac_lv != 0, axis=(-4, -3, -2, -1))   # (K,)
-            cac_deq = oquant.dequant(
-                cac_lv.reshape(K, 4, 16), qtab["c_dmf"], qtab["c_qpdiv6"], 4
-            ).reshape(K, 2, 2, 4, 4)
-            cdc_had = odct.hadamard2x2(cdc)
-            cdc_lv = oquant.quant_dc(cdc_had, qtab["c_mf_dc"], qtab["c_bias_dc"])
-            cnz_dc = jnp.any(cdc_lv != 0, axis=(-2, -1))
-            cdc_rec = oquant.dequant_2x2_dc(
-                odct.hadamard2x2(cdc_lv), qtab["c_dmf0"], qtab["c_qpdiv6"])
-            cfull = odct.idct4x4(cac_deq.at[..., 0, 0].set(cdc_rec))
-            cdconly = jnp.broadcast_to(
-                ((cdc_rec + 32) >> 6)[..., None, None], cfull.shape)
-            cres = jnp.where(cnz_ac[:, None, None, None, None], cfull, cdconly)
-            crecon = jnp.clip(cpred + _unblocks4(cres, 2), 0, 255)
-            # outputs: dc in spec scan [c00,c01,c10,c11]; ac zig-zag,
-            # block order raster (== spec chroma 4x4 block order)
-            cdc_out = cdc_lv.reshape(K, 4)
-            cac_out = cac_lv.reshape(K, 4, 16)[:, :, zig]
-            return crecon, cdc_out, cac_out, cnz_ac, cnz_dc
+            return chroma_residual(fencc, cpred, qtab, "c")
 
         ru, dcu, acu, nzau, nzdu = chroma_encode(fu, pu)
         rv, dcv, acv, nzav, nzdv = chroma_encode(fv, pv)

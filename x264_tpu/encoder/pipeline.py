@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..entropy import device as edev
 from ..ops import deblock as odeblock
 from . import intra
+from . import inter
 
 I32 = jnp.int32
 
@@ -68,4 +69,85 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool,
 
     return dict(recon_y=ry, recon_u=ru, recon_v=rv,
                 words=words, nbits=nbits,
+                mode16=out["mode16"], modec=out["modec"])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
+             y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
+             hdr_vals, hdr_lens, alpha_off, beta_off, chroma_qp_offset,
+             mvp_seed):
+    """P frame: ME + inter/intra decision + entropy + pack + deblock,
+    fused. ref_* is the deblocked reconstruction of the reference frame
+    (int32, MB-aligned). mvp_seed: (mb_h, mb_w, 2) qpel MV predictors
+    (previous frame's MV field). Returns recon planes, packed words,
+    nbits, and the MV/intra maps (the caller feeds `mv` back as the next
+    frame's seed)."""
+    y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
+    ref_y, ref_u, ref_v = (p.astype(jnp.int32)
+                           for p in (ref_y, ref_u, ref_v))
+    out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
+                              ref_y, ref_u, ref_v, qtab, lam, mvp_seed)
+
+    vals, lens = edev.p_code_planes(out, mb_h, mb_w)
+    stop = jnp.ones((1,), I32)
+    all_v = jnp.concatenate([hdr_vals.astype(I32), vals, stop])
+    all_l = jnp.concatenate([hdr_lens.astype(I32), lens, stop])
+    words, nbits = edev.pack_codes(all_v, all_l,
+                                   capacity_words(mb_h * mb_w))
+
+    ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+    if deblock_on:
+        qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
+        zmv = jnp.zeros((mb_h * 4, mb_w * 4, 2), I32)
+        z4 = jnp.zeros((mb_h * 4, mb_w * 4), I32)
+        ry, ru, rv = odeblock.deblock_frame(
+            mb_h, mb_w, ry, ru, rv, qp_mb, out["intra_mb"],
+            out["nnz4"], out["ref4"], out["mv4"], z4, zmv, False,
+            alpha_off, beta_off, chroma_qp_offset)
+
+    return dict(recon_y=ry, recon_u=ru, recon_v=rv,
+                words=words, nbits=nbits,
+                mv=out["mv"], intra_mb=out["intra_mb"],
+                skip=out["skip"])
+
+
+# op-stream capacity per MB for the CABAC path (typical slices use a few
+# hundred ops/MB; the host checks n_ops and raises on overflow rather
+# than emit a truncated stream)
+CABAC_OPS_PER_MB = 1024
+
+
+def cabac_capacity(nmb: int) -> int:
+    return nmb * CABAC_OPS_PER_MB + 1024
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
+                         y, u, v, qtab, lam, qp, qp_c,
+                         alpha_off, beta_off, chroma_qp_offset):
+    """All-I16x16 IDR frame, CABAC entropy: the wavefront encode runs as
+    in encode_i16_idr, but emits a compacted packed bin-op stream for
+    the host-native arithmetic coder instead of packed CAVLC words."""
+    from ..entropy import cabac_planes
+
+    y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
+    out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam)
+
+    ops = cabac_planes.i16_slice_ops(out, mb_h, mb_w)
+    cops, n_ops = cabac_planes.compact_ops(ops, cabac_capacity(mb_h * mb_w))
+
+    ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+    if deblock_on:
+        qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
+        intra_mb = jnp.ones((mb_h, mb_w), bool)
+        z4 = jnp.zeros((mb_h * 4, mb_w * 4), I32)
+        zmv = jnp.zeros((mb_h * 4, mb_w * 4, 2), I32)
+        ry, ru, rv = odeblock.deblock_frame(
+            mb_h, mb_w, ry, ru, rv, qp_mb, intra_mb,
+            z4, z4, zmv, z4, zmv, False,
+            alpha_off, beta_off, chroma_qp_offset)
+
+    return dict(recon_y=ry, recon_u=ru, recon_v=rv,
+                ops=cops, n_ops=n_ops,
                 mode16=out["mode16"], modec=out["modec"])

@@ -298,6 +298,154 @@ def i16_code_planes(out, mb_h: int, mb_w: int):
     return vals.ravel(), lens.ravel()
 
 
+# CBP -> ue codeNum mapping (spec Table 9-4; same constants at
+# encoder/cavlc.c:32-43). Index = cbp_chroma*16 + cbp_luma.
+CBP_TO_GOLOMB_INTRA = np.array([
+    3, 29, 30, 17, 31, 18, 37, 8, 32, 38, 19, 9, 20, 10, 11, 2,
+    16, 33, 34, 21, 35, 22, 39, 4, 36, 40, 23, 5, 24, 6, 7, 1,
+    41, 42, 43, 25, 44, 26, 46, 12, 45, 47, 27, 13, 28, 14, 15, 0],
+    dtype=np.int32)
+CBP_TO_GOLOMB_INTER = np.array([
+    0, 2, 3, 7, 4, 8, 17, 13, 5, 18, 9, 14, 10, 15, 16, 11,
+    1, 32, 33, 36, 34, 37, 44, 40, 35, 45, 38, 41, 39, 42, 43, 19,
+    6, 24, 25, 20, 26, 21, 46, 28, 27, 47, 22, 29, 23, 30, 31, 12],
+    dtype=np.int32)
+
+
+def p_code_planes(out, mb_h: int, mb_w: int):
+    """Code-plane construction for a whole P slice (CAVLC) from the
+    inter pipeline outputs (x264_macroblock_write_cavlc P branch,
+    encoder/cavlc.c:288-430 + the skip-run ue of x264_slice_write,
+    encoder/encoder.c:1184-1192). Returns flat (vals, lens) int32.
+
+    `out` keys (all (mb_h, mb_w, ...)): intra_mb, mode16, modec,
+    luma_dc (16), luma_blocks (16,16 z-scan/zig-zag), chroma_dc (2,4),
+    chroma_ac (2,4,16), cbp_luma_bits, cbp_chroma, mvd (2), skip.
+    """
+    from .. import tables
+
+    nmb = mb_h * mb_w
+    R = _t(tables.LUMA4x4_RASTER_OF_Z)
+    intra = out["intra_mb"].reshape(nmb)
+    skip = out["skip"].reshape(nmb)
+    coded = ~skip
+    cbp_l = out["cbp_luma_bits"].reshape(nmb)
+    cbp_c = out["cbp_chroma"].reshape(nmb)
+    luma_blocks = out["luma_blocks"].reshape(nmb, 16, 16)
+    luma_dc = out["luma_dc"].reshape(nmb, 16)
+    chroma_dc = out["chroma_dc"].reshape(nmb, 2, 4)
+    chroma_ac = out["chroma_ac"].reshape(nmb, 2, 4, 16)
+    mvd = out["mvd"].reshape(nmb, 2)
+    mode16 = out["mode16"].reshape(nmb)
+    modec = out["modec"].reshape(nmb)
+
+    # per-4x4 coded-block flags (z-scan): intra AC all-or-nothing, inter
+    # per 8x8 group
+    grp_bit = (cbp_l[:, None] >> (jnp.arange(16, dtype=I32) // 4)) & 1
+    blk_coded = jnp.where(intra[:, None], (cbp_l > 0)[:, None], grp_bit > 0)
+
+    # nC prediction from decoded total_coeff counts
+    counts_z = jnp.count_nonzero(luma_blocks, axis=-1).astype(I32) \
+        * blk_coded
+    counts_raster = jnp.zeros_like(counts_z).at[:, R].set(counts_z)
+    lmap = counts_raster.reshape(mb_h, mb_w, 4, 4).swapaxes(1, 2) \
+        .reshape(mb_h * 4, mb_w * 4)
+    nc_l = nc_map(lmap).reshape(mb_h, 4, mb_w, 4).swapaxes(1, 2) \
+        .reshape(nmb, 16)[:, R]
+
+    ccounts = jnp.count_nonzero(chroma_ac, axis=-1).astype(I32) \
+        * (cbp_c == 2)[:, None, None]
+    nc_c = []
+    for ch in range(2):
+        cmap = ccounts[:, ch].reshape(mb_h, mb_w, 2, 2) \
+            .swapaxes(1, 2).reshape(mb_h * 2, mb_w * 2)
+        nc_c.append(nc_map(cmap).reshape(mb_h, 2, mb_w, 2)
+                    .swapaxes(1, 2).reshape(nmb, 4))
+    nc_c = jnp.stack(nc_c, axis=1)                     # (nmb, 2, 4)
+
+    # residual blocks: both layouts computed, selected per MB
+    ac_v, ac_l = residual_codes(luma_blocks[:, :, 1:].reshape(nmb * 16, 15),
+                                nc_l.reshape(nmb * 16))
+    f_v, f_l = residual_codes(luma_blocks.reshape(nmb * 16, 16),
+                              nc_l.reshape(nmb * 16))
+    sel = jnp.repeat(intra, 16)[:, None]
+    blk_v = jnp.where(sel, ac_v, f_v).reshape(nmb, 16, BLOCK_SLOTS)
+    blk_l = jnp.where(sel, ac_l, f_l).reshape(nmb, 16, BLOCK_SLOTS)
+    blk_l = blk_l * blk_coded[..., None]
+
+    dc_v, dc_l = residual_codes(luma_dc, nc_l[:, 0])
+    dc_l = dc_l * intra[:, None]
+
+    cdc_v, cdc_l = residual_codes(chroma_dc.reshape(nmb * 2, 4),
+                                  jnp.full((nmb * 2,), -1, dtype=I32))
+    cdc_l = cdc_l.reshape(nmb, 2, BLOCK_SLOTS) * (cbp_c > 0)[:, None, None]
+    cac_v, cac_l = residual_codes(chroma_ac[..., 1:].reshape(nmb * 8, 15),
+                                  nc_c.reshape(nmb * 8))
+    cac_l = cac_l.reshape(nmb, 8, BLOCK_SLOTS) * (cbp_c == 2)[:, None, None]
+
+    # ------------------------------------------------ MB header slots
+    idx = jnp.arange(nmb, dtype=I32)
+    coded_idx = jnp.where(coded, idx, -1)
+    prev_coded = jnp.concatenate([
+        jnp.full((1,), -1, I32),
+        jax.lax.associative_scan(jnp.maximum, coded_idx)[:-1]])
+    run = idx - prev_coded - 1
+
+    h_v = jnp.zeros((nmb, 7), dtype=I32)
+    h_l = jnp.zeros((nmb, 7), dtype=I32)
+    rv, rl = ue_codes(run)
+    h_v = h_v.at[:, 0].set(rv)
+    h_l = h_l.at[:, 0].set(rl)
+
+    i16_type = 5 + 1 + mode16 + 4 * cbp_c + 12 * (cbp_l > 0).astype(I32)
+    tv_, tl_ = ue_codes(jnp.where(intra, i16_type, 0))
+    h_v = h_v.at[:, 1].set(tv_)
+    h_l = h_l.at[:, 1].set(tl_)
+
+    cv, cl = ue_codes(modec)
+    h_v = h_v.at[:, 2].set(cv)
+    h_l = h_l.at[:, 2].set(jnp.where(intra, cl, 0))
+
+    for k in range(2):
+        mv_, ml_ = se_codes(mvd[:, k])
+        h_v = h_v.at[:, 3 + k].set(mv_)
+        h_l = h_l.at[:, 3 + k].set(jnp.where(intra, 0, ml_))
+
+    cbp_code = _t(CBP_TO_GOLOMB_INTER)[cbp_c * 16 + cbp_l]
+    bv, bl = ue_codes(cbp_code)
+    h_v = h_v.at[:, 5].set(bv)
+    h_l = h_l.at[:, 5].set(jnp.where(intra, 0, bl))
+
+    has_dqp = intra | (cbp_l > 0) | (cbp_c > 0)
+    qv, ql = se_codes(jnp.zeros(nmb, dtype=I32))
+    h_v = h_v.at[:, 6].set(qv)
+    h_l = h_l.at[:, 6].set(jnp.where(has_dqp, ql, 0))
+
+    h_l = h_l * coded[:, None]
+
+    vals = jnp.concatenate([
+        h_v,
+        dc_v.reshape(nmb, BLOCK_SLOTS),
+        blk_v.reshape(nmb, 16 * BLOCK_SLOTS),
+        cdc_v.reshape(nmb, 2 * BLOCK_SLOTS),
+        cac_v.reshape(nmb, 8 * BLOCK_SLOTS)], axis=1).ravel()
+    lens = jnp.concatenate([
+        h_l,
+        (dc_l * coded[:, None]).reshape(nmb, BLOCK_SLOTS),
+        (blk_l * coded[:, None, None]).reshape(nmb, 16 * BLOCK_SLOTS),
+        (cdc_l * coded[:, None, None]).reshape(nmb, 2 * BLOCK_SLOTS),
+        (cac_l * coded[:, None, None]).reshape(nmb, 8 * BLOCK_SLOTS)],
+        axis=1).ravel()
+
+    # trailing skip run after the last coded MB
+    last_coded = jnp.max(coded_idx)
+    tail = nmb - 1 - last_coded
+    tv2, tl2 = ue_codes(tail[None])
+    vals = jnp.concatenate([vals, tv2])
+    lens = jnp.concatenate([lens, jnp.where(tail > 0, tl2, 0)])
+    return vals, lens
+
+
 # ---------------------------------------------------------------------------
 # Device bit packing
 # ---------------------------------------------------------------------------

@@ -106,3 +106,40 @@ def var(pix, shift):
     s = jnp.sum(p, axis=(-2, -1))
     sq = jnp.sum(p * p, axis=(-2, -1))
     return sq - ((s * s) >> shift)
+
+
+# ssim_c1/c2 constants of ssim_end1 (common/pixel.c:464-466)
+_SSIM_C1 = int(.01 * .01 * 255 * 255 * 64 + .5)
+_SSIM_C2 = int(.03 * .03 * 255 * 255 * 64 * 63 + .5)
+
+
+def ssim_sum(a, b):
+    """x264 SSIM over overlapped 4x4 blocks (ssim_4x4x2_core + ssim_end1,
+    common/pixel.c:435-513), whole-plane vectorized.
+
+    a, b: (H, W) integer planes — callers pass the 2-pixel-offset region
+    the reference uses (encoder/encoder.c:1048-1055). Returns the float32
+    *sum* of per-position SSIM; divide by (W//4-1)*(H//4-1) for the mean.
+    """
+    h, w = a.shape
+    hb, wb = h // 4, w // 4
+    a4 = a[:hb * 4, :wb * 4].astype(I32).reshape(hb, 4, wb, 4)
+    b4 = b[:hb * 4, :wb * 4].astype(I32).reshape(hb, 4, wb, 4)
+    s1 = a4.sum(axis=(1, 3))
+    s2 = b4.sum(axis=(1, 3))
+    ss = (a4 * a4).sum(axis=(1, 3)) + (b4 * b4).sum(axis=(1, 3))
+    s12 = (a4 * b4).sum(axis=(1, 3))
+
+    def quad(x):
+        return x[:-1, :-1] + x[:-1, 1:] + x[1:, :-1] + x[1:, 1:]
+
+    f1, f2, fss, f12 = quad(s1), quad(s2), quad(ss), quad(s12)
+    # int32 products exactly as ssim_end1 (all stay within int32 range),
+    # float only for the final ratio — matches the C rounding behavior
+    vars_ = fss * 64 - f1 * f1 - f2 * f2
+    covar = f12 * 64 - f1 * f2
+    num = ((2 * f1 * f2 + _SSIM_C1).astype(jnp.float32)
+           * (2 * covar + _SSIM_C2).astype(jnp.float32))
+    den = ((f1 * f1 + f2 * f2 + _SSIM_C1).astype(jnp.float32)
+           * (vars_ + _SSIM_C2).astype(jnp.float32))
+    return (num / den).sum()
