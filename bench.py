@@ -1,11 +1,13 @@
 """Benchmark harness. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline: all-intra 1080p encode throughput on one chip with the in-loop
-deblocking filter ENABLED (the reference's fps always includes
-x264_fdec_filter_row, encoder/encoder.c:983). The whole frame — mode
-decision, transforms, CAVLC entropy coding, bit packing, deblocking —
-runs as one fused device program; the host only wraps NAL units.
+Headline: 1080p IPPP encode throughput on one chip with the DEFAULT
+feature set — CABAC entropy, in-loop deblocking, motion-compensated P
+frames (1 IDR + 8 P) — i.e. the configuration closest to the
+reference's defaults (common/common.c:39-144: CABAC on, deblock on,
+P frames). Mode decision, ME, transforms, reconstruction, deblocking
+and CABAC bin generation run fused on device; the serial arithmetic
+FSM runs in the native C engine on host.
 
 vs_baseline compares against a 25 fps realtime bar (the reference
 publishes no absolute fps — BASELINE.md "published": {}).
@@ -19,98 +21,135 @@ import time
 
 import numpy as np
 
+import jax
+
+# persistent compile cache: first bench run on a machine compiles the
+# 1080p pipelines once; later runs start hot (env vars are not honored
+# in jax 0.9 — config.update is required)
+jax.config.update("jax_compilation_cache_dir", "/tmp/x264_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def make_frames(w, h, n):
     from x264_tpu.encoder.core import Frame
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx // 3 + yy // 2) % 200).astype(np.int32)
+    noise = rng.integers(0, 24, (h + 32, w + 32))
     frames = []
     for t in range(n):
-        y = ((xx // 3 + yy // 2 + t * 8) % 200 + rng.integers(0, 24, (h, w))
-             ).clip(0, 255).astype(np.uint8)
+        # global pan + static texture: exercises ME/skip/inter paths
+        y = (base + noise[t:t + h, 2 * t:2 * t + w]).clip(0, 255) \
+            .astype(np.uint8)
         u = (128 + (xx[::2, ::2] % 40) - 20).clip(0, 255).astype(np.uint8)
         v = (128 - (yy[::2, ::2] % 40) + 20).clip(0, 255).astype(np.uint8)
         frames.append(Frame(y, u, v))
     return frames
 
 
-def stage_timings(enc, frame, reps=3):
+def run_encoder(frames, w, h, cabac, deblock, keyint, warm=1):
+    from x264_tpu import EncoderParams, Encoder
+    p = EncoderParams(i_width=w, i_height=h, b_cabac=cabac,
+                      b_deblocking_filter=deblock, i_log_level=0,
+                      i_keyint_max=keyint)
+    p.rc.i_rc_method = 0
+    p.rc.i_qp_constant = 26
+    enc = Encoder(p)
+    for f in frames[:warm]:
+        enc.encode(f)          # warmup + compile (IDR path)
+    if keyint > 1 and len(frames) > warm:
+        enc.encode(frames[warm])   # compile the P path too
+        warm += 1
+    t0 = time.time()
+    n = 0
+    bits = 0
+    for f in frames[warm:]:
+        bits += enc.encode(f).bits
+        n += 1
+    dt = time.time() - t0
+    return n / dt, bits / max(n, 1)
+
+
+def stage_timings(w, h):
     """Per-stage device timings (checkasm --bench analogue at frame
-    granularity): intra scan, entropy+pack, deblock, full fused."""
+    granularity)."""
     import jax
-    from x264_tpu.encoder import intra, pipeline
+    import jax.numpy as jnp
+    from x264_tpu.encoder import intra, inter, pipeline
     from x264_tpu.encoder.core import pad_plane
     from x264_tpu.entropy import device as edev
     from x264_tpu import tables
-    import jax.numpy as jnp
 
-    p = enc.params
-    mb_w, mb_h = p.mb_width, p.mb_height
-    qp = p.rc.i_qp_constant
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    qp = 26
     qp_c = tables.chroma_qp(qp, 0)
-    y = jax.device_put(pad_plane(np.asarray(frame.y, np.uint8),
-                                 mb_h * 16, mb_w * 16))
-    u = jax.device_put(pad_plane(np.asarray(frame.u, np.uint8),
-                                 mb_h * 8, mb_w * 8))
-    v = jax.device_put(pad_plane(np.asarray(frame.v, np.uint8),
-                                 mb_h * 8, mb_w * 8))
-    qtab = enc._qtab(qp, qp_c)
-    lam = int(tables.LAMBDA_TABLE[qp])
+    rng = np.random.default_rng(0)
+    y = jax.device_put(rng.integers(0, 255, (mb_h * 16, mb_w * 16))
+                       .astype(np.int32))
+    u = jax.device_put(rng.integers(0, 255, (mb_h * 8, mb_w * 8))
+                       .astype(np.int32))
+    v = jax.device_put(rng.integers(0, 255, (mb_h * 8, mb_w * 8))
+                       .astype(np.int32))
+    ry = jax.device_put(rng.integers(0, 255, (mb_h * 16, mb_w * 16))
+                        .astype(np.int32))
+    qtab = inter.make_qtab_p(qp, qp_c)
+    lam = jnp.int32(int(tables.LAMBDA_TABLE[qp]))
+    mvp0 = jnp.zeros((mb_h, mb_w, 2), jnp.int32)
     hdr_v = jnp.zeros(edev.HDR_SLOTS, jnp.int32)
     hdr_l = jnp.zeros(edev.HDR_SLOTS, jnp.int32)
 
-    def timed(f):
+    def timed(f, reps=3):
         jax.block_until_ready(f())  # compile
         t0 = time.time()
+        r = None
         for _ in range(reps):
             r = f()
         jax.block_until_ready(r)
         return (time.time() - t0) / reps * 1e3
 
-    t_intra = timed(lambda: intra.encode_i16_frame(
-        mb_h, mb_w, y, u, v, qtab, lam)["recon_y"])
+    from x264_tpu.ops import me as ome
 
-    t_nodeb = timed(lambda: pipeline.encode_i16_idr(
-        mb_h, mb_w, False, y, u, v, qtab, lam, qp, qp_c,
+    t_intra = timed(lambda: intra.encode_i16_frame(
+        mb_h, mb_w, y, u, v, qtab, lam, True)["recon_y"])
+    t_i_full = timed(lambda: pipeline.encode_i16_idr(
+        mb_h, mb_w, True, True, y, u, v, qtab, lam, qp, qp_c,
         hdr_v, hdr_l, 0, 0, 0)["words"])
-    t_full = timed(lambda: pipeline.encode_i16_idr(
-        mb_h, mb_w, True, y, u, v, qtab, lam, qp, qp_c,
-        hdr_v, hdr_l, 0, 0, 0)["words"])
-    print(f"[bench] per-stage ms/frame @1080p: intra_scan={t_intra:.1f} "
-          f"entropy+pack={t_nodeb - t_intra:.1f} "
-          f"deblock={t_full - t_nodeb:.1f} fused_total={t_full:.1f}",
-          file=sys.stderr)
+    me_jit = jax.jit(lambda yy, rr, mm: ome.fullpel_search(
+        yy, jnp.pad(rr, 32, mode="edge"), mb_h, mb_w, 16, lam, mm))
+    t_me = timed(lambda: me_jit(y, ry, mvp0)[0])
+    t_p_full = timed(lambda: pipeline.encode_p_cabac(
+        mb_h, mb_w, 16, True, (2, 1), y, u, v, ry, u, v, qtab, lam,
+        qp, qp_c, 0, 0, 0, mvp0)["ops"])
+    print(f"[bench] per-stage ms/frame @{w}x{h}: intra_scan={t_intra:.1f} "
+          f"idr_fused={t_i_full:.1f} me_fullpel={t_me:.1f} "
+          f"p_cabac_fused={t_p_full:.1f}", file=sys.stderr)
 
 
 def main():
     sys.path.insert(0, ".")
-    from x264_tpu import EncoderParams, Encoder
-
     w, h = 1920, 1080
-    frames = make_frames(w, h, 9)
+    frames = make_frames(w, h, 11)
 
-    p = EncoderParams(i_width=w, i_height=h, b_cabac=False,
-                      b_deblocking_filter=True, i_log_level=0)
-    p.rc.i_rc_method = 0
-    p.rc.i_qp_constant = 26
-    enc = Encoder(p)
-
-    enc.encode(frames[0])  # warmup + compile
-    t0 = time.time()
-    n = 0
-    for f in frames[1:]:
-        enc.encode(f)
-        n += 1
-    dt = time.time() - t0
-    fps = n / dt
+    fps, bpf = run_encoder(frames, w, h, cabac=True, deblock=True,
+                           keyint=250)
+    print(f"[bench] 1080p IPPP CABAC+deblock: {fps:.2f} fps "
+          f"({bpf / 8:.0f} B/frame)", file=sys.stderr)
 
     try:
-        stage_timings(enc, frames[0])
+        fps_ai, _ = run_encoder(frames[:5], w, h, cabac=False, deblock=True,
+                                keyint=1)
+        print(f"[bench] 1080p all-intra CAVLC+deblock: {fps_ai:.2f} fps",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] all-intra detail skipped: {e}", file=sys.stderr)
+
+    try:
+        stage_timings(w, h)
     except Exception as e:  # stage breakdown is best-effort diagnostics
         print(f"[bench] stage timing skipped: {e}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "1080p_allintra_deblock_fps_1chip",
+        "metric": "1080p_ippp_cabac_deblock_fps_1chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 25.0, 4),

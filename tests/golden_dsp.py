@@ -274,3 +274,113 @@ def sad(a, b):
 def ssd(a, b):
     d = np.asarray(a, dtype=np.int64) - np.asarray(b, dtype=np.int64)
     return int((d * d).sum())
+
+
+def _f1(a, b):
+    return (a + b + 1) >> 1
+
+
+def _f2(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def predict_4x4(mode, left, topleft, top, topright, has_top, has_left):
+    """Scalar spec model of the nine 4x4 luma predictions
+    (common/predict.c:310-498; mode order 0=V 1=H 2=DC 3=DDL 4=DDR 5=VR
+    6=HD 7=VL 8=HU). left l0..l3 top-down; topright t4..t7 (callers
+    substitute t3 when unavailable). Returns (4,4) or None."""
+    l0, l1, l2, l3 = [int(x) for x in left]
+    t0, t1, t2, t3 = [int(x) for x in top]
+    t4, t5, t6, t7 = [int(x) for x in topright]
+    lt = int(topleft)
+    S = np.zeros((4, 4), np.int64)
+    if mode == 0:
+        if not has_top:
+            return None
+        S[:, :] = np.asarray(top, np.int64)[None, :]
+    elif mode == 1:
+        if not has_left:
+            return None
+        S[:, :] = np.asarray(left, np.int64)[:, None]
+    elif mode == 2:
+        if has_top and has_left:
+            d = (t0 + t1 + t2 + t3 + l0 + l1 + l2 + l3 + 4) >> 3
+        elif has_left:
+            d = (l0 + l1 + l2 + l3 + 2) >> 2
+        elif has_top:
+            d = (t0 + t1 + t2 + t3 + 2) >> 2
+        else:
+            d = 128
+        S[:, :] = d
+    elif mode == 3:
+        if not has_top:
+            return None
+        v = [_f2(t0, t1, t2), _f2(t1, t2, t3), _f2(t2, t3, t4),
+             _f2(t3, t4, t5), _f2(t4, t5, t6), _f2(t5, t6, t7),
+             _f2(t6, t7, t7)]
+        for y in range(4):
+            for x in range(4):
+                S[y, x] = v[x + y]
+    elif mode == 4:
+        if not (has_top and has_left):
+            return None
+        m = {3: _f2(t3, t2, t1), 2: _f2(t2, t1, t0), 1: _f2(t1, t0, lt),
+             0: _f2(t0, lt, l0), -1: _f2(lt, l0, l1), -2: _f2(l0, l1, l2),
+             -3: _f2(l1, l2, l3)}
+        for y in range(4):
+            for x in range(4):
+                S[y, x] = m[x - y]
+    elif mode == 5:
+        if not (has_top and has_left):
+            return None
+        A = {(0, 3): _f2(l2, l1, l0), (0, 2): _f2(l1, l0, lt),
+             (0, 1): _f2(l0, lt, t0), (1, 3): _f2(l0, lt, t0),
+             (0, 0): _f1(lt, t0), (1, 2): _f1(lt, t0),
+             (1, 1): _f2(lt, t0, t1), (2, 3): _f2(lt, t0, t1),
+             (1, 0): _f1(t0, t1), (2, 2): _f1(t0, t1),
+             (2, 1): _f2(t0, t1, t2), (3, 3): _f2(t0, t1, t2),
+             (2, 0): _f1(t1, t2), (3, 2): _f1(t1, t2),
+             (3, 1): _f2(t1, t2, t3), (3, 0): _f1(t2, t3)}
+        for (x, y), v in A.items():
+            S[y, x] = v
+    elif mode == 6:
+        if not (has_top and has_left):
+            return None
+        A = {(0, 3): _f1(l2, l3), (1, 3): _f2(l1, l2, l3),
+             (0, 2): _f1(l1, l2), (2, 3): _f1(l1, l2),
+             (1, 2): _f2(l0, l1, l2), (3, 3): _f2(l0, l1, l2),
+             (0, 1): _f1(l0, l1), (2, 2): _f1(l0, l1),
+             (1, 1): _f2(lt, l0, l1), (3, 2): _f2(lt, l0, l1),
+             (0, 0): _f1(lt, l0), (2, 1): _f1(lt, l0),
+             (1, 0): _f2(t0, lt, l0), (3, 1): _f2(t0, lt, l0),
+             (2, 0): _f2(t1, t0, lt), (3, 0): _f2(t2, t1, t0)}
+        for (x, y), v in A.items():
+            S[y, x] = v
+    elif mode == 7:
+        if not has_top:
+            return None
+        A = {(0, 0): _f1(t0, t1), (0, 1): _f2(t0, t1, t2),
+             (1, 0): _f1(t1, t2), (0, 2): _f1(t1, t2),
+             (1, 1): _f2(t1, t2, t3), (0, 3): _f2(t1, t2, t3),
+             (2, 0): _f1(t2, t3), (1, 2): _f1(t2, t3),
+             (2, 1): _f2(t2, t3, t4), (1, 3): _f2(t2, t3, t4),
+             (3, 0): _f1(t3, t4), (2, 2): _f1(t3, t4),
+             (3, 1): _f2(t3, t4, t5), (2, 3): _f2(t3, t4, t5),
+             (3, 2): _f1(t4, t5), (3, 3): _f2(t4, t5, t6)}
+        for (x, y), v in A.items():
+            S[y, x] = v
+    elif mode == 8:
+        if not has_left:
+            return None
+        A = {(0, 0): _f1(l0, l1), (1, 0): _f2(l0, l1, l2),
+             (2, 0): _f1(l1, l2), (0, 1): _f1(l1, l2),
+             (3, 0): _f2(l1, l2, l3), (1, 1): _f2(l1, l2, l3),
+             (2, 1): _f1(l2, l3), (0, 2): _f1(l2, l3),
+             (3, 1): _f2(l2, l3, l3), (1, 2): _f2(l2, l3, l3)}
+        for (x, y), v in A.items():
+            S[y, x] = v
+        for (x, y) in [(3, 2), (1, 3), (0, 3), (2, 2), (2, 3), (3, 3)]:
+            S[y, x] = l3
+    else:
+        return None
+    return S

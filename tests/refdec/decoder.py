@@ -207,7 +207,6 @@ def parse_pps(rbsp: bytes) -> PPSInfo:
     p.pps_id = br.ue()
     p.sps_id = br.ue()
     p.cabac = br.bit()
-    assert p.cabac == 0, "CABAC decode not yet supported"
     p.pic_order_present = br.bit()
     assert br.ue() == 0, "slice groups unsupported"
     p.num_ref_idx_l0 = br.ue() + 1
@@ -286,6 +285,10 @@ class Decoder:
             else:
                 if br.bit():
                     raise NotImplementedError("adaptive marking")
+        cabac_init_idc = 0
+        if pps.cabac and is_p:
+            cabac_init_idc = br.ue()
+        self._cabac_init_idc = cabac_init_idc
         qp = pps.pic_init_qp + br.se()
         disable_deblock, alpha_div2, beta_div2 = 1, 0, 0
         if pps.deblocking_control:
@@ -308,11 +311,19 @@ class Decoder:
 
         qt = enc_tables.DEFAULT_QUANT
 
-        if not is_p:
+        if pps.cabac and is_p:
+            self._decode_p_slice_cabac(br, rbsp, qp, qt, Y, U, V,
+                                       nnz_l, nnz_c, qp_mb, intra_mb,
+                                       mv_f, ref_f)
+        elif pps.cabac:
+            self._decode_i_slice_cabac(br, rbsp, qp, qt, Y, U, V,
+                                       nnz_l, nnz_c, qp_mb, intra_mb)
+        elif not is_p:
+            i4grid = np.full((mb_h * 4, mb_w * 4), 2, np.int64)
             for my in range(mb_h):
                 for mx in range(mb_w):
                     qp = self._decode_mb_i(br, my, mx, qp, qt, Y, U, V,
-                                           nnz_l, nnz_c)
+                                           nnz_l, nnz_c, i4grid=i4grid)
                     qp_mb[my, mx] = qp
                     intra_mb[my, mx] = True
         else:
@@ -350,6 +361,751 @@ class Decoder:
             Y[:mb_h * 16 - sps.crop_b, :mb_w * 16 - sps.crop_r].astype(np.uint8),
             U[:(mb_h * 16 - sps.crop_b) // 2, :(mb_w * 16 - sps.crop_r) // 2].astype(np.uint8),
             V[:(mb_h * 16 - sps.crop_b) // 2, :(mb_w * 16 - sps.crop_r) // 2].astype(np.uint8))
+
+    # ------------------------------------------------------------ CABAC
+    def _decode_i_slice_cabac(self, br, rbsp, qp, qt, Y, U, V,
+                              nnz_l, nnz_c, qp_mb, intra_mb):
+        """CABAC I16x16 slice decode (spec 9.3; context derivations of
+        encoder/cabac.c mirrored)."""
+        from x264_tpu.entropy.cabac import CabacDecoder
+        from x264_tpu.entropy import cabac_tables as ctab
+
+        mb_w, mb_h = self.sps.mb_width, self.sps.mb_height
+        # cabac_alignment_one_bit
+        while br.pos % 8:
+            assert br.bit() == 1, "bad cabac alignment"
+        cd = CabacDecoder(rbsp[br.pos // 8:],
+                          ctab.init_states(True, qp).copy())
+
+        dcnz = np.zeros((mb_h, mb_w), np.int64)
+        cdcnz = np.zeros((2, mb_h, mb_w), np.int64)
+        cm_map = np.zeros((mb_h, mb_w), np.int64)
+        i4mb = np.zeros((mb_h, mb_w), bool)
+        i4grid = np.full((mb_h * 4, mb_w * 4), 2, np.int64)
+        cbp_l_map = np.zeros((mb_h, mb_w), np.int64)
+        cbp_c_map = np.zeros((mb_h, mb_w), np.int64)
+        for my in range(mb_h):
+            for mx in range(mb_w):
+                self._decode_mb_i16_cabac(cd, my, mx, qp, qt, Y, U, V,
+                                          nnz_l, nnz_c, dcnz, cdcnz,
+                                          cm_map, i4mb, i4grid,
+                                          cbp_l_map, cbp_c_map)
+                qp_mb[my, mx] = qp
+                intra_mb[my, mx] = True
+                eos = cd.terminal()
+                is_last = (my == mb_h - 1) and (mx == mb_w - 1)
+                assert eos == (1 if is_last else 0), \
+                    f"end_of_slice at mb ({my},{mx})"
+
+    _MVD_CTX_OFF = [0, 3, 4, 5, 6, 6, 6, 6, 6]
+
+    def _decode_p_slice_cabac(self, br, rbsp, qp, qt, Y, U, V,
+                              nnz_l, nnz_c, qp_mb, intra_mb, mv_f, ref_f):
+        """CABAC P slice decode (P_L0_16x16 + I16x16 + P_Skip)."""
+        from x264_tpu.entropy.cabac import CabacDecoder
+        from x264_tpu.entropy import cabac_tables as ctab
+
+        mb_w, mb_h = self.sps.mb_width, self.sps.mb_height
+        while br.pos % 8:
+            assert br.bit() == 1, "bad cabac alignment"
+        cd = CabacDecoder(rbsp[br.pos // 8:],
+                          ctab.init_states(False, qp,
+                                           self._cabac_init_idc).copy())
+
+        dcnz = np.zeros((mb_h, mb_w), np.int64)
+        cdcnz = np.zeros((2, mb_h, mb_w), np.int64)
+        cm_map = np.zeros((mb_h, mb_w), np.int64)
+        skip_map = np.zeros((mb_h, mb_w), bool)
+        mvd_map = np.zeros((mb_h, mb_w, 2), np.int64)
+        cbp_l_map = np.zeros((mb_h, mb_w), np.int64)
+        cbp_c_map = np.zeros((mb_h, mb_w), np.int64)
+
+        for my in range(mb_h):
+            for mx in range(mb_w):
+                inc = 11 \
+                    + (1 if (mx > 0 and not skip_map[my, mx - 1]) else 0) \
+                    + (1 if (my > 0 and not skip_map[my - 1, mx]) else 0)
+                if cd.decision(inc):
+                    skip_map[my, mx] = True
+                    self._decode_mb_pskip(my, mx, Y, U, V, mv_f, ref_f)
+                else:
+                    self._decode_mb_p_cabac(
+                        cd, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
+                        mv_f, ref_f, intra_mb, dcnz, cdcnz, cm_map,
+                        mvd_map, cbp_l_map, cbp_c_map)
+                qp_mb[my, mx] = qp
+                eos = cd.terminal()
+                is_last = (my == mb_h - 1) and (mx == mb_w - 1)
+                assert eos == (1 if is_last else 0), \
+                    f"end_of_slice at mb ({my},{mx})"
+
+    def _decode_mvd_cabac(self, cd, base, inc):
+        if not cd.decision(base + inc):
+            return 0
+        i = 1
+        while i < 9 and cd.decision(base + self._MVD_CTX_OFF[i]):
+            i += 1
+        a = i if i < 9 else 9 + cd.ue_bypass(3)
+        return -a if cd.bypass() else a
+
+    def _decode_mb_p_cabac(self, cd, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
+                           mv_f, ref_f, intra_mb, dcnz, cdcnz, cm_map,
+                           mvd_map, cbp_l_map, cbp_c_map):
+        pps = self.pps
+        mb_w, mb_h = self.sps.mb_width, self.sps.mb_height
+        avail_l, avail_t = mx > 0, my > 0
+
+        def nz_flag(m, gy, gx, unavail):
+            if gy < 0 or gx < 0:
+                return unavail
+            return 1 if m[gy, gx] else 0
+
+        if cd.decision(14):
+            # ---- intra (I16x16) in P: suffix ctx 17..20
+            assert cd.decision(17) == 1, "I_4x4 in P unsupported"
+            assert cd.terminal() == 0, "I_PCM unsupported"
+            cbp_luma = 15 if cd.decision(18) else 0
+            cbp_chroma = 0
+            if cd.decision(19):
+                cbp_chroma = 2 if cd.decision(19) else 1
+            pred16 = (cd.decision(20) << 1) | cd.decision(20)
+            cctx = 64 \
+                + (1 if (avail_l and cm_map[my, mx - 1] != 0) else 0) \
+                + (1 if (avail_t and cm_map[my - 1, mx] != 0) else 0)
+            if not cd.decision(cctx):
+                cm = 0
+            elif not cd.decision(67):
+                cm = 1
+            elif not cd.decision(67):
+                cm = 2
+            else:
+                cm = 3
+            cm_map[my, mx] = cm
+            assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
+            qpc = _chroma_qp(qp, pps.chroma_qp_offset)
+
+            ctx_dc = 2 * nz_flag(dcnz, my - 1, mx, 1) \
+                + nz_flag(dcnz, my, mx - 1, 1)
+            dc_z = self._residual_cabac(cd, 0, ctx_dc, 16)
+            dcnz[my, mx] = 1 if np.any(dc_z) else 0
+
+            blocks_z = np.zeros((16, 15), np.int64)
+            if cbp_luma:
+                for i in range(16):
+                    bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
+                    gy, gx = my * 4 + by, mx * 4 + bx
+                    inc = 2 * nz_flag(nnz_l, gy - 1, gx, 1) \
+                        + nz_flag(nnz_l, gy, gx - 1, 1)
+                    z = self._residual_cabac(cd, 1, inc, 15)
+                    nnz_l[gy, gx] = np.count_nonzero(z)
+                    blocks_z[i] = z
+            else:
+                nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+
+            cdc, cac = self._decode_chroma_res_cabac(
+                cd, my, mx, cbp_chroma, nnz_c, cdcnz, 1)
+            ref_f[my, mx] = -1
+            intra_mb[my, mx] = True
+            cbp_l_map[my, mx] = cbp_luma
+            cbp_c_map[my, mx] = cbp_chroma
+            self._recon_i16(my, mx, pred16, cm, qp, qpc, qt,
+                            cbp_luma, cbp_chroma, dc_z, blocks_z, cdc, cac,
+                            Y, U, V)
+            return
+
+        # ---- inter P_L0_16x16
+        assert cd.decision(15) == 0, "P 16x8/8x16/8x8 unsupported"
+        assert cd.decision(16) == 0, "P_8x8 unsupported"
+        mvd = np.zeros(2, np.int64)
+        for comp, base in ((0, 40), (1, 47)):
+            am = (abs(int(mvd_map[my, mx - 1, comp])) if avail_l else 0) \
+                + (abs(int(mvd_map[my - 1, mx, comp])) if avail_t else 0)
+            inc = (1 if am > 2 else 0) + (1 if am > 32 else 0)
+            mvd[comp] = self._decode_mvd_cabac(cd, base, inc)
+        mvd_map[my, mx] = mvd
+        mvp = self._mvp_16x16(ref_f, mv_f, my, mx)
+        mv = mvp + mvd
+        mv_f[my, mx] = mv
+        ref_f[my, mx] = 0
+
+        def cbp_nbr(m, gy, gx):
+            if gy < 0 or gx < 0:
+                return -1
+            return int(m[gy, gx])
+
+        cl = cbp_nbr(cbp_l_map, my, mx - 1) if avail_l else -1
+        ct = cbp_nbr(cbp_l_map, my - 1, mx) if avail_t else -1
+        cbp = 0
+        cbp |= cd.decision(76 - ((cl >> 1) & 1) - ((ct >> 1) & 2)) << 0
+        cbp |= cd.decision(76 - ((cbp >> 0) & 1) - ((ct >> 2) & 2)) << 1
+        cbp |= cd.decision(76 - ((cl >> 3) & 1) - ((cbp << 1) & 2)) << 2
+        cbp |= cd.decision(76 - ((cbp >> 2) & 1) - ((cbp >> 0) & 2)) << 3
+        ccl = cbp_nbr(cbp_c_map, my, mx - 1) if avail_l else -1
+        cct = cbp_nbr(cbp_c_map, my - 1, mx) if avail_t else -1
+        c0 = 77 + (1 if (ccl > 0) else 0) + 2 * (1 if (cct > 0) else 0)
+        cbp_chroma = 0
+        if cd.decision(c0):
+            c1 = 77 + 4 + (1 if ccl == 2 else 0) + 2 * (1 if cct == 2 else 0)
+            cbp_chroma = 2 if cd.decision(c1) else 1
+        cbp_l_map[my, mx] = cbp
+        cbp_c_map[my, mx] = cbp_chroma
+        dcnz[my, mx] = 0
+
+        if cbp or cbp_chroma:
+            assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
+        qpc = _chroma_qp(qp, pps.chroma_qp_offset)
+
+        py, pu, pv = self._inter_pred(my, mx, mv)
+        dmf = qt.dequant4_mf[enc_tables.CQM_4PY, qp % 6]
+        mb = py.astype(np.int64)
+        for i in range(16):
+            bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
+            gy, gx = my * 4 + by, mx * 4 + bx
+            if (cbp >> (i // 4)) & 1:
+                inc = 2 * nz_flag(nnz_l, gy - 1, gx, 0) \
+                    + nz_flag(nnz_l, gy, gx - 1, 0)
+                z = self._residual_cabac(cd, 2, inc, 16)
+                nnz_l[gy, gx] = np.count_nonzero(z)
+                blk = np.zeros(16, dtype=np.int64)
+                blk[np.asarray(ZIG4)] = z
+                r = G.idct4x4(G.dequant(blk, dmf, qp, 4).reshape(4, 4))
+                b = mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
+                mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = b
+            else:
+                nnz_l[gy, gx] = 0
+        Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = np.clip(mb, 0, 255)
+
+        cdc, cac = self._decode_chroma_res_cabac(
+            cd, my, mx, cbp_chroma, nnz_c, cdcnz, 0)
+        cdmf = qt.dequant4_mf[enc_tables.CQM_4PC, qpc % 6]
+        for ch, (P, pred) in ((0, (U, pu)), (1, (V, pv))):
+            dc_rec = G.dequant_2x2_dc(
+                G.hadamard2x2(cdc[ch].reshape(2, 2)), int(cdmf[0]), qpc)
+            cmb = pred.astype(np.int64)
+            for i in range(4):
+                bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
+                    int(enc_tables.CHROMA_BLOCK_XY[i][1])
+                if cbp_chroma & 2 and np.any(cac[ch, i]):
+                    a = np.zeros(16, dtype=np.int64)
+                    a[np.asarray(ZIG4)[1:]] = cac[ch, i]
+                    b = G.dequant(a, cdmf, qpc, 4).reshape(4, 4)
+                    b[0, 0] = dc_rec[by, bx]
+                    r = G.idct4x4(b)
+                elif cbp_chroma:
+                    r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
+                                dtype=np.int64)
+                else:
+                    r = np.zeros((4, 4), dtype=np.int64)
+                blk = cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
+                cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    np.clip(blk, 0, 255)
+            P[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = cmb
+
+    def _decode_chroma_res_cabac(self, cd, my, mx, cbp_chroma, nnz_c,
+                                 cdcnz, b_intra):
+        """Chroma DC + AC residual decode shared by intra/inter CABAC."""
+        def nz_flag(m, gy, gx, unavail):
+            if gy < 0 or gx < 0:
+                return unavail
+            return 1 if m[gy, gx] else 0
+
+        cdc = np.zeros((2, 4), np.int64)
+        cac = np.zeros((2, 4, 15), np.int64)
+        if cbp_chroma:
+            for ch in range(2):
+                inc = 2 * nz_flag(cdcnz[ch], my - 1, mx, b_intra) \
+                    + nz_flag(cdcnz[ch], my, mx - 1, b_intra)
+                cdc[ch] = self._residual_cabac(cd, 3, inc, 4)
+                cdcnz[ch, my, mx] = 1 if np.any(cdc[ch]) else 0
+        else:
+            cdcnz[:, my, mx] = 0
+        if cbp_chroma == 2:
+            for ch in range(2):
+                for i in range(4):
+                    bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
+                        int(enc_tables.CHROMA_BLOCK_XY[i][1])
+                    gy, gx = my * 2 + by, mx * 2 + bx
+                    inc = 2 * nz_flag(nnz_c[ch], gy - 1, gx, b_intra) \
+                        + nz_flag(nnz_c[ch], gy, gx - 1, b_intra)
+                    z = self._residual_cabac(cd, 4, inc, 15)
+                    nnz_c[ch, gy, gx] = np.count_nonzero(z)
+                    cac[ch, i] = z
+        else:
+            nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+        return cdc, cac
+
+    _SIG_BASE = [105, 120, 134, 149, 152]
+    _LAST_BASE = [166, 181, 195, 210, 213]
+    _LVL_BASE = [227, 237, 247, 257, 266]
+    _L1_CTX = [1, 2, 3, 4, 0, 0, 0, 0]
+    _GT1_CTX = [5, 5, 5, 5, 6, 7, 8, 9]
+    _NODE_TRANS = [[1, 2, 3, 3, 4, 5, 6, 7], [4, 4, 4, 4, 5, 6, 7, 7]]
+
+    def _residual_cabac(self, cd, cat, cbf_inc, C):
+        """block_residual_write_cabac inverse. Returns scan-order coeffs."""
+        coeffs = np.zeros(C, np.int64)
+        if not cd.decision(85 + 4 * cat + cbf_inc):
+            return coeffs
+        nzpos = []
+        found_last = False
+        for i in range(C - 1):
+            if cd.decision(self._SIG_BASE[cat] + i):
+                nzpos.append(i)
+                if cd.decision(self._LAST_BASE[cat] + i):
+                    found_last = True
+                    break
+        if not found_last:
+            # sigmap covers only C-1 positions: the final scan position
+            # is implicitly significant when no last flag fired
+            nzpos.append(C - 1)
+        node = 0
+        base = self._LVL_BASE[cat]
+        for pos in reversed(nzpos):
+            if cd.decision(base + self._L1_CTX[node]):
+                k = 1
+                gt1 = base + self._GT1_CTX[node]
+                while k < 14 and cd.decision(gt1):
+                    k += 1
+                absm1 = k if k < 14 else 14 + cd.ue_bypass(0)
+                node = self._NODE_TRANS[1][node]
+            else:
+                absm1 = 0
+                node = self._NODE_TRANS[0][node]
+            sign = cd.bypass()
+            coeffs[pos] = -(absm1 + 1) if sign else (absm1 + 1)
+        return coeffs
+
+    def _decode_i4_modes_cabac(self, cd, my, mx, i4grid):
+        modes = []
+        for z in range(16):
+            bx, by = int(BLOCK_XY[z][0]), int(BLOCK_XY[z][1])
+            gy, gx = my * 4 + by, mx * 4 + bx
+            ma = int(i4grid[gy, gx - 1]) if gx > 0 else 2
+            mb = int(i4grid[gy - 1, gx]) if gy > 0 else 2
+            mpm = min(ma, mb)
+            if cd.decision(68):
+                mode = mpm
+            else:
+                rem = cd.decision(69) | (cd.decision(69) << 1) \
+                    | (cd.decision(69) << 2)
+                mode = rem + (rem >= mpm)
+            i4grid[gy, gx] = mode
+            modes.append(mode)
+        return modes
+
+    def _decode_mb_i4_cabac(self, cd, my, mx, qp, qt, Y, U, V,
+                            nnz_l, nnz_c, cdcnz, cm_map, i4grid,
+                            cbp_l_map, cbp_c_map):
+        """I_4x4 macroblock, CABAC (within an I slice)."""
+        pps = self.pps
+        avail_l, avail_t = mx > 0, my > 0
+        modes = self._decode_i4_modes_cabac(cd, my, mx, i4grid)
+
+        cctx = 64 \
+            + (1 if (avail_l and cm_map[my, mx - 1] != 0) else 0) \
+            + (1 if (avail_t and cm_map[my - 1, mx] != 0) else 0)
+        if not cd.decision(cctx):
+            cm = 0
+        elif not cd.decision(67):
+            cm = 1
+        elif not cd.decision(67):
+            cm = 2
+        else:
+            cm = 3
+        cm_map[my, mx] = cm
+
+        def cbp_nbr(m, gy, gx, avail):
+            return int(m[gy, gx]) if avail else -1
+
+        cl = cbp_nbr(cbp_l_map, my, mx - 1, avail_l)
+        ct = cbp_nbr(cbp_l_map, my - 1, mx, avail_t)
+        cbp = 0
+        cbp |= cd.decision(76 - ((cl >> 1) & 1) - ((ct >> 1) & 2)) << 0
+        cbp |= cd.decision(76 - ((cbp >> 0) & 1) - ((ct >> 2) & 2)) << 1
+        cbp |= cd.decision(76 - ((cl >> 3) & 1) - ((cbp << 1) & 2)) << 2
+        cbp |= cd.decision(76 - ((cbp >> 2) & 1) - ((cbp >> 0) & 2)) << 3
+        ccl = cbp_nbr(cbp_c_map, my, mx - 1, avail_l)
+        cct = cbp_nbr(cbp_c_map, my - 1, mx, avail_t)
+        c0 = 77 + (1 if (ccl > 0) else 0) + 2 * (1 if (cct > 0) else 0)
+        cbp_chroma = 0
+        if cd.decision(c0):
+            c1 = 77 + 4 + (1 if ccl == 2 else 0) + 2 * (1 if cct == 2 else 0)
+            cbp_chroma = 2 if cd.decision(c1) else 1
+        cbp_l_map[my, mx] = cbp
+        cbp_c_map[my, mx] = cbp_chroma
+
+        if cbp or cbp_chroma:
+            assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
+        qpc = _chroma_qp(qp, pps.chroma_qp_offset)
+
+        def nz_flag(m, gy, gx):
+            if gy < 0 or gx < 0:
+                return 1            # unavailable -> 1 for intra MBs
+            return 1 if m[gy, gx] else 0
+
+        blocks_z = np.zeros((16, 16), np.int64)
+        for z in range(16):
+            bx, by = int(BLOCK_XY[z][0]), int(BLOCK_XY[z][1])
+            gy, gx = my * 4 + by, mx * 4 + bx
+            if (cbp >> (z // 4)) & 1:
+                inc = 2 * nz_flag(nnz_l, gy - 1, gx) \
+                    + nz_flag(nnz_l, gy, gx - 1)
+                zc = self._residual_cabac(cd, 2, inc, 16)
+                nnz_l[gy, gx] = np.count_nonzero(zc)
+                blocks_z[z] = zc
+            else:
+                nnz_l[gy, gx] = 0
+        self._recon_i4_luma(my, mx, modes, blocks_z, cbp, qp, qt, Y)
+
+        cdc, cac = self._decode_chroma_res_cabac(
+            cd, my, mx, cbp_chroma, nnz_c, cdcnz, 1)
+        cdc2 = np.stack([c.reshape(2, 2) for c in cdc])
+        cac2 = np.zeros((2, 4, 4, 4), np.int64)
+        for ch in range(2):
+            for i in range(4):
+                a = np.zeros(16, np.int64)
+                a[np.asarray(ZIG4)[1:]] = cac[ch, i]
+                cac2[ch, i] = a.reshape(4, 4)
+        self._recon_chroma_intra(my, mx, cm, cbp_chroma, qpc, qt,
+                                 cdc2, cac2, U, V)
+
+    def _decode_mb_i16_cabac(self, cd, my, mx, qp, qt, Y, U, V,
+                             nnz_l, nnz_c, dcnz, cdcnz, cm_map,
+                             i4mb=None, i4grid=None,
+                             cbp_l_map=None, cbp_c_map=None):
+        pps = self.pps
+        mb_w, mb_h = self.sps.mb_width, self.sps.mb_height
+        avail_l, avail_t = mx > 0, my > 0
+
+        # mb_type (x264_cabac_mb_type I branch + mb_type_intra suffix)
+        ctx = 3 \
+            + (1 if (avail_l and not (i4mb is not None
+                                      and i4mb[my, mx - 1])) else 0) \
+            + (1 if (avail_t and not (i4mb is not None
+                                      and i4mb[my - 1, mx])) else 0)
+        if cd.decision(ctx) == 0:
+            assert i4grid is not None, "I_4x4 in this slice unsupported"
+            i4mb[my, mx] = True
+            dcnz[my, mx] = 0
+            self._decode_mb_i4_cabac(cd, my, mx, qp, qt, Y, U, V,
+                                     nnz_l, nnz_c, cdcnz, cm_map, i4grid,
+                                     cbp_l_map, cbp_c_map)
+            return
+        assert cd.terminal() == 0, "I_PCM unsupported"
+        cbp_luma = 15 if cd.decision(6) else 0
+        cbp_chroma = 0
+        if cd.decision(7):
+            cbp_chroma = 2 if cd.decision(8) else 1
+        pred16 = (cd.decision(9) << 1) | cd.decision(10)
+        if cbp_l_map is not None:
+            cbp_l_map[my, mx] = cbp_luma
+            cbp_c_map[my, mx] = cbp_chroma
+
+        # intra_chroma_pred_mode
+        cctx = 64 + (1 if (avail_l and cm_map[my, mx - 1] != 0) else 0) \
+            + (1 if (avail_t and cm_map[my - 1, mx] != 0) else 0)
+        if not cd.decision(cctx):
+            cm = 0
+        elif not cd.decision(67):
+            cm = 1
+        elif not cd.decision(67):
+            cm = 2
+        else:
+            cm = 3
+        cm_map[my, mx] = cm
+
+        # mb_qp_delta (CQP streams: single 0 bin at ctx 60, last_dqp == 0)
+        ctxq = 60
+        val = 0
+        while cd.decision(ctxq):
+            val += 1
+            ctxq = 60 + 2 + ((ctxq - 60) >> 1)
+            assert val < 104
+        dqp = (val + 1) // 2 if val & 1 else -(val // 2)
+        qp = qp + dqp
+        qpc = _chroma_qp(qp, pps.chroma_qp_offset)
+
+        # CBF neighbor increments (x264_cabac_mb_cbf_ctxidxinc)
+        def nz_at(m, gy, gx, h, w):
+            if gy < 0 or gx < 0:
+                return 1      # unavailable -> 1 in intra slices
+            return 1 if m[gy, gx] else 0
+
+        ctx_dc = 2 * nz_at(dcnz, my - 1, mx, mb_h, mb_w) \
+            + nz_at(dcnz, my, mx - 1, mb_h, mb_w)
+        dc_z = self._residual_cabac(cd, 0, ctx_dc, 16)
+        dcnz[my, mx] = 1 if np.any(dc_z) else 0
+
+        blocks_z = np.zeros((16, 15), np.int64)
+        if cbp_luma:
+            for i in range(16):
+                bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
+                gy, gx = my * 4 + by, mx * 4 + bx
+                inc = 2 * nz_at(nnz_l, gy - 1, gx, 0, 0) \
+                    + nz_at(nnz_l, gy, gx - 1, 0, 0)
+                z = self._residual_cabac(cd, 1, inc, 15)
+                nnz_l[gy, gx] = np.count_nonzero(z)
+                blocks_z[i] = z
+        else:
+            nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+
+        cdc = np.zeros((2, 4), np.int64)
+        cac = np.zeros((2, 4, 15), np.int64)
+        if cbp_chroma:
+            for ch in range(2):
+                inc = 2 * nz_at(cdcnz[ch], my - 1, mx, 0, 0) \
+                    + nz_at(cdcnz[ch], my, mx - 1, 0, 0)
+                cdc[ch] = self._residual_cabac(cd, 3, inc, 4)
+                cdcnz[ch, my, mx] = 1 if np.any(cdc[ch]) else 0
+        else:
+            cdcnz[:, my, mx] = 0
+        if cbp_chroma == 2:
+            for ch in range(2):
+                for i in range(4):
+                    bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
+                        int(enc_tables.CHROMA_BLOCK_XY[i][1])
+                    gy, gx = my * 2 + by, mx * 2 + bx
+                    inc = 2 * nz_at(nnz_c[ch], gy - 1, gx, 0, 0) \
+                        + nz_at(nnz_c[ch], gy, gx - 1, 0, 0)
+                    z = self._residual_cabac(cd, 4, inc, 15)
+                    nnz_c[ch, gy, gx] = np.count_nonzero(z)
+                    cac[ch, i] = z
+        else:
+            nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+
+        self._recon_i16(my, mx, pred16, cm, qp, qpc, qt,
+                        cbp_luma, cbp_chroma, dc_z, blocks_z, cdc, cac,
+                        Y, U, V)
+
+    def _recon_i16(self, my, mx, pred16, chroma_pred, qp, qpc, qt,
+                   cbp_luma, cbp_chroma, dc_z, blocks_z, cdc_scan, cac_scan,
+                   Y, U, V):
+        """Shared I16x16 reconstruction from parsed syntax (the recon
+        half of _decode_mb_i, used by the CABAC path)."""
+        has_top, has_left = my > 0, mx > 0
+        y0, x0 = my * 16, mx * 16
+        top = Y[y0 - 1, x0:x0 + 16] if has_top else np.zeros(16, np.int64)
+        left = Y[y0:y0 + 16, x0 - 1] if has_left else np.zeros(16, np.int64)
+        topleft = int(Y[y0 - 1, x0 - 1]) if (has_top and has_left) else 0
+        pred = G.predict_16x16(pred16, top, left, topleft, has_top, has_left)
+        assert pred is not None
+
+        dc = np.zeros(16, dtype=np.int64)
+        dc[np.asarray(ZIG4)] = dc_z
+        dc = dc.reshape(4, 4)
+        dmf = qt.dequant4_mf[enc_tables.CQM_4IY, qp % 6]
+        dc_rec = G.dequant_4x4_dc(G.hadamard4x4_inv(dc), int(dmf[0]), qp)
+        mb = pred.copy()
+        for i in range(16):
+            bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
+            if cbp_luma:
+                ac = np.zeros(16, dtype=np.int64)
+                ac[np.asarray(ZIG4)[1:]] = blocks_z[i]
+                b = G.dequant(ac, dmf, qp, 4).reshape(4, 4)
+                b[0, 0] = dc_rec[by, bx]
+                r = G.idct4x4(b)
+            else:
+                r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
+                            dtype=np.int64)
+            blk = mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
+            mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = np.clip(blk, 0, 255)
+        Y[y0:y0 + 16, x0:x0 + 16] = mb
+
+        c0y, c0x = my * 8, mx * 8
+        cdmf = qt.dequant4_mf[enc_tables.CQM_4IC, qpc % 6]
+        for ch, P in ((0, U), (1, V)):
+            ctop = P[c0y - 1, c0x:c0x + 8] if has_top \
+                else np.zeros(8, np.int64)
+            cleft = P[c0y:c0y + 8, c0x - 1] if has_left \
+                else np.zeros(8, np.int64)
+            ctl = int(P[c0y - 1, c0x - 1]) if (has_top and has_left) else 0
+            cpred = G.predict_8x8c(chroma_pred, ctop, cleft, ctl,
+                                   has_top, has_left)
+            assert cpred is not None
+            dc_rec = G.dequant_2x2_dc(
+                G.hadamard2x2(cdc_scan[ch].reshape(2, 2)), int(cdmf[0]), qpc)
+            cmb = cpred.copy()
+            for i in range(4):
+                bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
+                    int(enc_tables.CHROMA_BLOCK_XY[i][1])
+                if cbp_chroma & 2 and np.any(cac_scan[ch, i]):
+                    a = np.zeros(16, dtype=np.int64)
+                    a[np.asarray(ZIG4)[1:]] = cac_scan[ch, i]
+                    b = G.dequant(a, cdmf, qpc, 4).reshape(4, 4)
+                    b[0, 0] = dc_rec[by, bx]
+                    r = G.idct4x4(b)
+                elif cbp_chroma:
+                    r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
+                                dtype=np.int64)
+                else:
+                    r = np.zeros((4, 4), dtype=np.int64)
+                blk = cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
+                cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    np.clip(blk, 0, 255)
+            P[c0y:c0y + 8, c0x:c0x + 8] = cmb
+
+    # ------------------------------------------------------------ I4x4
+    _ZOF = None   # raster -> z-scan index (lazy init)
+
+    def _i4_tr_avail(self, z, my, mx):
+        """Top-right sample availability for 4x4 block z (decoding-order
+        rule, spec 8.3.1.2.1)."""
+        if Decoder._ZOF is None:
+            zof = np.zeros(16, np.int64)
+            zof[np.asarray(enc_tables.LUMA4x4_RASTER_OF_Z)] = np.arange(16)
+            Decoder._ZOF = zof
+        bx, by = int(BLOCK_XY[z][0]), int(BLOCK_XY[z][1])
+        if by == 0:
+            if my == 0:
+                return False
+            if bx < 3:
+                return True
+            return mx < self.sps.mb_width - 1
+        if bx == 3:
+            return False
+        return int(Decoder._ZOF[(by - 1) * 4 + (bx + 1)]) < z
+
+    def _i4_neighbors(self, Y, my, mx, z):
+        bx, by = int(BLOCK_XY[z][0]), int(BLOCK_XY[z][1])
+        gy, gx = my * 16 + by * 4, mx * 16 + bx * 4
+        ht = (my > 0) or (by > 0)
+        hl = (mx > 0) or (bx > 0)
+        t = Y[gy - 1, gx:gx + 4] if ht else np.zeros(4, np.int64)
+        l = Y[gy:gy + 4, gx - 1] if hl else np.zeros(4, np.int64)
+        lt = int(Y[gy - 1, gx - 1]) if (ht and hl) else 0
+        if self._i4_tr_avail(z, my, mx):
+            tr = Y[gy - 1, gx + 4:gx + 8]
+        else:
+            tr = np.full(4, t[3], np.int64)
+        return l, lt, t, tr, ht, hl
+
+    def _recon_i4_luma(self, my, mx, modes, blocks_z, cbp_luma, qp, qt, Y):
+        """Sequential I4x4 luma reconstruction (z-scan; each block's
+        prediction reads the already-reconstructed plane)."""
+        dmf = qt.dequant4_mf[enc_tables.CQM_4IY, qp % 6]
+        for z in range(16):
+            bx, by = int(BLOCK_XY[z][0]), int(BLOCK_XY[z][1])
+            gy, gx = my * 16 + by * 4, mx * 16 + bx * 4
+            l, lt, t, tr, ht, hl = self._i4_neighbors(Y, my, mx, z)
+            pred = G.predict_4x4(modes[z], l, lt, t, tr, ht, hl)
+            assert pred is not None, f"illegal i4 mode {modes[z]}"
+            if (cbp_luma >> (z // 4)) & 1:
+                blk = np.zeros(16, np.int64)
+                blk[np.asarray(ZIG4)] = blocks_z[z]
+                r = G.idct4x4(G.dequant(blk, dmf, qp, 4).reshape(4, 4))
+            else:
+                r = 0
+            Y[gy:gy + 4, gx:gx + 4] = np.clip(pred + r, 0, 255)
+
+    def _decode_i4_modes_cavlc(self, br, my, mx, i4grid):
+        modes = []
+        for z in range(16):
+            bx, by = int(BLOCK_XY[z][0]), int(BLOCK_XY[z][1])
+            gy, gx = my * 4 + by, mx * 4 + bx
+            ma = int(i4grid[gy, gx - 1]) if gx > 0 else 2
+            mb = int(i4grid[gy - 1, gx]) if gy > 0 else 2
+            mpm = min(ma, mb)
+            if br.bit():
+                mode = mpm
+            else:
+                rem = br.u(3)
+                mode = rem + (rem >= mpm)
+            i4grid[gy, gx] = mode
+            modes.append(mode)
+        return modes
+
+    def _decode_chroma_cavlc(self, br, my, mx, cbp_chroma, qpc, qt,
+                             U, V, nnz_c, intra=True):
+        """Chroma residual parse + recon (shared by I16/I4x4 CAVLC)."""
+        cdc = np.zeros((2, 2, 2), dtype=np.int64)
+        cac = np.zeros((2, 4, 4, 4), dtype=np.int64)
+        if cbp_chroma:
+            for ch in range(2):
+                z = decode_residual(br, -1, 4)
+                cdc[ch] = z.reshape(2, 2)
+            if cbp_chroma & 2:
+                for ch in range(2):
+                    for i in range(4):
+                        bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
+                            int(enc_tables.CHROMA_BLOCK_XY[i][1])
+                        nc = self._nc(nnz_c[ch], my * 2 + by, mx * 2 + bx)
+                        ac_z = decode_residual(br, nc, 15)
+                        nnz_c[ch, my * 2 + by, mx * 2 + bx] = \
+                            np.count_nonzero(ac_z)
+                        a = np.zeros(16, dtype=np.int64)
+                        a[np.asarray(ZIG4)[1:]] = ac_z
+                        cac[ch, i] = a.reshape(4, 4)
+        if not (cbp_chroma & 2):
+            nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+        return cdc, cac
+
+    def _recon_chroma_intra(self, my, mx, chroma_pred, cbp_chroma, qpc, qt,
+                            cdc, cac, U, V):
+        has_top, has_left = my > 0, mx > 0
+        c0y, c0x = my * 8, mx * 8
+        cdmf = qt.dequant4_mf[enc_tables.CQM_4IC, qpc % 6]
+        for ch, P in ((0, U), (1, V)):
+            ctop = P[c0y - 1, c0x:c0x + 8] if has_top \
+                else np.zeros(8, np.int64)
+            cleft = P[c0y:c0y + 8, c0x - 1] if has_left \
+                else np.zeros(8, np.int64)
+            ctl = int(P[c0y - 1, c0x - 1]) if (has_top and has_left) else 0
+            cpred = G.predict_8x8c(chroma_pred, ctop, cleft, ctl,
+                                   has_top, has_left)
+            assert cpred is not None
+            dc_rec = G.dequant_2x2_dc(G.hadamard2x2(cdc[ch]),
+                                      int(cdmf[0]), qpc)
+            cmb = cpred.copy()
+            for i in range(4):
+                bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
+                    int(enc_tables.CHROMA_BLOCK_XY[i][1])
+                if cbp_chroma & 2 and np.any(cac[ch, i]):
+                    b = G.dequant(cac[ch, i].ravel(), cdmf, qpc, 4) \
+                        .reshape(4, 4)
+                    b[0, 0] = dc_rec[by, bx]
+                    r = G.idct4x4(b)
+                elif cbp_chroma:
+                    r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
+                                dtype=np.int64)
+                else:
+                    r = np.zeros((4, 4), dtype=np.int64)
+                blk = cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
+                cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    np.clip(blk, 0, 255)
+            P[c0y:c0y + 8, c0x:c0x + 8] = cmb
+
+    def _decode_mb_i4_cavlc(self, br, my, mx, qp, qt, Y, U, V,
+                            nnz_l, nnz_c, i4grid):
+        """I_4x4 macroblock, CAVLC (mb_type == 0)."""
+        pps = self.pps
+        if pps.transform_8x8:
+            assert br.bit() == 0, "8x8 transform unsupported"
+        modes = self._decode_i4_modes_cavlc(br, my, mx, i4grid)
+        chroma_pred = br.ue()
+        cbp = int(_GOLOMB_TO_CBP_INTRA[br.ue()])
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = qp + br.se()
+        qpc = _chroma_qp(qp, pps.chroma_qp_offset)
+
+        blocks_z = np.zeros((16, 16), np.int64)
+        for z in range(16):
+            bx, by = int(BLOCK_XY[z][0]), int(BLOCK_XY[z][1])
+            gy, gx = my * 4 + by, mx * 4 + bx
+            if (cbp_luma >> (z // 4)) & 1:
+                nc = self._nc(nnz_l, gy, gx)
+                zc = decode_residual(br, nc, 16)
+                nnz_l[gy, gx] = np.count_nonzero(zc)
+                blocks_z[z] = zc
+            else:
+                nnz_l[gy, gx] = 0
+        self._recon_i4_luma(my, mx, modes, blocks_z, cbp_luma, qp, qt, Y)
+
+        cdc, cac = self._decode_chroma_cavlc(br, my, mx, cbp_chroma, qpc,
+                                             qt, U, V, nnz_c)
+        self._recon_chroma_intra(my, mx, chroma_pred, cbp_chroma, qpc, qt,
+                                 cdc, cac, U, V)
+        return qp
 
     # ----------------------------------------------------- MV prediction
     def _nbr(self, ref_f, mv_f, my, mx):
@@ -510,12 +1266,15 @@ class Decoder:
         return 0
 
     def _decode_mb_i(self, br, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
-                     mb_type=None):
+                     mb_type=None, i4grid=None):
         sps, pps = self.sps, self.pps
         if mb_type is None:
             mb_type = br.ue()
         if mb_type == 0:
-            raise NotImplementedError("I_4x4 decode")
+            if i4grid is None:
+                raise NotImplementedError("I_4x4 in this slice context")
+            return self._decode_mb_i4_cavlc(br, my, mx, qp, qt, Y, U, V,
+                                            nnz_l, nnz_c, i4grid)
         if mb_type == 25:
             raise NotImplementedError("I_PCM")
         assert 1 <= mb_type <= 24, mb_type

@@ -99,6 +99,7 @@ def test_fused_pipeline_bytes_match_host_writer():
     for qp in (10, 26, 40):
         p = EncoderParams(i_width=w, i_height=h, b_cabac=False,
                           b_deblocking_filter=False, i_log_level=0)
+        p.analyse.intra = 0     # host writer speaks I16x16 only
         p.rc.i_rc_method = 0
         p.rc.i_qp_constant = qp
         enc = Encoder(p)

@@ -83,14 +83,24 @@ class Encoder:
         # the PAD=32 frame border (the reference instead clamps per-MB,
         # x264_mb_analyse_init, encoder/analyse.c:220)
         self._me_range = min(p.analyse.i_me_range, 24)
+        from ..params import ANALYSE_I4x4
+        self._i4x4 = bool(p.analyse.intra & ANALYSE_I4x4)
+        # subme ladder -> sub-pel refinement stages (the subpel_iterations
+        # table role, encoder/me.c:34-44): 1 = full-pel, 2-3 = half-pel,
+        # >=4 = half+quarter
+        sp = p.analyse.i_subpel_refine
+        self._subpel = () if sp <= 1 else ((2,) if sp <= 3 else (2, 1))
         self.stats = estats.Stats(
             p.i_width, p.i_height, p.i_fps_num / max(1, p.i_fps_den),
             b_psnr=p.analyse.b_psnr, b_ssim=p.analyse.b_ssim)
 
     # ------------------------------------------------------------- headers
     def headers(self) -> bytes:
-        """x264_encoder_headers: SPS + PPS NALs."""
-        return self.sps.write() + self.pps.write()
+        """x264_encoder_headers: SPS + PPS + version SEI NALs
+        (encoder/encoder.c:880-910 + x264_sei_version_write)."""
+        from ..headers import sei_version
+        return (self.sps.write() + self.pps.write()
+                + sei_version(self.params.to_string()))
 
     # ------------------------------------------------------------- encode
     def encode(self, frame: Frame) -> EncodedFrame:
@@ -191,7 +201,7 @@ class Encoder:
 
         if p.b_cabac:
             out = pipeline.encode_i16_idr_cabac(
-                mb_h, mb_w, bool(p.b_deblocking_filter),
+                mb_h, mb_w, bool(p.b_deblocking_filter), self._i4x4,
                 y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
@@ -204,7 +214,7 @@ class Encoder:
             hdr_vals, hdr_lens = edev.header_slots(hdr)
 
             out = pipeline.encode_i16_idr(
-                mb_h, mb_w, bool(p.b_deblocking_filter),
+                mb_h, mb_w, bool(p.b_deblocking_filter), self._i4x4,
                 y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
                 hdr_vals, hdr_lens,
                 2 * p.i_deblocking_filter_alphac0,
@@ -213,6 +223,18 @@ class Encoder:
 
             nbits = int(out["nbits"])
             cap_words = pipeline.capacity_words(mb_h * mb_w)
+            if nbits > cap_words * 32 and self._i4x4:
+                # pathological overflow: retry as pure I16x16 (the host
+                # fallback coder below has no I4x4 syntax); recon and
+                # stream must come from the same encode
+                out = pipeline.encode_i16_idr(
+                    mb_h, mb_w, bool(p.b_deblocking_filter), False,
+                    y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
+                    hdr_vals, hdr_lens,
+                    2 * p.i_deblocking_filter_alphac0,
+                    2 * p.i_deblocking_filter_beta,
+                    p.analyse.i_chroma_qp_offset)
+                nbits = int(out["nbits"])
             if nbits <= cap_words * 32:
                 rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
                 slice_bytes = nal_unit(NAL_SLICE_IDR, 3, rbsp)
@@ -239,30 +261,45 @@ class Encoder:
         qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
         lam = int(tables.LAMBDA_TABLE[qp])
 
-        hdr = BitWriter()
-        self._slice_header(qp, SLICE_P).write_rbsp(hdr, nal_ref_idc=2)
-        hdr_vals, hdr_lens = edev.header_slots(hdr)
-
         mvp_seed = (self._prev_mv if self._prev_mv is not None
                     else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
         ry, ru, rv = self._ref
-        out = pipeline.encode_p(
-            mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
-            y, u, v, ry, ru, rv,
-            self._qtab_p(qp, qp_c), lam, qp, qp_c,
-            hdr_vals, hdr_lens,
-            2 * p.i_deblocking_filter_alphac0,
-            2 * p.i_deblocking_filter_beta,
-            p.analyse.i_chroma_qp_offset,
-            mvp_seed)
+        if p.b_cabac:
+            out = pipeline.encode_p_cabac(
+                mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
+                self._subpel,
+                y, u, v, ry, ru, rv,
+                self._qtab_p(qp, qp_c), lam, qp, qp_c,
+                2 * p.i_deblocking_filter_alphac0,
+                2 * p.i_deblocking_filter_beta,
+                p.analyse.i_chroma_qp_offset,
+                mvp_seed)
+            slice_bytes = self._cabac_nal(out, qp, SLICE_P, NAL_SLICE, 2,
+                                          mb_h * mb_w)
+        else:
+            hdr = BitWriter()
+            self._slice_header(qp, SLICE_P).write_rbsp(hdr, nal_ref_idc=2)
+            hdr_vals, hdr_lens = edev.header_slots(hdr)
 
-        nbits = int(out["nbits"])
-        cap_words = pipeline.capacity_words(mb_h * mb_w)
-        if nbits > cap_words * 32:
-            raise RuntimeError(
-                f"P slice overflowed the device pack buffer ({nbits} bits)")
-        rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
-        slice_bytes = nal_unit(NAL_SLICE, 2, rbsp)
+            out = pipeline.encode_p(
+                mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
+                self._subpel,
+                y, u, v, ry, ru, rv,
+                self._qtab_p(qp, qp_c), lam, qp, qp_c,
+                hdr_vals, hdr_lens,
+                2 * p.i_deblocking_filter_alphac0,
+                2 * p.i_deblocking_filter_beta,
+                p.analyse.i_chroma_qp_offset,
+                mvp_seed)
+
+            nbits = int(out["nbits"])
+            cap_words = pipeline.capacity_words(mb_h * mb_w)
+            if nbits > cap_words * 32:
+                raise RuntimeError(
+                    f"P slice overflowed the device pack buffer "
+                    f"({nbits} bits)")
+            rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
+            slice_bytes = nal_unit(NAL_SLICE, 2, rbsp)
 
         self._prev_mv = out["mv"]
         recon = self._finish_frame(out, frame)

@@ -136,7 +136,8 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab):
 
 
 def encode_p_body(mb_h: int, mb_w: int, me_range: int,
-                  y, u, v, ref_y, ref_u, ref_v, qtab, lam, mvp_seed):
+                  y, u, v, ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
+                  subpel_steps=(2, 1)):
     """Encode one P frame (pre-deblock). All planes int32, MB-aligned;
     ref_* are the deblocked reference reconstruction. mvp_seed:
     (mb_h, mb_w, 2) qpel MV predictors for ME cost (previous frame's
@@ -152,10 +153,13 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     # ---------------------------------------------------------- stage 1: ME
     ref_pad = omc.pad_plane(ref_y.astype(I32))
     planes = omc.hpel_planes(ref_pad)
-    mv_fp, _ = ome.fullpel_search(y, ref_pad, mb_h, mb_w, me_range,
-                                  lam, mvp_seed)
-    mv, satd_inter = ome.subpel_refine(y_tiles, planes, mv_fp, lam,
-                                       mvp_seed)
+    mv_fp, sad_fp = ome.fullpel_search(y, ref_pad, mb_h, mb_w, me_range,
+                                       lam, mvp_seed)
+    if subpel_steps:
+        mv, satd_inter = ome.subpel_refine(y_tiles, planes, mv_fp, lam,
+                                           mvp_seed, steps=subpel_steps)
+    else:      # subme 1: full-pel only (cost stays SAD-comparable)
+        mv, satd_inter = mv_fp, sad_fp
     cost_inter = satd_inter + lam * ome.mv_cost_bits(mv, mvp_seed) \
         + lam  # ue(0) mb_type bit
 

@@ -160,16 +160,21 @@ def chroma_residual(fencc, cpred, qtab, pfx="c"):
     return crecon, cdc_out, cac_out, cnz_ac, cnz_dc
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam):
-    """Encode one all-I16x16 frame.
+@functools.partial(jax.jit, static_argnums=(0, 1, 7))
+def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
+                     i4x4: bool = False):
+    """Encode one intra frame (I16x16, optionally with the I4x4 ladder).
 
     y: (mb_h*16, mb_w*16) int32; u, v: (mb_h*8, mb_w*8) int32.
     qtab: dict of quant table arrays (see core.make_qtab).
     lam: int32 lambda for mode cost.
+    i4x4: also evaluate I_4x4 per MB and pick the cheaper type
+    (x264_mb_analyse_intra ladder, encoder/analyse.c:612-843).
 
-    Returns dict of per-MB arrays (modes, coefficients in zig-zag order,
-    nz flags, recon planes).
+    Returns dict of per-MB arrays. `luma_ac` holds the per-4x4 block
+    coefficients (z-scan, zig-zag): AC-only for I16x16 MBs, full 16
+    coefficients for I4x4 MBs; `i4_mb`/`i4_modes`/`cbp_luma_bits`
+    describe the per-MB type.
     """
     K = min(mb_h, mb_w)            # max wavefront width
     D = mb_h + mb_w - 1            # number of diagonals
@@ -189,6 +194,9 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam):
         luma_ac=jnp.zeros((mb_h, mb_w, 16, 16), I32),
         chroma_dc=jnp.zeros((mb_h, mb_w, 2, 4), I32),
         chroma_ac=jnp.zeros((mb_h, mb_w, 2, 4, 16), I32),
+        i4_mb=jnp.zeros((mb_h, mb_w), bool),
+        i4_modes=jnp.full((mb_h, mb_w, 4, 4), 2, I32),
+        cbp_luma_bits=jnp.zeros((mb_h, mb_w), I32),
     )
 
     def diag_step(state, d):
@@ -214,6 +222,24 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam):
                            qtab, lam)
         mode, recon = lp["mode"], lp["recon"]
         dc_z, ac_z = lp["dc_z"], lp["ac_z"]
+        cbp_bits = jnp.where(lp["cbp"], 15, 0).astype(I32)
+        use_i4 = jnp.zeros_like(has_top)
+        i4_modes_sel = jnp.full((K, 4, 4), 2, I32)
+
+        if i4x4:
+            nmt = jnp.where(has_top[:, None],
+                            state["i4_modes"][ym, xc, 3, :], 2)
+            nml = jnp.where(has_left[:, None],
+                            state["i4_modes"][yc, xm, :, 3], 2)
+            lp4 = luma_i4_path(fenc, top, topleft, left, nmt, nml,
+                               has_top, has_left, qtab, lam)
+            use_i4 = valid & (lp4["cost"] < lp["cost"])
+            sel = use_i4[:, None, None]
+            recon = jnp.where(sel, lp4["recon"], recon)
+            ac_z = jnp.where(sel, lp4["blocks_z"], ac_z)
+            dc_z = jnp.where(use_i4[:, None], 0, dc_z)
+            cbp_bits = jnp.where(use_i4, lp4["cbp_bits"], cbp_bits)
+            i4_modes_sel = jnp.where(sel, lp4["modes"], i4_modes_sel)
 
         # ------------------------------------------------ chroma
         def chroma_path(t_ref, c_tiles):
@@ -258,6 +284,9 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam):
                            jnp.stack([dcu, dcv], axis=1)),
             chroma_ac=scat(state["chroma_ac"],
                            jnp.stack([acu, acv], axis=1)),
+            i4_mb=scat(state["i4_mb"], use_i4),
+            i4_modes=scat(state["i4_modes"], i4_modes_sel),
+            cbp_luma_bits=scat(state["cbp_luma_bits"], cbp_bits),
         )
         return state, None
 
@@ -273,6 +302,9 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam):
         luma_ac=state["luma_ac"],
         chroma_dc=state["chroma_dc"],
         chroma_ac=state["chroma_ac"],
+        i4_mb=state["i4_mb"],
+        i4_modes=state["i4_modes"],
+        cbp_luma_bits=state["cbp_luma_bits"],
     )
 
 
@@ -300,3 +332,112 @@ def make_qtab(qp_y: int, qp_c: int, qt: tables.QuantTables | None = None):
         c_bias_dc=a(qt.quant4_bias[tables.CQM_4IC, qp_c][0] << 1),
         c_qpdiv6=a(qp_c // 6),
     )
+
+
+# z-scan blocks whose top-right samples are not yet decoded in block
+# order: the spec substitutes t3 (8.3.1.2.1) on both encoder and decoder
+_TR_SUBST_Z = (3, 7, 11, 13, 15)
+# z 5's top-right lies in the top-right *MB*, which raster decode order
+# has but the anti-diagonal wavefront does not: DDL/VL are simply never
+# chosen there (a conformant restriction, no substitution mismatch)
+_TR_MASK_Z = (5,)
+
+# mode bits: 1 if most-probable, else 1+3 (prev_intra4x4_pred_mode
+# syntax, encoder/cavlc.c:395-404)
+_I4_COST_BITS = 24   # mb-level signalling cost (x264_mb_analyse_intra)
+
+
+def luma_i4_path(fenc, top_row, topleft_px, left_col,
+                 nbr_modes_top, nbr_modes_left, has_top, has_left,
+                 qtab, lam):
+    """I4x4 luma: 16 blocks in z-scan order, sequential (each reads the
+    reconstruction of its decoded neighbors), vectorized over a batch of
+    MBs (x264_mb_analyse_intra i4x4 ladder, encoder/analyse.c:707-843 +
+    x264_mb_encode_i4x4, encoder/macroblock.c:116).
+
+    fenc: (K,16,16); top_row/left_col: (K,16) from neighbor MB recon;
+    topleft_px: (K,); nbr_modes_top/left: (K,4) neighbor-MB block modes
+    (2 where the neighbor is absent or not I4x4).
+    Returns dict(cost, modes (K,4,4) raster, blocks_z (K,16,16) zig-zag
+    full-coefficient blocks in z-scan order, recon (K,16,16),
+    cbp_bits (K,), nnz_z (K,16)).
+    """
+    K = fenc.shape[0]
+    zig = jnp.asarray(tables.ZIGZAG4)
+    ext = jnp.zeros((K, 17, 21), I32)
+    ext = ext.at[:, 0, 0].set(topleft_px)
+    ext = ext.at[:, 0, 1:17].set(top_row)
+    ext = ext.at[:, 0, 17:21].set(
+        jnp.broadcast_to(top_row[:, 15:16], (K, 4)))
+    ext = ext.at[:, 1:17, 0].set(left_col)
+
+    modes_r = jnp.full((K, 4, 4), 2, I32)    # raster grid, DC default
+    total_cost = jnp.zeros(K, I32)
+    blocks_z = jnp.zeros((K, 16, 16), I32)
+    nnz_z = jnp.zeros((K, 16), I32)
+    recon_parts = {}
+
+    mode_ids = jnp.arange(9, dtype=I32)
+    for z in range(16):
+        bx, by = int(tables.LUMA4x4_BLOCK_XY[z][0]), \
+            int(tables.LUMA4x4_BLOCK_XY[z][1])
+        t = ext[:, 4 * by, 1 + 4 * bx:5 + 4 * bx]
+        tl = ext[:, 4 * by, 4 * bx]
+        l = ext[:, 1 + 4 * by:5 + 4 * by, 4 * bx]
+        if z in _TR_SUBST_Z or z in _TR_MASK_Z:
+            tr = jnp.broadcast_to(t[:, 3:4], (K, 4))
+        else:
+            tr = ext[:, 4 * by, 5 + 4 * bx:9 + 4 * bx]
+
+        ht = has_top if by == 0 else jnp.ones_like(has_top)
+        hl = has_left if bx == 0 else jnp.ones_like(has_left)
+        # edge rows/cols of ext are only valid when the neighbor exists;
+        # unavailable-mode costs are masked below so garbage is inert
+
+        preds = opred.predict_4x4(l, tl, t, tr, ht, hl)   # (K,9,4,4)
+        avail = opred.mode_available_4x4(ht, hl)
+        if z in _TR_MASK_Z:
+            avail = avail.at[:, 3].set(False).at[:, 7].set(False)
+
+        lmode = modes_r[:, by, bx - 1] if bx > 0 else nbr_modes_left[:, by]
+        tmode = modes_r[:, by - 1, bx] if by > 0 else nbr_modes_top[:, bx]
+        mpm = jnp.minimum(lmode, tmode)
+
+        fb = fenc[:, 4 * by:4 * by + 4, 4 * bx:4 * bx + 4]
+        satd = opix.satd(fb[:, None], preds)              # (K,9)
+        bits = jnp.where(mode_ids[None, :] == mpm[:, None], 1, 4)
+        cost = jnp.where(avail, satd + lam * bits, _BIG)
+        mode = jnp.argmin(cost, axis=-1).astype(I32)
+        total_cost = total_cost + jnp.min(cost, axis=-1)
+        pred = jnp.take_along_axis(
+            preds, mode[:, None, None, None], axis=1)[:, 0]
+
+        coef = odct.dct4x4(fb - pred)
+        lv = oquant.quant(coef.reshape(K, 16), qtab["y_mf"], qtab["y_bias"])
+        nnz = jnp.count_nonzero(lv, axis=-1).astype(I32)
+        deq = oquant.dequant(lv, qtab["y_dmf"], qtab["y_qpdiv6"], 4)
+        rec = jnp.clip(pred + odct.idct4x4(deq.reshape(K, 4, 4)), 0, 255)
+
+        ext = ext.at[:, 1 + 4 * by:5 + 4 * by, 1 + 4 * bx:5 + 4 * bx] \
+            .set(rec)
+        modes_r = modes_r.at[:, by, bx].set(mode)
+        blocks_z = blocks_z.at[:, z].set(lv[:, zig])
+        nnz_z = nnz_z.at[:, z].set(nnz)
+
+    cbp8 = (nnz_z.reshape(K, 4, 4).sum(axis=-1) > 0)      # per z-group
+    cbp_bits = (cbp8[:, 0] * 1 + cbp8[:, 1] * 2
+                + cbp8[:, 2] * 4 + cbp8[:, 3] * 8).astype(I32)
+    # uncoded groups drop their residual: zero them so recon == decoder
+    keep = jnp.repeat(cbp8, 4, axis=1)                    # (K,16) z-scan
+    blocks_z = blocks_z * keep[..., None]
+    nnz_z = nnz_z * keep
+
+    # rebuild recon honoring dropped groups (pred of later blocks used
+    # the undropped recon — matching the decoder requires re-walking, so
+    # instead drop is only applied when the whole group quantized to
+    # zero anyway; nonzero groups are never dropped (no decimation yet)
+    recon = ext[:, 1:17, 1:17]
+
+    return dict(cost=total_cost + lam * _I4_COST_BITS, modes=modes_r,
+                blocks_z=blocks_z, recon=recon,
+                cbp_bits=cbp_bits, nnz_z=nnz_z)

@@ -32,8 +32,8 @@ def capacity_words(nmb: int) -> int:
     return (nmb * CAP_BITS_PER_MB + edev.HDR_SLOTS * 32 + 4096) // 32
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
                    y, u, v, qtab, lam, qp, qp_c,
                    hdr_vals, hdr_lens,
                    alpha_off, beta_off, chroma_qp_offset):
@@ -46,7 +46,7 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool,
     `nbits` (including the rbsp stop bit).
     """
     y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
-    out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam)
+    out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam, i4x4)
 
     vals, lens = edev.i16_code_planes(out, mb_h, mb_w)
     stop_v = jnp.ones((1,), I32)         # rbsp_trailing stop bit
@@ -72,8 +72,9 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool,
                 mode16=out["mode16"], modec=out["modec"])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
+             subpel_steps,
              y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
              hdr_vals, hdr_lens, alpha_off, beta_off, chroma_qp_offset,
              mvp_seed):
@@ -87,7 +88,8 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     ref_y, ref_u, ref_v = (p.astype(jnp.int32)
                            for p in (ref_y, ref_u, ref_v))
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
-                              ref_y, ref_u, ref_v, qtab, lam, mvp_seed)
+                              ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
+                              subpel_steps)
 
     vals, lens = edev.p_code_planes(out, mb_h, mb_w)
     stop = jnp.ones((1,), I32)
@@ -112,18 +114,19 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                 skip=out["skip"])
 
 
-# op-stream capacity per MB for the CABAC path (typical slices use a few
-# hundred ops/MB; the host checks n_ops and raises on overflow rather
-# than emit a truncated stream)
-CABAC_OPS_PER_MB = 1024
+# op-stream capacity per MB for the CABAC path: the slot layout is
+# bounded (header ~40 + 27 residual blocks <= ~2750 slots), so this
+# covers the true worst case; the host still checks n_ops
+CABAC_OPS_PER_MB = 2900
 
 
 def cabac_capacity(nmb: int) -> int:
     return nmb * CABAC_OPS_PER_MB + 1024
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
+                         i4x4: bool,
                          y, u, v, qtab, lam, qp, qp_c,
                          alpha_off, beta_off, chroma_qp_offset):
     """All-I16x16 IDR frame, CABAC entropy: the wavefront encode runs as
@@ -132,7 +135,7 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
     from ..entropy import cabac_planes
 
     y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
-    out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam)
+    out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam, i4x4)
 
     ops = cabac_planes.i16_slice_ops(out, mb_h, mb_w)
     cops, n_ops = cabac_planes.compact_ops(ops, cabac_capacity(mb_h * mb_w))
@@ -151,3 +154,38 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
     return dict(recon_y=ry, recon_u=ru, recon_v=rv,
                 ops=cops, n_ops=n_ops,
                 mode16=out["mode16"], modec=out["modec"])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
+                   subpel_steps,
+                   y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
+                   alpha_off, beta_off, chroma_qp_offset, mvp_seed):
+    """P frame with CABAC entropy: same encode as encode_p, emitting the
+    packed bin-op stream for the host arithmetic coder."""
+    from ..entropy import cabac_planes
+
+    y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
+    ref_y, ref_u, ref_v = (p.astype(jnp.int32)
+                           for p in (ref_y, ref_u, ref_v))
+    out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
+                              ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
+                              subpel_steps)
+
+    ops = cabac_planes.p_slice_ops(out, mb_h, mb_w)
+    cops, n_ops = cabac_planes.compact_ops(ops, cabac_capacity(mb_h * mb_w))
+
+    ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+    if deblock_on:
+        qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
+        zmv = jnp.zeros((mb_h * 4, mb_w * 4, 2), I32)
+        z4 = jnp.zeros((mb_h * 4, mb_w * 4), I32)
+        ry, ru, rv = odeblock.deblock_frame(
+            mb_h, mb_w, ry, ru, rv, qp_mb, out["intra_mb"],
+            out["nnz4"], out["ref4"], out["mv4"], z4, zmv, False,
+            alpha_off, beta_off, chroma_qp_offset)
+
+    return dict(recon_y=ry, recon_u=ru, recon_v=rv,
+                ops=cops, n_ops=n_ops,
+                mv=out["mv"], intra_mb=out["intra_mb"],
+                skip=out["skip"])

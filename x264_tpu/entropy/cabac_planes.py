@@ -117,9 +117,40 @@ def _nbr_grids(flag_map, unavail):
     return a, b
 
 
+def i4_pred_mode_ops(i4_mb, i4_modes, mb_h: int, mb_w: int):
+    """Per-block intra-4x4 pred-mode bins in z-scan order, 4 slots per
+    block (x264_cabac_mb_intra4x4_pred_mode, encoder/cabac.c:199)."""
+    from .. import tables
+
+    nmb = mb_h * mb_w
+    grid = i4_modes.swapaxes(1, 2).reshape(mb_h * 4, mb_w * 4)
+    lg = jnp.full_like(grid, 2).at[:, 1:].set(grid[:, :-1])
+    tg = jnp.full_like(grid, 2).at[1:, :].set(grid[:-1, :])
+    mpm = jnp.minimum(lg, tg)
+    eq = grid == mpm
+    rem = grid - (grid > mpm)
+
+    def to_z(g):
+        z = g.reshape(mb_h, 4, mb_w, 4).swapaxes(1, 2).reshape(nmb, 16)
+        return z[:, jnp.asarray(tables.LUMA4x4_RASTER_OF_Z)]
+
+    eq_z, rem_z = to_z(eq), to_z(rem)
+    i4f = i4_mb.reshape(nmb)
+    slots = []
+    for i in range(16):
+        act = i4f
+        slots.append(_sel(act, op(KIND_DECISION, jnp.full(nmb, 68, I32),
+                                  eq_z[:, i])))
+        for k in range(3):
+            slots.append(_sel(act & ~eq_z[:, i],
+                              op(KIND_DECISION, jnp.full(nmb, 69, I32),
+                                 (rem_z[:, i] >> k) & 1)))
+    return jnp.stack(slots, axis=1)        # (nmb, 64)
+
+
 def i16_slice_ops(out, mb_h: int, mb_w: int):
-    """Packed op planes for a whole I16x16 CABAC slice, flattened in
-    syntax order (x264_macroblock_write_cabac I_16x16 path,
+    """Packed op planes for a whole intra CABAC slice (I16x16 + I4x4),
+    flattened in syntax order (x264_macroblock_write_cabac intra paths,
     encoder/cabac.c:781-1025 + per-MB end_of_slice terminal)."""
     from .. import tables
 
@@ -132,7 +163,20 @@ def i16_slice_ops(out, mb_h: int, mb_w: int):
     mode16 = out["mode16"].reshape(nmb).astype(I32)
     modec = out["modec"].reshape(mb_h, mb_w).astype(I32)
 
-    cbp_luma = jnp.any(luma_ac[..., 1:] != 0, axis=(-2, -1))   # (nmb,)
+    i4_mb = out.get("i4_mb")
+    if i4_mb is None:
+        i4_mb = jnp.zeros((mb_h, mb_w), bool)
+        i4_modes = jnp.full((mb_h, mb_w, 4, 4), 2, I32)
+        cbp_l_bits = jnp.where(
+            jnp.any(luma_ac[..., 1:] != 0, axis=(-2, -1)), 15, 0
+        ).astype(I32).reshape(mb_h, mb_w)
+    else:
+        i4_modes = out["i4_modes"]
+        cbp_l_bits = out["cbp_luma_bits"].astype(I32)
+    i4f = i4_mb.reshape(nmb)
+    cbp_lf = cbp_l_bits.reshape(nmb)
+    cbp_luma16 = (~i4f) & (cbp_lf > 0)
+
     cnz_ac = jnp.any(chroma_ac[..., 1:] != 0, axis=(-3, -2, -1))
     cnz_dc = jnp.any(chroma_dc != 0, axis=(-2, -1))
     cbp_chroma = jnp.where(cnz_ac, 2, jnp.where(cnz_dc, 1, 0)).astype(I32)
@@ -141,36 +185,70 @@ def i16_slice_ops(out, mb_h: int, mb_w: int):
     avail_l = (xmb > 0).reshape(nmb)
     avail_t = (ymb > 0).reshape(nmb)
 
-    # ---- header slots (11)
-    ctx_mbtype = 3 + avail_l.astype(I32) + avail_t.astype(I32)
+    # ---- mb_type: ctxInc counts available non-I4x4 neighbors
+    ni4_l, ni4_t = _nbr_grids((~i4_mb).astype(I32), 0)
+    ctx_mbtype = 3 + (avail_l & (ni4_l.reshape(nmb) > 0)).astype(I32) \
+        + (avail_t & (ni4_t.reshape(nmb) > 0)).astype(I32)
     h = [
-        op(KIND_DECISION, ctx_mbtype, 1),          # not I_4x4
-        jnp.broadcast_to(op(KIND_TERMINAL, 0, 0), (nmb,)),  # not I_PCM
-        op(KIND_DECISION, jnp.full(nmb, 6, I32), cbp_luma),
-        op(KIND_DECISION, jnp.full(nmb, 7, I32), cbp_chroma > 0),
-        _sel(cbp_chroma > 0,
+        op(KIND_DECISION, ctx_mbtype, ~i4f),
+        _sel(~i4f, jnp.broadcast_to(op(KIND_TERMINAL, 0, 0), (nmb,))),
+        _sel(~i4f, op(KIND_DECISION, jnp.full(nmb, 6, I32), cbp_luma16)),
+        _sel(~i4f, op(KIND_DECISION, jnp.full(nmb, 7, I32),
+                      cbp_chroma > 0)),
+        _sel((~i4f) & (cbp_chroma > 0),
              op(KIND_DECISION, jnp.full(nmb, 8, I32), cbp_chroma == 2)),
-        op(KIND_DECISION, jnp.full(nmb, 9, I32), mode16 >> 1),
-        op(KIND_DECISION, jnp.full(nmb, 10, I32), mode16 & 1),
+        _sel(~i4f, op(KIND_DECISION, jnp.full(nmb, 9, I32), mode16 >> 1)),
+        _sel(~i4f, op(KIND_DECISION, jnp.full(nmb, 10, I32), mode16 & 1)),
     ]
+    header1 = jnp.stack(h, axis=1)
+
+    pm_ops = i4_pred_mode_ops(i4_mb, i4_modes, mb_h, mb_w)
+
+    h2 = []
     cm_l, cm_t = _nbr_grids(modec, 0)
     cctx = (64 + (cm_l != 0).astype(I32) + (cm_t != 0).astype(I32)) \
         .reshape(nmb)
     cm = modec.reshape(nmb)
-    h.append(op(KIND_DECISION, cctx, cm > 0))
-    h.append(_sel(cm > 0, op(KIND_DECISION, jnp.full(nmb, 67, I32), cm > 1)))
-    h.append(_sel(cm > 1, op(KIND_DECISION, jnp.full(nmb, 67, I32), cm > 2)))
+    h2.append(op(KIND_DECISION, cctx, cm > 0))
+    h2.append(_sel(cm > 0, op(KIND_DECISION, jnp.full(nmb, 67, I32),
+                              cm > 1)))
+    h2.append(_sel(cm > 1, op(KIND_DECISION, jnp.full(nmb, 67, I32),
+                              cm > 2)))
+    # ---- cbp for I_4x4 (x264_cabac_mb_cbp_luma/chroma ctx formulas)
+    cbp_all = cbp_l_bits
+    cbl_l, cbl_t = _nbr_grids(cbp_all, -1)
+    ctx0 = 76 - ((cbl_l >> 1) & 1) - ((cbl_t >> 1) & 2)
+    ctx1 = 76 - ((cbp_all >> 0) & 1) - ((cbl_t >> 2) & 2)
+    ctx2 = 76 - ((cbl_l >> 3) & 1) - ((cbp_all << 1) & 2)
+    ctx3 = 76 - ((cbp_all >> 2) & 1) - ((cbp_all >> 0) & 2)
+    for k, cx in enumerate((ctx0, ctx1, ctx2, ctx3)):
+        h2.append(_sel(i4f, op(KIND_DECISION, cx.reshape(nmb),
+                               (cbp_lf >> k) & 1)))
+    cbc_all = cbp_chroma.reshape(mb_h, mb_w)
+    cbc_l, cbc_t = _nbr_grids(cbc_all, -1)
+    c0 = 77 + ((cbc_l > 0) & (cbc_l != -1)).astype(I32) \
+        + 2 * ((cbc_t > 0) & (cbc_t != -1)).astype(I32)
+    c1 = 77 + 4 + (cbc_l == 2).astype(I32) + 2 * (cbc_t == 2).astype(I32)
+    h2.append(_sel(i4f, op(KIND_DECISION, c0.reshape(nmb),
+                           cbp_chroma > 0)))
+    h2.append(_sel(i4f & (cbp_chroma > 0),
+                   op(KIND_DECISION, c1.reshape(nmb), cbp_chroma == 2)))
     # dqp = 0 under CQP; ctx 60 since last_dqp == 0
     # (x264_cabac_mb_qp_delta, encoder/cabac.c:271)
-    h.append(op(KIND_DECISION, jnp.full(nmb, 60, I32), 0))
-    header = jnp.stack(h, axis=1)
+    has_dqp = (~i4f) | (cbp_lf > 0) | (cbp_chroma > 0)
+    h2.append(_sel(has_dqp, op(KIND_DECISION, jnp.full(nmb, 60, I32), 0)))
+    header2 = jnp.stack(h2, axis=1)
 
     # ---- CBF neighbor contexts (cbf_ctxidxinc, encoder/cabac.c:508)
-    dc_nz = jnp.any(luma_dc != 0, axis=-1).reshape(mb_h, mb_w).astype(I32)
+    dc_nz = (jnp.any(luma_dc != 0, axis=-1).reshape(mb_h, mb_w)
+             & (~i4_mb)).astype(I32)
     a, b = _nbr_grids(dc_nz, 1)          # unavailable -> 1 (intra slice)
     ctx_dc = (2 * b + a).reshape(nmb)
 
-    counts_z = (jnp.count_nonzero(luma_ac[..., 1:], axis=-1) > 0).astype(I32)
+    grp_bit = (cbp_lf[:, None] >> (jnp.arange(16, dtype=I32) // 4)) & 1
+    blk_coded = grp_bit > 0
+    counts_z = (jnp.count_nonzero(luma_ac, axis=-1) > 0).astype(I32) \
+        * blk_coded
     counts_raster = jnp.zeros_like(counts_z).at[:, R].set(counts_z)
     lmap = counts_raster.reshape(mb_h, mb_w, 4, 4).swapaxes(1, 2) \
         .reshape(mb_h * 4, mb_w * 4)
@@ -194,12 +272,21 @@ def i16_slice_ops(out, mb_h: int, mb_w: int):
     ctx_cdc = jnp.stack(ctx_cdc, axis=1)              # (nmb, 2)
     ctx_cac = jnp.stack(ctx_cac, axis=1)              # (nmb, 2, 4)
 
-    # ---- residual blocks
-    ones = jnp.ones(nmb, bool)
-    dc_ops = residual_block_ops(luma_dc, 0, ctx_dc, ones)
-    ac_ops = residual_block_ops(
+    # ---- residual blocks (I16: DC cat0 + AC cat1; I4x4: cat2 full)
+    dc_ops = residual_block_ops(luma_dc, 0, ctx_dc, ~i4f)
+    ac15 = residual_block_ops(
         luma_ac[..., 1:].reshape(nmb * 16, 15), 1,
-        ctx_ac.reshape(nmb * 16), jnp.repeat(cbp_luma, 16))
+        ctx_ac.reshape(nmb * 16),
+        jnp.repeat((~i4f) & (cbp_lf > 0), 16))
+    full16 = residual_block_ops(
+        luma_ac.reshape(nmb * 16, 16), 2,
+        ctx_ac.reshape(nmb * 16),
+        jnp.repeat(i4f, 16) & blk_coded.reshape(nmb * 16))
+    w15, w16 = ac15.shape[1], full16.shape[1]
+    ac15p = jnp.concatenate(
+        [ac15, jnp.full((nmb * 16, w16 - w15), PAD_OP)], axis=1)
+    blk_ops = jnp.where(jnp.repeat(i4f, 16)[:, None], full16, ac15p) \
+        .reshape(nmb, -1)
     cdc_ops = residual_block_ops(
         chroma_dc.reshape(nmb * 2, 4), 3,
         ctx_cdc.reshape(nmb * 2), jnp.repeat(cbp_chroma > 0, 2))
@@ -213,9 +300,11 @@ def i16_slice_ops(out, mb_h: int, mb_w: int):
     term = _sel(~is_last, jnp.broadcast_to(op(KIND_TERMINAL, 0, 0), (nmb,)))
 
     allops = jnp.concatenate([
-        header,
+        header1,
+        pm_ops,
+        header2,
         dc_ops,
-        ac_ops.reshape(nmb, -1),
+        blk_ops,
         cdc_ops.reshape(nmb, -1),
         cac_ops.reshape(nmb, -1),
         term[:, None]], axis=1)
@@ -229,3 +318,217 @@ def compact_ops(ops_flat, cap: int):
     dst = jnp.where(keep, pos, cap)
     out = jnp.zeros(cap, U32).at[dst].set(ops_flat, mode="drop")
     return out, keep.sum()
+
+
+# mvd unary context ladder (x264_cabac_mb_mvd_cpn ctxes, encoder/cabac.c)
+# per-position ctx offsets for unary bins 1..8 relative to the component
+# base (40 for x, 47 for y): 3,4,5,6,6,6,6,6
+_MVD_TERM_OFF = np.array([0, 3, 4, 5, 6, 6, 6, 6, 6], np.int32)
+
+
+def _mvd_component_ops(mvd_c, base: int, inc, active):
+    """8 slots of UEG3 mvd binarization for one component
+    (x264_cabac_mb_mvd_cpn, encoder/cabac.c:444).
+
+    mvd_c/inc/active: (N,). Returns list of 8 op arrays."""
+    a = jnp.abs(mvd_c)
+    s0 = _sel(active, op(KIND_DECISION, base + inc, a > 0))
+    u1 = _sel(active & (a >= 2), op(KIND_DECISION, jnp.int32(base + 3), 1))
+    u2 = _sel(active & (a >= 3), op(KIND_DECISION, jnp.int32(base + 4), 1))
+    u3 = _sel(active & (a >= 4), op(KIND_DECISION, jnp.int32(base + 5), 1))
+    ones = jnp.clip(jnp.minimum(a - 1, 8) - 3, 0, 5)
+    run = _sel(active & (ones > 0), op(KIND_ONES, jnp.int32(base + 6), ones))
+    term_ctx = base + jnp.asarray(_MVD_TERM_OFF)[jnp.clip(a, 0, 8)]
+    term = _sel(active & (a >= 1) & (a < 9), op(KIND_DECISION, term_ctx, 0))
+    ue = _sel(active & (a >= 9), op(KIND_UE, jnp.maximum(a - 9, 0), 3))
+    sign = _sel(active & (a >= 1), op(KIND_BYPASS, mvd_c < 0, 1))
+    return [s0, u1, u2, u3, run, term, ue, sign]
+
+
+def _cbf_ctx_from_grid(grid, intra_cur_grid):
+    """CBF ctxIdxInc on a block grid: neighbor nonzero flags, with
+    outside-frame resolving to the *current* MB's intra flag
+    (the 0x7f/0x80 masking of cbf_ctxidxinc, encoder/cabac.c:508)."""
+    a, b = _nbr_grids(grid, 2)            # 2 = outside sentinel
+    ia = jnp.where(a == 2, intra_cur_grid, a)
+    ib = jnp.where(b == 2, intra_cur_grid, b)
+    return 2 * ib + ia
+
+
+def p_slice_ops(out, mb_h: int, mb_w: int):
+    """Packed op planes for a whole P CABAC slice
+    (x264_macroblock_write_cabac P branch + x264_cabac_mb_skip,
+    encoder/cabac.c:300-306,781-1025)."""
+    from .. import tables
+
+    nmb = mb_h * mb_w
+    R = jnp.asarray(tables.LUMA4x4_RASTER_OF_Z)
+    intra = out["intra_mb"].reshape(mb_h, mb_w)
+    skip = out["skip"].reshape(mb_h, mb_w)
+    cbp_l = out["cbp_luma_bits"].reshape(mb_h, mb_w).astype(I32)
+    cbp_c = out["cbp_chroma"].reshape(mb_h, mb_w).astype(I32)
+    luma_blocks = out["luma_blocks"].reshape(nmb, 16, 16)
+    luma_dc = out["luma_dc"].reshape(nmb, 16)
+    chroma_dc = out["chroma_dc"].reshape(nmb, 2, 4)
+    chroma_ac = out["chroma_ac"].reshape(nmb, 2, 4, 16)
+    mvd = out["mvd"].reshape(nmb, 2)
+    mode16 = out["mode16"].reshape(nmb).astype(I32)
+    modec = jnp.where(intra, out["modec"].reshape(mb_h, mb_w), 0).astype(I32)
+
+    intra_f = intra.reshape(nmb)
+    skip_f = skip.reshape(nmb)
+    coded = ~skip_f
+    inter_f = coded & ~intra_f
+    cbp_lf = cbp_l.reshape(nmb)
+    cbp_cf = cbp_c.reshape(nmb)
+
+    slots = []
+
+    # ---- mb_skip_flag (ctx 11 + non-skip neighbors)
+    nonskip = (~skip).astype(I32)
+    a, b = _nbr_grids(nonskip, 0)          # unavailable contributes 0
+    skip_ctx = (11 + a + b).reshape(nmb)
+    slots.append(op(KIND_DECISION, skip_ctx, skip_f))
+
+    # ---- mb_type: P prefix 14/15/16; intra suffix ctx 17..20
+    slots.append(_sel(coded, op(KIND_DECISION, jnp.full(nmb, 14, I32),
+                                intra_f)))
+    slots.append(_sel(inter_f, op(KIND_DECISION, jnp.full(nmb, 15, I32), 0)))
+    slots.append(_sel(inter_f, op(KIND_DECISION, jnp.full(nmb, 16, I32), 0)))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 17, I32), 1)))
+    slots.append(_sel(intra_f,
+                      jnp.broadcast_to(op(KIND_TERMINAL, 0, 0), (nmb,))))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 18, I32),
+                                  cbp_lf > 0)))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 19, I32),
+                                  cbp_cf > 0)))
+    slots.append(_sel(intra_f & (cbp_cf > 0),
+                      op(KIND_DECISION, jnp.full(nmb, 19, I32), cbp_cf == 2)))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 20, I32),
+                                  mode16 >> 1)))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 20, I32),
+                                  mode16 & 1)))
+
+    # ---- intra chroma pred mode
+    cm_l, cm_t = _nbr_grids(modec, 0)
+    cctx = (64 + (cm_l != 0).astype(I32) + (cm_t != 0).astype(I32)) \
+        .reshape(nmb)
+    cm = modec.reshape(nmb)
+    slots.append(_sel(intra_f, op(KIND_DECISION, cctx, cm > 0)))
+    slots.append(_sel(intra_f & (cm > 0),
+                      op(KIND_DECISION, jnp.full(nmb, 67, I32), cm > 1)))
+    slots.append(_sel(intra_f & (cm > 1),
+                      op(KIND_DECISION, jnp.full(nmb, 67, I32), cm > 2)))
+
+    # ---- mvd (inter): ctx inc from neighbor |mvd| sums (mvd of
+    # intra/skip/unavailable MBs is 0 in the cache)
+    mvd_map = jnp.where((intra | skip)[..., None], 0,
+                        mvd.reshape(mb_h, mb_w, 2))
+    for comp, base in ((0, 40), (1, 47)):
+        am_l, am_t = _nbr_grids(jnp.abs(mvd_map[..., comp]), 0)
+        amvd = (am_l + am_t).reshape(nmb)
+        inc = (amvd > 2).astype(I32) + (amvd > 32).astype(I32)
+        slots.extend(_mvd_component_ops(mvd[:, comp], base, inc, inter_f))
+
+    # ---- coded_block_pattern (inter only; x264_cabac_mb_cbp_luma/chroma)
+    cbp_all = jnp.where(skip, 0, cbp_l)     # per-MB luma cbp
+    cbl_l, cbl_t = _nbr_grids(cbp_all, -1)
+    ctx0 = 76 - ((cbl_l >> 1) & 1) - ((cbl_t >> 1) & 2)
+    ctx1 = 76 - ((cbp_all >> 0) & 1) - ((cbl_t >> 2) & 2)
+    ctx2 = 76 - ((cbl_l >> 3) & 1) - ((cbp_all << 1) & 2)
+    ctx3 = 76 - ((cbp_all >> 2) & 1) - ((cbp_all >> 0) & 2)
+    for k, cx in enumerate((ctx0, ctx1, ctx2, ctx3)):
+        slots.append(_sel(inter_f, op(KIND_DECISION, cx.reshape(nmb),
+                                      (cbp_lf >> k) & 1)))
+    cbc_all = jnp.where(skip, 0, cbp_c)
+    cbc_l, cbc_t = _nbr_grids(cbc_all, -1)
+    c0 = 77 + ((cbc_l > 0) & (cbc_l != -1)).astype(I32) \
+        + 2 * ((cbc_t > 0) & (cbc_t != -1)).astype(I32)
+    c1 = 77 + 4 + (cbc_l == 2).astype(I32) + 2 * (cbc_t == 2).astype(I32)
+    slots.append(_sel(inter_f, op(KIND_DECISION, c0.reshape(nmb),
+                                  cbp_cf > 0)))
+    slots.append(_sel(inter_f & (cbp_cf > 0),
+                      op(KIND_DECISION, c1.reshape(nmb), cbp_cf == 2)))
+
+    # ---- mb_qp_delta (0 under CQP, ctx 60)
+    has_dqp = coded & (intra_f | (cbp_lf > 0) | (cbp_cf > 0))
+    slots.append(_sel(has_dqp, op(KIND_DECISION, jnp.full(nmb, 60, I32), 0)))
+
+    header = jnp.stack(slots, axis=1)
+
+    # ---- residual CBF contexts
+    intra4 = jnp.repeat(jnp.repeat(intra.astype(I32), 4, 0), 4, 1)
+    intra2 = jnp.repeat(jnp.repeat(intra.astype(I32), 2, 0), 2, 1)
+
+    dcflag = jnp.where(intra, jnp.any(luma_dc != 0, axis=-1)
+                       .reshape(mb_h, mb_w), False).astype(I32)
+    a, b = _nbr_grids(dcflag, 1)           # unavailable -> 1 (cbp>>8 of -1)
+    ctx_dc = (2 * b + a).reshape(nmb)
+
+    grp_bit = (cbp_lf[:, None] >> (jnp.arange(16, dtype=I32) // 4)) & 1
+    blk_coded = jnp.where(intra_f[:, None], (cbp_lf > 0)[:, None],
+                          grp_bit > 0)
+    counts_z = (jnp.count_nonzero(luma_blocks, axis=-1) > 0).astype(I32) \
+        * blk_coded
+    counts_raster = jnp.zeros_like(counts_z).at[:, R].set(counts_z)
+    lmap = counts_raster.reshape(mb_h, mb_w, 4, 4).swapaxes(1, 2) \
+        .reshape(mb_h * 4, mb_w * 4)
+    ctx_ac_raster = _cbf_ctx_from_grid(lmap, intra4)
+    ctx_ac = ctx_ac_raster.reshape(mb_h, 4, mb_w, 4).swapaxes(1, 2) \
+        .reshape(nmb, 16)[:, R]
+
+    ctx_cdc = []
+    ctx_cac = []
+    for ch in range(2):
+        dcm = jnp.where(cbp_c > 0,
+                        (chroma_dc[:, ch] != 0).any(-1).reshape(mb_h, mb_w),
+                        False).astype(I32)
+        a, b = _nbr_grids(dcm, 2)
+        ia = jnp.where(a == 2, intra.astype(I32), a)
+        ib = jnp.where(b == 2, intra.astype(I32), b)
+        ctx_cdc.append((2 * ib + ia).reshape(nmb))
+        acm = ((jnp.count_nonzero(chroma_ac[:, ch, :, 1:], axis=-1) > 0)
+               .astype(I32) * (cbp_cf == 2)[:, None]) \
+            .reshape(mb_h, mb_w, 2, 2).swapaxes(1, 2) \
+            .reshape(mb_h * 2, mb_w * 2)
+        ctx_cac.append(_cbf_ctx_from_grid(acm, intra2)
+                       .reshape(mb_h, 2, mb_w, 2)
+                       .swapaxes(1, 2).reshape(nmb, 4))
+    ctx_cdc = jnp.stack(ctx_cdc, axis=1)
+    ctx_cac = jnp.stack(ctx_cac, axis=1)
+
+    # ---- residual blocks (two layouts, selected per MB)
+    dc_ops = residual_block_ops(luma_dc, 0, ctx_dc, intra_f)
+    ac15 = residual_block_ops(
+        luma_blocks[:, :, 1:].reshape(nmb * 16, 15), 1,
+        ctx_ac.reshape(nmb * 16),
+        jnp.repeat(intra_f & (cbp_lf > 0), 16))
+    full16 = residual_block_ops(
+        luma_blocks.reshape(nmb * 16, 16), 2,
+        ctx_ac.reshape(nmb * 16),
+        jnp.repeat(inter_f, 16) & (grp_bit > 0).reshape(nmb * 16))
+    # unified per-block slot width: pad the 15-coeff layout
+    w15, w16 = ac15.shape[1], full16.shape[1]
+    ac15p = jnp.concatenate(
+        [ac15, jnp.full((nmb * 16, w16 - w15), PAD_OP)], axis=1)
+    blk_ops = jnp.where(jnp.repeat(intra_f, 16)[:, None], ac15p, full16) \
+        .reshape(nmb, -1)
+
+    cdc_ops = residual_block_ops(
+        chroma_dc.reshape(nmb * 2, 4), 3,
+        ctx_cdc.reshape(nmb * 2), jnp.repeat(coded & (cbp_cf > 0), 2))
+    cac_ops = residual_block_ops(
+        chroma_ac[..., 1:].reshape(nmb * 8, 15), 4,
+        ctx_cac.reshape(nmb * 8), jnp.repeat(coded & (cbp_cf == 2), 8))
+
+    is_last = jnp.arange(nmb) == nmb - 1
+    term = _sel(~is_last, jnp.broadcast_to(op(KIND_TERMINAL, 0, 0), (nmb,)))
+
+    allops = jnp.concatenate([
+        header,
+        dc_ops,
+        blk_ops,
+        cdc_ops.reshape(nmb, -1),
+        cac_ops.reshape(nmb, -1),
+        term[:, None]], axis=1)
+    return allops.ravel()

@@ -217,9 +217,36 @@ def nc_map(count_map):
                      jnp.where(a >= 0, a, jnp.where(b >= 0, b, 0)))
 
 
+def i4_pred_mode_codes(i4_mb, i4_modes, mb_h: int, mb_w: int):
+    """Per-block intra-4x4 pred mode (value, length) slots in z-scan
+    order (prev_intra4x4_pred_mode syntax, encoder/cavlc.c:395-404).
+
+    i4_mb: (mbh, mbw) bool; i4_modes: (mbh, mbw, 4, 4) raster grid with
+    2 for non-I4x4 MBs. Returns (vals, lens): (nmb, 16)."""
+    from .. import tables
+
+    nmb = mb_h * mb_w
+    grid = i4_modes.swapaxes(1, 2).reshape(mb_h * 4, mb_w * 4)
+    lg = jnp.full_like(grid, 2).at[:, 1:].set(grid[:, :-1])
+    tg = jnp.full_like(grid, 2).at[1:, :].set(grid[:-1, :])
+    mpm = jnp.minimum(lg, tg)
+    eq = grid == mpm
+    rem = grid - (grid > mpm)
+    vals_r = jnp.where(eq, 1, rem)
+    lens_r = jnp.where(eq, 1, 4)
+
+    def to_z(g):
+        z = g.reshape(mb_h, 4, mb_w, 4).swapaxes(1, 2).reshape(nmb, 16)
+        return z[:, _t(tables.LUMA4x4_RASTER_OF_Z)]
+
+    i4f = i4_mb.reshape(nmb)
+    return to_z(vals_r), to_z(lens_r) * i4f[:, None]
+
+
 def i16_code_planes(out, mb_h: int, mb_w: int):
-    """Code-plane construction for a whole I16x16 CAVLC slice from the
-    intra pipeline outputs (the device twin of cavlc_vec.i16_slice_codes).
+    """Code-plane construction for a whole intra CAVLC slice (I16x16 and
+    I4x4 MBs) from the intra pipeline outputs (x264_macroblock_write_cavlc
+    intra branches, encoder/cavlc.c:383-430,560-620).
     Returns flat (vals, lens) int32."""
     from .. import tables
 
@@ -232,14 +259,31 @@ def i16_code_planes(out, mb_h: int, mb_w: int):
     nmb = mb_h * mb_w
     R = _t(tables.LUMA4x4_RASTER_OF_Z)
 
-    cbp_luma = jnp.any(luma_ac[..., 1:] != 0, axis=(-2, -1))
+    i4_mb = out.get("i4_mb")
+    if i4_mb is None:
+        i4_mb = jnp.zeros((mb_h, mb_w), bool)
+        i4_modes = jnp.full((mb_h, mb_w, 4, 4), 2, I32)
+        cbp_l_bits = jnp.where(
+            jnp.any(luma_ac[..., 1:] != 0, axis=(-2, -1)), 15, 0
+        ).astype(I32)
+    else:
+        i4_modes = out["i4_modes"]
+        cbp_l_bits = out["cbp_luma_bits"].astype(I32)
+    i4f = i4_mb.reshape(nmb)
+    cbp_lf = cbp_l_bits.reshape(nmb)
+    cbp_luma16 = (~i4_mb) & (cbp_l_bits > 0)     # I16 cbp-luma flag
+
     cnz_ac = jnp.any(chroma_ac[..., 1:] != 0, axis=(-2, -1))
     cnz_dc = jnp.any(chroma_dc != 0, axis=-1)
     cbp_chroma = jnp.where(cnz_ac.any(-1), 2,
                            jnp.where(cnz_dc.any(-1), 1, 0)).astype(I32)
+    cbp_cf = cbp_chroma.reshape(nmb)
 
-    counts_z = jnp.count_nonzero(luma_ac[..., 1:], axis=-1).astype(I32)
-    counts_z = jnp.where(cbp_luma[..., None], counts_z, 0)
+    grp_bit = (cbp_lf[:, None] >> (jnp.arange(16, dtype=I32) // 4)) & 1
+    blk_coded = grp_bit.reshape(mb_h, mb_w, 16) > 0
+
+    counts_z = jnp.count_nonzero(luma_ac, axis=-1).astype(I32) \
+        * blk_coded
     counts_raster = jnp.zeros_like(counts_z).at[..., R].set(counts_z)
     lmap = counts_raster.reshape(mb_h, mb_w, 4, 4).swapaxes(1, 2) \
         .reshape(mb_h * 4, mb_w * 4)
@@ -261,38 +305,55 @@ def i16_code_planes(out, mb_h: int, mb_w: int):
                                 nc_l[..., 0].reshape(nmb))
     ac_v, ac_l = residual_codes(luma_ac[..., 1:].reshape(nmb * 16, 15),
                                 nc_l.reshape(nmb * 16))
+    f_v, f_l = residual_codes(luma_ac.reshape(nmb * 16, 16),
+                              nc_l.reshape(nmb * 16))
+    sel4 = jnp.repeat(i4f, 16)[:, None]
+    blk_v = jnp.where(sel4, f_v, ac_v).reshape(nmb, 16, BLOCK_SLOTS)
+    blk_l = jnp.where(sel4, f_l, ac_l).reshape(nmb, 16, BLOCK_SLOTS)
     cdc_v, cdc_l = residual_codes(chroma_dc.reshape(nmb * 2, 4),
                                   jnp.full((nmb * 2,), -1, dtype=I32))
     cac_v, cac_l = residual_codes(chroma_ac[..., 1:].reshape(nmb * 8, 15),
                                   nc_c.reshape(nmb * 8))
 
-    ac_l = ac_l.reshape(nmb, 16, BLOCK_SLOTS) \
-        * cbp_luma.reshape(nmb, 1, 1)
+    blk_l = blk_l * (blk_coded.reshape(nmb, 16, 1) > 0)
+    dc_l = dc_l * (~i4f)[:, None]
     cdc_l = cdc_l.reshape(nmb, 2, BLOCK_SLOTS) \
         * (cbp_chroma > 0).reshape(nmb, 1, 1)
     cac_l = cac_l.reshape(nmb, 8, BLOCK_SLOTS) \
         * (cbp_chroma == 2).reshape(nmb, 1, 1)
 
-    mb_type = 1 + mode16.astype(I32) + 4 * cbp_chroma \
-        + 12 * cbp_luma.astype(I32)
+    # mb_type: I_4x4 = ue(0); I16x16 = ue(1 + pred + 4*cbpc + 12*cbpl)
+    mb_type16 = 1 + mode16.astype(I32) + 4 * cbp_chroma \
+        + 12 * cbp_luma16.astype(I32)
+    mb_type = jnp.where(i4_mb, 0, mb_type16).reshape(nmb)
     h_v = jnp.zeros((nmb, 3), dtype=I32)
     h_l = jnp.zeros((nmb, 3), dtype=I32)
-    v0, l0 = ue_codes(mb_type.reshape(nmb))
+    v0, l0 = ue_codes(mb_type)
+    h_v = h_v.at[:, 0].set(v0)
+    h_l = h_l.at[:, 0].set(l0)
     v1, l1 = ue_codes(modec.reshape(nmb).astype(I32))
-    v2, l2 = se_codes(jnp.zeros(nmb, dtype=I32))
-    h_v = h_v.at[:, 0].set(v0).at[:, 1].set(v1).at[:, 2].set(v2)
-    h_l = h_l.at[:, 0].set(l0).at[:, 1].set(l1).at[:, 2].set(l2)
+    cbp_code = _t(CBP_TO_GOLOMB_INTRA)[cbp_cf * 16 + cbp_lf]
+    v2, l2 = ue_codes(cbp_code)
+    h_v = h_v.at[:, 1].set(v1).at[:, 2].set(v2)
+    h_l = h_l.at[:, 1].set(l1).at[:, 2].set(jnp.where(i4f, l2, 0))
+    # dqp: always for I16; only with cbp for I4x4
+    has_dqp = (~i4f) | (cbp_lf > 0) | (cbp_cf > 0)
+    qv, ql = se_codes(jnp.zeros(nmb, dtype=I32))
+    dqp_v = qv[:, None]
+    dqp_l = jnp.where(has_dqp, ql, 0)[:, None]
+
+    pm_v, pm_l = i4_pred_mode_codes(i4_mb, i4_modes, mb_h, mb_w)
 
     vals = jnp.concatenate([
-        h_v,
+        h_v[:, 0:1], pm_v, h_v[:, 1:2], h_v[:, 2:3], dqp_v,
         dc_v.reshape(nmb, BLOCK_SLOTS),
-        ac_v.reshape(nmb, 16 * BLOCK_SLOTS),
+        blk_v.reshape(nmb, 16 * BLOCK_SLOTS),
         cdc_v.reshape(nmb, 2 * BLOCK_SLOTS),
         cac_v.reshape(nmb, 8 * BLOCK_SLOTS)], axis=1)
     lens = jnp.concatenate([
-        h_l,
+        h_l[:, 0:1], pm_l, h_l[:, 1:2], h_l[:, 2:3], dqp_l,
         dc_l.reshape(nmb, BLOCK_SLOTS),
-        ac_l.reshape(nmb, 16 * BLOCK_SLOTS),
+        blk_l.reshape(nmb, 16 * BLOCK_SLOTS),
         cdc_l.reshape(nmb, 2 * BLOCK_SLOTS),
         cac_l.reshape(nmb, 8 * BLOCK_SLOTS)], axis=1)
     return vals.ravel(), lens.ravel()

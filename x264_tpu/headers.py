@@ -6,7 +6,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from .entropy.bitstream import BitWriter, nal_unit, NAL_SPS, NAL_PPS, NAL_SLICE_IDR, NAL_SLICE
+from .entropy.bitstream import (BitWriter, nal_unit, NAL_SPS, NAL_PPS,
+                                NAL_SEI, NAL_SLICE_IDR, NAL_SLICE)
 from .params import EncoderParams, PROFILE_BASELINE, PROFILE_MAIN, PROFILE_HIGH
 
 SLICE_P, SLICE_B, SLICE_I = 0, 1, 2
@@ -62,6 +63,8 @@ class SPS:
     crop_bottom: int = 0
     qpprime_y_zero_transform_bypass: bool = False
     direct8x8_inference: bool = True
+    fps_num: int = 0          # VUI timing (0 = no VUI)
+    fps_den: int = 1
 
     @classmethod
     def from_params(cls, p: EncoderParams) -> "SPS":
@@ -77,6 +80,8 @@ class SPS:
             crop_bottom=p.mb_height * 16 - p.i_height,
             qpprime_y_zero_transform_bypass=(
                 p.rc.i_rc_method == 0 and p.rc.i_qp_constant == 0),
+            fps_num=p.i_fps_num,
+            fps_den=p.i_fps_den,
         )
 
     def write(self) -> bytes:
@@ -112,7 +117,24 @@ class SPS:
             bs.ue(self.crop_right // 2)
             bs.ue(0)
             bs.ue(self.crop_bottom // 2)
-        bs.bit(0)  # vui_parameters_present (TODO: timing/sar VUI)
+        if self.fps_num > 0:
+            # VUI with timing info (x264_sps_write VUI section,
+            # encoder/set.c:240-330; time_scale is in half-tick units)
+            bs.bit(1)   # vui_parameters_present
+            bs.bit(0)   # aspect_ratio_info_present
+            bs.bit(0)   # overscan_info_present
+            bs.bit(0)   # video_signal_type_present
+            bs.bit(0)   # chroma_loc_info_present
+            bs.bit(1)   # timing_info_present
+            bs.put(self.fps_den, 32)       # num_units_in_tick
+            bs.put(self.fps_num * 2, 32)   # time_scale
+            bs.bit(1)   # fixed_frame_rate
+            bs.bit(0)   # nal_hrd_parameters_present
+            bs.bit(0)   # vcl_hrd_parameters_present
+            bs.bit(0)   # pic_struct_present
+            bs.bit(0)   # bitstream_restriction
+        else:
+            bs.bit(0)   # vui_parameters_present
         bs.rbsp_trailing()
         return nal_unit(NAL_SPS, 3, bs.pack())
 
@@ -218,3 +240,26 @@ class SliceHeader:
         if self.disable_deblock != 1:
             bs.se(self.alpha_c0_offset)
             bs.se(self.beta_offset)
+
+
+def sei_version(param_string: str) -> bytes:
+    """x264-style version SEI: user_data_unregistered (payload type 5)
+    carrying a UUID + encoder description (x264_sei_version_write,
+    encoder/set.c:473). Stripped by the regression comparison, present
+    for stream provenance."""
+    uuid = bytes([0xdc, 0x45, 0xe9, 0xbd, 0xe6, 0xd9, 0x48, 0xb7,
+                  0x96, 0x2c, 0xd8, 0x20, 0xd9, 0x23, 0xee, 0xef])
+    text = (f"x264_tpu - TPU-native H.264 encoder - options: "
+            f"{param_string}").encode() + b"\x00"
+    payload = uuid + text
+    bs = BitWriter()
+    bs.put(5, 8)                      # payload type: user_data_unregistered
+    size = len(payload)
+    while size >= 255:
+        bs.put(255, 8)
+        size -= 255
+    bs.put(size, 8)
+    for b in payload:
+        bs.put(b, 8)
+    bs.rbsp_trailing()
+    return nal_unit(NAL_SEI, 0, bs.pack())

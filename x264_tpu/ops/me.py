@@ -87,32 +87,63 @@ def fullpel_search(cur, ref_pad, mb_h: int, mb_w: int, me_range: int,
     return mv, sad
 
 
-_OFFS3 = jnp.asarray(
-    [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], dtype=jnp.int32)
-
-
 def subpel_refine(cur_tiles, planes, mv_qpel, lam, mvp_qpel,
                   steps=(2, 1)):
-    """Batched sub-pel refinement (refine_subpel, encoder/me.c:680):
-    one 3x3 half-pel pass then one 3x3 quarter-pel pass, SATD-scored.
+    """Batched sub-pel refinement (refine_subpel, encoder/me.c:680),
+    SATD-scored over the full qpel neighborhood of the full-pel optimum.
+
+    Because `mv_qpel` comes from the full-pel search, every candidate's
+    sub-pel phase is the *same for all MBs*: one (4, mb, 20, 20) window
+    gather around each MB's full-pel position suffices, and all
+    candidate predictions become dense static slices of it (the
+    hpel_ref0/1 plane-average scheme of mc_luma with static phases) —
+    no per-candidate gathers.
 
     cur_tiles: (mb_h, mb_w, 16, 16); planes: (4, Hp, Wp) hpel stack;
-    mv_qpel: (mb_h, mb_w, 2) starting (full-pel) MV in qpel units.
+    mv_qpel: (mb_h, mb_w, 2) full-pel MV in qpel units. steps selects
+    the ladder: (2,) = half-pel positions only (subme 2-3), (2, 1) =
+    all quarter-pel positions within +-3 (subme >= 4).
     Returns (mv, satd) at the refined position.
     """
     mb_h, mb_w = cur_tiles.shape[:2]
+    pad = omc.PAD
     ys = (jnp.arange(mb_h, dtype=I32) * 16)[:, None] + jnp.zeros((mb_w,), I32)
     xs = (jnp.arange(mb_w, dtype=I32) * 16)[None, :] + jnp.zeros((mb_h, 1), I32)
 
-    mv = mv_qpel
-    best_satd = None
-    for step in steps:
-        cand = mv[None] + _OFFS3[:, None, None, :] * step   # (9,mbh,mbw,2)
-        pred = omc.mc_luma(planes, ys[None], xs[None], cand, 16, 16)
-        satd = opix.satd(cur_tiles[None], pred)             # (9,mbh,mbw)
-        cost = satd + lam * mv_cost_bits(cand, mvp_qpel[None])
-        best = jnp.argmin(cost, axis=0)                     # (mbh,mbw)
-        mv = jnp.take_along_axis(
-            cand, best[None, ..., None], axis=0)[0]
-        best_satd = jnp.take_along_axis(satd, best[None], axis=0)[0]
-    return mv, best_satd
+    # one window per hpel plane around (fullpel - 1) .. (+17, +1 extra
+    # column/row for the fx==3 / fy==3 second-plane offset)
+    Wn = 19
+    by = ys + (mv_qpel[..., 1] >> 2) - 1 + pad
+    bx = xs + (mv_qpel[..., 0] >> 2) - 1 + pad
+    rows = by[..., None, None] + jnp.arange(Wn)[:, None]
+    cols = bx[..., None, None] + jnp.arange(Wn)[None, :]
+    win = planes[:, rows, cols]            # (4, mb_h, mb_w, Wn, Wn)
+
+    if steps == (2,):
+        offs = [(dx, dy) for dy in (-2, 0, 2) for dx in (-2, 0, 2)]
+    else:
+        offs = [(dx, dy) for dy in range(-3, 4) for dx in range(-3, 4)]
+
+    ref0 = omc._HPEL_REF0
+    ref1 = omc._HPEL_REF1
+    best_cost = best_mv = best_satd = None
+    for (ox, oy) in offs:
+        fx, fy = ox & 3, oy & 3
+        qidx = (fy << 2) | fx
+        p0, p1 = int(ref0[qidx]), int(ref1[qidx])
+        iy = 1 + (oy >> 2)
+        ix = 1 + (ox >> 2)
+        a = win[p0, :, :, iy + (fy == 3):iy + (fy == 3) + 16, ix:ix + 16]
+        b = win[p1, :, :, iy:iy + 16, ix + (fx == 3):ix + (fx == 3) + 16]
+        pred = (a + b + 1) >> 1
+        satd = opix.satd(cur_tiles, pred)
+        mv = mv_qpel + jnp.asarray([ox, oy], I32)
+        cost = satd + lam * mv_cost_bits(mv, mvp_qpel)
+        if best_cost is None:
+            best_cost, best_mv, best_satd = cost, mv, satd
+        else:
+            upd = cost < best_cost
+            best_cost = jnp.where(upd, cost, best_cost)
+            best_satd = jnp.where(upd, satd, best_satd)
+            best_mv = jnp.where(upd[..., None], mv, best_mv)
+    return best_mv, best_satd

@@ -145,3 +145,134 @@ def mode_available_8x8c(has_top, has_left):
     return jnp.stack(
         [jnp.ones_like(has_top), has_left, has_top, has_top & has_left],
         axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# 4x4 luma prediction (common/predict.c:310-498; spec 8.3.1.2)
+#
+# All 9 modes are expressed as one gather over a 13-entry edge vector
+# e = [l3 l2 l1 l0 lt t0 t1 t2 t3 t4 t5 t6 t7] with per-position weights:
+# F2(a,b,c) = (a+2b+c+2)>>2 -> (1,2,1); F1(a,b) = (2a+2b+2)>>2 -> (2,2,0);
+# copy v = (4v+2)>>2 -> (4,0,0). DC is availability-dependent and patched
+# separately. Mode numbering is the spec/bitstream order:
+# 0=V 1=H 2=DC 3=DDL 4=DDR 5=VR 6=HD 7=VL 8=HU.
+# ---------------------------------------------------------------------------
+
+def _build_4x4_tables():
+    import numpy as np
+    L = lambda i: 3 - i
+    T = lambda i: 5 + i
+    LT = 4
+    idx = np.zeros((9, 4, 4, 3), np.int64)
+    wgt = np.zeros((9, 4, 4, 3), np.int64)
+
+    def setp(m, x, y, *spec):
+        if len(spec) == 1:                       # copy
+            idx[m, y, x] = (spec[0],) * 3
+            wgt[m, y, x] = (4, 0, 0)
+        elif len(spec) == 2:                     # F1
+            idx[m, y, x] = (spec[0], spec[1], spec[0])
+            wgt[m, y, x] = (2, 2, 0)
+        else:                                    # F2
+            idx[m, y, x] = spec
+            wgt[m, y, x] = (1, 2, 1)
+
+    for x in range(4):
+        for y in range(4):
+            setp(0, x, y, T(x))                  # V
+            setp(1, x, y, L(y))                  # H
+            setp(2, x, y, T(0))                  # DC placeholder
+    # DDL (predict_4x4_ddl)
+    for x in range(4):
+        for y in range(4):
+            i = x + y
+            if i < 6:
+                setp(3, x, y, T(i), T(i + 1), T(i + 2))
+            else:
+                setp(3, x, y, T(6), T(7), T(7))
+    # DDR
+    for x in range(4):
+        for y in range(4):
+            d = x - y
+            setp(4, x, y, LT + d - 1 if False else (4 + d - 1),
+                 4 + d, 4 + d + 1)
+    # VR (predict_4x4_vr)
+    vr = {(0, 3): (L(2), L(1), L(0)), (0, 2): (L(1), L(0), LT),
+          (0, 1): (L(0), LT, T(0)), (1, 3): (L(0), LT, T(0)),
+          (0, 0): (LT, T(0)), (1, 2): (LT, T(0)),
+          (1, 1): (LT, T(0), T(1)), (2, 3): (LT, T(0), T(1)),
+          (1, 0): (T(0), T(1)), (2, 2): (T(0), T(1)),
+          (2, 1): (T(0), T(1), T(2)), (3, 3): (T(0), T(1), T(2)),
+          (2, 0): (T(1), T(2)), (3, 2): (T(1), T(2)),
+          (3, 1): (T(1), T(2), T(3)), (3, 0): (T(2), T(3))}
+    for (x, y), s in vr.items():
+        setp(5, x, y, *s)
+    # HD (predict_4x4_hd)
+    hd = {(0, 3): (L(2), L(3)), (1, 3): (L(1), L(2), L(3)),
+          (0, 2): (L(1), L(2)), (2, 3): (L(1), L(2)),
+          (1, 2): (L(0), L(1), L(2)), (3, 3): (L(0), L(1), L(2)),
+          (0, 1): (L(0), L(1)), (2, 2): (L(0), L(1)),
+          (1, 1): (LT, L(0), L(1)), (3, 2): (LT, L(0), L(1)),
+          (0, 0): (LT, L(0)), (2, 1): (LT, L(0)),
+          (1, 0): (T(0), LT, L(0)), (3, 1): (T(0), LT, L(0)),
+          (2, 0): (T(1), T(0), LT), (3, 0): (T(2), T(1), T(0))}
+    for (x, y), s in hd.items():
+        setp(6, x, y, *s)
+    # VL (predict_4x4_vl)
+    vl = {(0, 0): (T(0), T(1)), (0, 1): (T(0), T(1), T(2)),
+          (1, 0): (T(1), T(2)), (0, 2): (T(1), T(2)),
+          (1, 1): (T(1), T(2), T(3)), (0, 3): (T(1), T(2), T(3)),
+          (2, 0): (T(2), T(3)), (1, 2): (T(2), T(3)),
+          (2, 1): (T(2), T(3), T(4)), (1, 3): (T(2), T(3), T(4)),
+          (3, 0): (T(3), T(4)), (2, 2): (T(3), T(4)),
+          (3, 1): (T(3), T(4), T(5)), (2, 3): (T(3), T(4), T(5)),
+          (3, 2): (T(4), T(5)), (3, 3): (T(4), T(5), T(6))}
+    for (x, y), s in vl.items():
+        setp(7, x, y, *s)
+    # HU (predict_4x4_hu)
+    hu = {(0, 0): (L(0), L(1)), (1, 0): (L(0), L(1), L(2)),
+          (2, 0): (L(1), L(2)), (0, 1): (L(1), L(2)),
+          (3, 0): (L(1), L(2), L(3)), (1, 1): (L(1), L(2), L(3)),
+          (2, 1): (L(2), L(3)), (0, 2): (L(2), L(3)),
+          (3, 1): (L(2), L(3), L(3)), (1, 2): (L(2), L(3), L(3)),
+          (3, 2): (L(3),), (1, 3): (L(3),), (0, 3): (L(3),),
+          (2, 2): (L(3),), (2, 3): (L(3),), (3, 3): (L(3),)}
+    for (x, y), s in hu.items():
+        setp(8, x, y, *s)
+    return idx, wgt
+
+
+_P4_IDX, _P4_WGT = _build_4x4_tables()
+
+
+def predict_4x4(left, topleft, top, topright, has_top, has_left):
+    """All nine 4x4 predictions. left: (..., 4) l0..l3 top-to-bottom;
+    top: (..., 4) t0..t3; topright: (..., 4) t4..t7 — callers substitute
+    t3 for unavailable top-right samples (spec 8.3.1.2.1). Returns
+    (..., 9, 4, 4) int32; unavailable modes are garbage (mask by cost).
+    """
+    left = left.astype(I32)
+    top = top.astype(I32)
+    e = jnp.concatenate([left[..., ::-1],
+                         jnp.asarray(topleft).astype(I32)[..., None],
+                         top, topright.astype(I32)], axis=-1)
+    g = e[..., jnp.asarray(_P4_IDX, I32)]               # (..., 9,4,4,3)
+    p = (jnp.sum(g * jnp.asarray(_P4_WGT, I32), axis=-1) + 2) >> 2
+
+    st = jnp.sum(top, axis=-1)
+    sl = jnp.sum(left, axis=-1)
+    dc = jnp.where(has_top & has_left, (st + sl + 4) >> 3,
+                   jnp.where(has_left, (sl + 2) >> 2,
+                             jnp.where(has_top, (st + 2) >> 2, 128)))
+    p = p.at[..., 2, :, :].set(
+        jnp.broadcast_to(dc[..., None, None], dc.shape + (4, 4)))
+    return p
+
+
+def mode_available_4x4(has_top, has_left):
+    """(..., 9) mask over [V H DC DDL DDR VR HD VL HU]
+    (predict_4x4_mode_available semantics)."""
+    ht, hl = has_top, has_left
+    both = ht & hl
+    return jnp.stack([ht, hl, jnp.ones_like(ht), ht, both, both, both,
+                      ht, hl], axis=-1)

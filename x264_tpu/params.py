@@ -142,15 +142,7 @@ class EncoderParams:
         if self.i_width % 2 or self.i_height % 2:
             raise ValueError("width/height must be even for i420")
 
-        if self.b_cabac:
-            # CABAC writer not implemented yet: force CAVLC so defaults
-            # always produce a decodable stream (validate-and-log
-            # contract of x264_validate_parameters, encoder/encoder.c:335)
-            if self.i_log_level >= 1:
-                import sys
-                print("x264_tpu [warning]: CABAC not yet implemented, "
-                      "using CAVLC", file=sys.stderr)
-            self.b_cabac = False
+        self.i_cabac_init_idc = _clip(self.i_cabac_init_idc, 0, 2)
 
         rc = self.rc
         rc.i_qp_constant = _clip(rc.i_qp_constant, 0, 51)
@@ -164,6 +156,16 @@ class EncoderParams:
                 self.analyse.i_trellis = 0
 
         a = self.analyse
+        if a.b_transform_8x8:
+            # 8x8 transform not implemented yet: force off so the PPS
+            # never claims transform_8x8_mode (validate-and-log contract)
+            if self.i_log_level >= 2:
+                import sys
+                print("x264_tpu [info]: 8x8 transform not yet implemented, "
+                      "disabling", file=sys.stderr)
+            a.b_transform_8x8 = False
+        a.intra &= ~ANALYSE_I8x8    # I8x8 requires the 8x8 transform
+        a.inter &= ~ANALYSE_I8x8
         a.i_me_method = _clip(a.i_me_method, ME_DIA, ME_TESA)
         a.i_subpel_refine = _clip(a.i_subpel_refine, 1, 9)
         a.i_me_range = _clip(a.i_me_range, 4, 64)
