@@ -21,6 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
 # is not honored — jax.config.update is required.
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon, binding the platform config before this file runs;
+# the env var above is then a no-op and jax.devices() would hit the TPU
+# tunnel (which wedges under the test workload). Force the binding back.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/x264_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

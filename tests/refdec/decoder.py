@@ -243,6 +243,8 @@ class Decoder:
         self.pps = None
         self.frames = []
         self.ref = None   # DPB: (Y, U, V) full deblocked planes
+        self._pic = None  # in-progress picture (multi-slice)
+        self._row0 = 0    # top MB row of the slice being decoded
 
     def decode_nal(self, nal: bytes):
         nal_type = nal[0] & 0x1F
@@ -253,8 +255,9 @@ class Decoder:
         elif nal_type == 8:
             self.pps = parse_pps(rbsp)
         elif nal_type in (1, 5):
-            self.frames.append(
-                self._decode_slice(rbsp, nal_type == 5, nal_ref_idc))
+            frame = self._decode_slice(rbsp, nal_type == 5, nal_ref_idc)
+            if frame is not None:     # None while a picture is partial
+                self.frames.append(frame)
         # SEI/AUD ignored
 
     # ------------------------------------------------------------ slice
@@ -263,7 +266,6 @@ class Decoder:
         sps, pps = self.sps, self.pps
         br = BitReader(rbsp)
         first_mb = br.ue()
-        assert first_mb == 0, "multi-slice not yet supported"
         slice_type = br.ue() % 5
         assert slice_type in (0, 2), "only I/P slices supported"
         is_p = slice_type == 0
@@ -298,39 +300,78 @@ class Decoder:
                 beta_div2 = br.se()
 
         mb_w, mb_h = sps.mb_width, sps.mb_height
-        Y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.int64)
-        U = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int64)
-        V = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int64)
-        nnz_l = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int64)
-        nnz_c = np.zeros((2, mb_h * 2, mb_w * 2), dtype=np.int64)
-        qp_mb = np.zeros((mb_h, mb_w), dtype=np.int32)
-        intra_mb = np.zeros((mb_h, mb_w), dtype=bool)
-        # MV/ref fields for MV prediction + deblock bS (-2 = outside)
-        mv_f = np.zeros((mb_h, mb_w, 2), dtype=np.int64)
-        ref_f = np.full((mb_h, mb_w), -2, dtype=np.int64)
+        nmb = mb_h * mb_w
+        if first_mb == 0:
+            # new picture (spec 7.4.3: first_mb_in_slice == 0 starts one)
+            self._pic = dict(
+                Y=np.zeros((mb_h * 16, mb_w * 16), dtype=np.int64),
+                U=np.zeros((mb_h * 8, mb_w * 8), dtype=np.int64),
+                V=np.zeros((mb_h * 8, mb_w * 8), dtype=np.int64),
+                nnz_l=np.zeros((mb_h * 4, mb_w * 4), dtype=np.int64),
+                nnz_c=np.zeros((2, mb_h * 2, mb_w * 2), dtype=np.int64),
+                qp_mb=np.zeros((mb_h, mb_w), dtype=np.int32),
+                intra_mb=np.zeros((mb_h, mb_w), dtype=bool),
+                # MV/ref fields for MV prediction + deblock bS
+                # (-2 = outside/unavailable)
+                mv_f=np.zeros((mb_h, mb_w, 2), dtype=np.int64),
+                ref_f=np.full((mb_h, mb_w), -2, dtype=np.int64),
+                i4grid=np.full((mb_h * 4, mb_w * 4), 2, np.int64),
+                slices=[], next_mb=0)
+        pic = self._pic
+        assert pic is not None and pic["next_mb"] == first_mb, \
+            "slices must arrive in decoding order"
+        Y, U, V = pic["Y"], pic["U"], pic["V"]
+        nnz_l, nnz_c = pic["nnz_l"], pic["nnz_c"]
+        qp_mb, intra_mb = pic["qp_mb"], pic["intra_mb"]
+        mv_f, ref_f = pic["mv_f"], pic["ref_f"]
+        i4grid = pic["i4grid"]
+
+        row0 = first_mb // mb_w
+        assert first_mb == row0 * mb_w, "slices must start at MB rows"
+        self._row0 = row0
+        # Mask the row above this slice as unavailable (cross-slice
+        # neighbors, spec 6.4.8): nnz -> -1 (the _nc unavailable value),
+        # ref -> -2 (outside), i4 pred modes -> 2 (DC, spec 8.3.1.1).
+        saved = None
+        if row0 > 0:
+            saved = (nnz_l[row0 * 4 - 1].copy(),
+                     nnz_c[:, row0 * 2 - 1].copy(),
+                     ref_f[row0 - 1].copy(),
+                     i4grid[row0 * 4 - 1].copy())
+            nnz_l[row0 * 4 - 1] = -1
+            nnz_c[:, row0 * 2 - 1] = -1
+            ref_f[row0 - 1] = -2
+            i4grid[row0 * 4 - 1] = 2
 
         qt = enc_tables.DEFAULT_QUANT
 
         if pps.cabac and is_p:
+            assert first_mb == 0, "multi-slice CABAC not supported"
             self._decode_p_slice_cabac(br, rbsp, qp, qt, Y, U, V,
                                        nnz_l, nnz_c, qp_mb, intra_mb,
                                        mv_f, ref_f)
+            mb_end = nmb
         elif pps.cabac:
+            assert first_mb == 0, "multi-slice CABAC not supported"
             self._decode_i_slice_cabac(br, rbsp, qp, qt, Y, U, V,
                                        nnz_l, nnz_c, qp_mb, intra_mb)
+            mb_end = nmb
         elif not is_p:
-            i4grid = np.full((mb_h * 4, mb_w * 4), 2, np.int64)
-            for my in range(mb_h):
-                for mx in range(mb_w):
-                    qp = self._decode_mb_i(br, my, mx, qp, qt, Y, U, V,
-                                           nnz_l, nnz_c, i4grid=i4grid)
-                    qp_mb[my, mx] = qp
-                    intra_mb[my, mx] = True
+            mb_i = first_mb
+            while mb_i < nmb:
+                my, mx = divmod(mb_i, mb_w)
+                qp = self._decode_mb_i(br, my, mx, qp, qt, Y, U, V,
+                                       nnz_l, nnz_c, i4grid=i4grid)
+                qp_mb[my, mx] = qp
+                intra_mb[my, mx] = True
+                mb_i += 1
+                if not br.more_rbsp_data():
+                    break
+            mb_end = mb_i
         else:
             assert self.ref is not None, "P slice with empty DPB"
-            nmb = mb_h * mb_w
-            mb_i = 0
-            while mb_i < nmb:
+            mb_i = first_mb
+            while mb_i < nmb and br.more_rbsp_data():
                 skip_run = br.ue()
                 for _ in range(skip_run):
                     my, mx = divmod(mb_i, mb_w)
@@ -345,17 +386,39 @@ class Decoder:
                                        intra_mb)
                 qp_mb[my, mx] = qp
                 mb_i += 1
+            mb_end = mb_i
 
-        if disable_deblock != 1:
-            ref4 = np.repeat(np.repeat(np.where(ref_f < 0, 0, ref_f), 4, 0),
-                             4, 1)
-            mv4 = np.repeat(np.repeat(mv_f, 4, 0), 4, 1)
+        if saved is not None:
+            nnz_l[row0 * 4 - 1] = saved[0]
+            nnz_c[:, row0 * 2 - 1] = saved[1]
+            ref_f[row0 - 1] = saved[2]
+            i4grid[row0 * 4 - 1] = saved[3]
+        self._row0 = 0
+
+        assert mb_end % mb_w == 0, "slice must end at an MB row boundary"
+        pic["slices"].append((row0, mb_end // mb_w, disable_deblock,
+                              alpha_div2, beta_div2))
+        pic["next_mb"] = mb_end
+        if mb_end < nmb:
+            return None     # picture continues in the next slice NAL
+
+        # ------------------------------------------------ picture complete
+        for (r0, r1, dis, a2, b2) in pic["slices"]:
+            if dis == 1:
+                continue
+            assert dis == 2 or len(pic["slices"]) == 1, \
+                "cross-slice deblocking (idc 0) not supported"
+            ref4 = np.repeat(np.repeat(
+                np.where(ref_f[r0:r1] < 0, 0, ref_f[r0:r1]), 4, 0), 4, 1)
+            mv4 = np.repeat(np.repeat(mv_f[r0:r1], 4, 0), 4, 1)
             golden_deblock.deblock_frame(
-                Y, U, V, qp_mb, intra_mb, nnz4=nnz_l,
+                Y[r0 * 16:r1 * 16], U[r0 * 8:r1 * 8], V[r0 * 8:r1 * 8],
+                qp_mb[r0:r1], intra_mb[r0:r1], nnz4=nnz_l[r0 * 4:r1 * 4],
                 ref4=ref4, mv4=mv4,
-                alpha_off=2 * alpha_div2, beta_off=2 * beta_div2,
+                alpha_off=2 * a2, beta_off=2 * b2,
                 chroma_qp_offset=pps.chroma_qp_offset)
 
+        self._pic = None
         self.ref = (Y.copy(), U.copy(), V.copy())
         return DecodedFrame(
             Y[:mb_h * 16 - sps.crop_b, :mb_w * 16 - sps.crop_r].astype(np.uint8),
@@ -882,7 +945,7 @@ class Decoder:
                    Y, U, V):
         """Shared I16x16 reconstruction from parsed syntax (the recon
         half of _decode_mb_i, used by the CABAC path)."""
-        has_top, has_left = my > 0, mx > 0
+        has_top, has_left = my > self._row0, mx > 0
         y0, x0 = my * 16, mx * 16
         top = Y[y0 - 1, x0:x0 + 16] if has_top else np.zeros(16, np.int64)
         left = Y[y0:y0 + 16, x0 - 1] if has_left else np.zeros(16, np.int64)
@@ -956,7 +1019,7 @@ class Decoder:
             Decoder._ZOF = zof
         bx, by = int(BLOCK_XY[z][0]), int(BLOCK_XY[z][1])
         if by == 0:
-            if my == 0:
+            if my <= self._row0:
                 return False
             if bx < 3:
                 return True
@@ -968,7 +1031,7 @@ class Decoder:
     def _i4_neighbors(self, Y, my, mx, z):
         bx, by = int(BLOCK_XY[z][0]), int(BLOCK_XY[z][1])
         gy, gx = my * 16 + by * 4, mx * 16 + bx * 4
-        ht = (my > 0) or (by > 0)
+        ht = (my > self._row0) or (by > 0)
         hl = (mx > 0) or (bx > 0)
         t = Y[gy - 1, gx:gx + 4] if ht else np.zeros(4, np.int64)
         l = Y[gy:gy + 4, gx - 1] if hl else np.zeros(4, np.int64)
@@ -1041,7 +1104,7 @@ class Decoder:
 
     def _recon_chroma_intra(self, my, mx, chroma_pred, cbp_chroma, qpc, qt,
                             cdc, cac, U, V):
-        has_top, has_left = my > 0, mx > 0
+        has_top, has_left = my > self._row0, mx > 0
         c0y, c0x = my * 8, mx * 8
         cdmf = qt.dequant4_mf[enc_tables.CQM_4IC, qpc % 6]
         for ch, P in ((0, U), (1, V)):
@@ -1288,7 +1351,7 @@ class Decoder:
         qp = qp + dqp  # NB: caller keeps qp per slice; CQP streams use 0
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
-        has_top = my > 0
+        has_top = my > self._row0
         has_left = mx > 0
 
         # luma prediction

@@ -32,6 +32,19 @@ def build_argparser():
                     help="constant QP (CQP mode)")
     ap.add_argument("--crf", type=float, default=None)
     ap.add_argument("-B", "--bitrate", type=int, default=None)
+    ap.add_argument("-p", "--pass", dest="rc_pass", type=int, choices=(1, 2),
+                    default=None, help="2-pass mode: 1 = write stats, "
+                    "2 = read stats (x264 -p)")
+    ap.add_argument("--stats", default="x264_tpu_2pass.log",
+                    help="2-pass stats file path")
+    ap.add_argument("--scenecut", type=int, default=40,
+                    help="scenecut threshold (0 = off)")
+    ap.add_argument("--qpfile", default=None,
+                    help="force frame types/QPs from a file of "
+                    "'<frame> <type> <qp>' lines (x264 --qpfile)")
+    ap.add_argument("--zones", default=None,
+                    help="start,end,q=N or start,end,b=F zones "
+                    "(x264 --zones; / separated)")
     # structure
     ap.add_argument("-I", "--keyint", type=int, default=250)
     ap.add_argument("-i", "--min-keyint", type=int, default=25)
@@ -77,7 +90,48 @@ def params_from_args(args, width, height, fps_num, fps_den) -> EncoderParams:
     p.analyse.i_me_range = args.merange
     p.analyse.i_trellis = args.trellis
     p.rc.i_aq_mode = args.aq_mode
+    p.i_scenecut_threshold = args.scenecut
+    if args.rc_pass == 1:
+        p.rc.b_stat_write = True
+        p.rc.psz_stat_out = args.stats
+    elif args.rc_pass == 2:
+        p.rc.b_stat_read = True
+        p.rc.psz_stat_in = args.stats
     return p
+
+
+def parse_qpfile(path):
+    """parse_qpfile (x264.c:711-746): '<frame> <type> <qp>' lines;
+    type in I/i/P (K = IDR alias); qp -1 = let RC choose."""
+    forced = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            n = int(parts[0])
+            t = {"I": "IDR", "K": "IDR", "i": "I", "P": "P"}.get(
+                parts[1], None)
+            qp = int(parts[2]) if len(parts) > 2 else -1
+            forced[n] = (t, None if qp < 0 else qp)
+    return forced
+
+
+def parse_zones(spec):
+    """--zones start,end,q=N / start,end,b=F (x264_ratecontrol zones,
+    encoder/ratecontrol.c:601-715; only QP/bitrate-factor overrides)."""
+    zones = []
+    for z in spec.split("/"):
+        parts = z.split(",")
+        start, end = int(parts[0]), int(parts[1])
+        opt = parts[2]
+        if opt.startswith("q="):
+            zones.append((start, end, "q", int(opt[2:])))
+        elif opt.startswith("b="):
+            zones.append((start, end, "b", float(opt[2:])))
+        else:
+            raise ValueError(f"bad zone: {z}")
+    return zones
 
 
 def main(argv=None):
@@ -105,11 +159,35 @@ def main(argv=None):
     n = 0
     total_bits = 0
     recons = []
+    # output container dispatch on extension (the p_write_nalu /
+    # mux fn-pointer slots of x264.c:68-78; .264 = write_nalu_bsf,
+    # .mkv = the matroska writer)
+    mkv = None
     with open(args.output, "wb") as out:
-        out.write(enc.headers())
+        if args.output.endswith(".mkv"):
+            from .io.mkv import MKVWriter
+            mkv = MKVWriter(out, width, height, fps_num, fps_den)
+            mkv.set_headers(enc.headers())
+        else:
+            out.write(enc.headers())
+        qpfile = parse_qpfile(args.qpfile) if args.qpfile else {}
+        zones = parse_zones(args.zones) if args.zones else []
         for (y, u, v) in reader:
-            ef = enc.encode(Frame(y, u, v))
-            out.write(ef.payload)
+            ftype, fqp = qpfile.get(n, (None, None))
+            for (zs, ze, kind, val) in zones:
+                if zs <= n <= ze:
+                    if kind == "q":
+                        fqp = val
+                    else:  # bitrate factor: shift qp by -6*log2(b)
+                        import math
+                        fqp = max(0, min(51, round(
+                            enc.rc.last_qp - 6 * math.log2(val))))
+            ef = enc.encode(Frame(y, u, v), forced_type=ftype,
+                            forced_qp=fqp)
+            if mkv is not None:
+                mkv.write_frame(ef.payload, ef.frame_type == "IDR")
+            else:
+                out.write(ef.payload)
             total_bits += ef.bits
             if args.dump_yuv:
                 recons.append((ef.recon.y, ef.recon.u, ef.recon.v))
@@ -119,6 +197,8 @@ def main(argv=None):
                 print(f"\r{n} frames, {n/el:.2f} fps", end="", file=sys.stderr)
             if args.frames and n >= args.frames:
                 break
+        if mkv is not None:
+            mkv.close()
     el = time.time() - t0
     fps = fps_num / fps_den
     kbps = total_bits * fps / max(n, 1) / 1000

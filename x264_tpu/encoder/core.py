@@ -12,6 +12,7 @@ import numpy as np
 
 from ..params import EncoderParams, RC_CQP
 from .. import tables
+from . import ratecontrol as rcmod
 from ..headers import SPS, PPS, SliceHeader, SLICE_I, SLICE_P
 from ..entropy.bitstream import BitWriter, nal_unit, NAL_SLICE_IDR, NAL_SLICE
 from ..entropy.cavlc_vec import i16_slice_codes as cavlc_vec_i16_slice
@@ -90,9 +91,36 @@ class Encoder:
         # >=4 = half+quarter
         sp = p.analyse.i_subpel_refine
         self._subpel = () if sp <= 1 else ((2,) if sp <= 3 else (2, 1))
+        # MB-row sharding across devices: one slice per row band
+        # (parallel/rows.py; the i_threads/slice-threading analogue)
+        self._rows_mesh = None
+        if p.i_mb_row_shards > 1:
+            import jax
+            n = min(p.i_mb_row_shards, len(jax.devices()))
+            while n > 1 and (p.mb_height % n
+                             or (p.mb_height // n) * 16 < 32):
+                n -= 1
+            if n > 1 and not p.b_cabac:
+                from ..parallel import rows as prows
+                self._rows_mesh = prows.make_rows_mesh(n)
+                self._n_shards = n
+            elif p.i_log_level >= 2:
+                import sys
+                print("x264_tpu [info]: mb-row sharding unavailable "
+                      f"(shards={p.i_mb_row_shards}, mb_h={p.mb_height}, "
+                      f"cabac={p.b_cabac}); encoding unsharded",
+                      file=sys.stderr)
         self.stats = estats.Stats(
             p.i_width, p.i_height, p.i_fps_num / max(1, p.i_fps_den),
             b_psnr=p.analyse.b_psnr, b_ssim=p.analyse.b_ssim)
+        # rate control (x264_ratecontrol_new, encoder/ratecontrol.c:267)
+        self.rc = rcmod.RateControl(p)
+        self._since_idr = 0
+        # lowres analysis is needed for non-CQP RC (complexity) and for
+        # scenecut detection; skip it when neither applies
+        self._analyse_lowres = (p.rc.i_rc_method != RC_CQP
+                                or (p.i_scenecut_threshold > 0
+                                    and p.i_keyint_max > 1))
 
     # ------------------------------------------------------------- headers
     def headers(self) -> bytes:
@@ -103,21 +131,40 @@ class Encoder:
                 + sei_version(self.params.to_string()))
 
     # ------------------------------------------------------------- encode
-    def encode(self, frame: Frame) -> EncodedFrame:
-        """x264_encoder_encode: frame-type decision (keyint GOP, IDR-only
-        refresh — scenecut/lookahead not yet wired) + per-type pipeline."""
+    def encode(self, frame: Frame, forced_type: str | None = None,
+               forced_qp: int | None = None) -> EncodedFrame:
+        """x264_encoder_encode: frame-type decision (keyint GOP, scenecut
+        IDR refresh, qpfile forcing via forced_type/forced_qp —
+        parse_qpfile, x264.c:711) + per-type pipeline."""
         p = self.params
-        qp = p.rc.i_qp_constant if p.rc.i_rc_method == RC_CQP else 26
-        is_idr = (self._gop_pos == 0 or self._ref is None
-                  or p.i_keyint_max == 1)
+        scenecut = False
+        if self._analyse_lowres:
+            scenecut = self.rc.analyse_frame(frame.y)["scenecut"]
+        if forced_type in ("I", "IDR"):
+            is_idr = True
+        elif forced_type == "P" and self._ref is not None:
+            is_idr = False
+        else:
+            is_idr = (self._gop_pos == 0 or self._ref is None
+                      or p.i_keyint_max == 1
+                      or (scenecut and self._since_idr >= p.i_keyint_min))
+        qp = self.rc.start("I" if is_idr else "P")
+        if forced_qp is not None:
+            qp = max(0, min(51, int(forced_qp)))
+            self.rc.last_qp = qp
         if is_idr:
             payload, recon = self._encode_idr(frame, qp)
             ftype = "IDR"
+            self._gop_pos = 0
+            self._since_idr = 0
         else:
             payload, recon = self._encode_p(frame, qp)
             ftype = "P"
         self._gop_pos = (self._gop_pos + 1) % max(1, p.i_keyint_max)
+        self._since_idr += 1
         self.frame_count += 1
+        self.rc.end("I" if is_idr else "P", len(payload) * 8, qp,
+                    self._last_mb_counts)
 
         metrics = None
         if p.analyse.b_psnr or p.analyse.b_ssim:
@@ -186,8 +233,101 @@ class Encoder:
         self.poc += 2
         return recon
 
+    # --------------------------------------------------- row-sharded path
+    def _band_headers(self, qp: int, slice_type: int, nal_ref_idc: int,
+                      band: int, n: int):
+        """Per-band slice headers: identical except first_mb_in_slice;
+        slice-edge deblocking disabled (disable_deblocking_filter_idc=2)
+        since bands filter independently."""
+        p = self.params
+        vals = np.zeros((n, edev.HDR_SLOTS), np.int32)
+        lens = np.zeros((n, edev.HDR_SLOTS), np.int32)
+        for k in range(n):
+            sh = self._slice_header(qp, slice_type)
+            sh.first_mb = k * band * p.mb_width
+            sh.disable_deblock = 2 if p.b_deblocking_filter else 1
+            hdr = BitWriter()
+            sh.write_rbsp(hdr, nal_ref_idc=nal_ref_idc)
+            vals[k], lens[k] = edev.header_slots(hdr)
+        return vals, lens
+
+    def _assemble_band_nals(self, out, nal_type: int, nal_ref_idc: int,
+                            cap_words: int, n: int) -> bytes:
+        nbits = np.asarray(out["nbits"]).reshape(n)
+        words = np.asarray(out["words"])
+        payload = []
+        for k in range(n):
+            nb = int(nbits[k])
+            if nb > cap_words * 32:
+                raise RuntimeError(
+                    f"slice {k} overflowed the device pack buffer ({nb})")
+            rbsp = edev.words_to_bytes(words[k], nb)
+            payload.append(nal_unit(nal_type, nal_ref_idc, rbsp))
+        return b"".join(payload)
+
+    def _encode_idr_rows(self, frame: Frame, qp: int):
+        from ..parallel import rows as prows
+        p = self.params
+        mb_w, mb_h = p.mb_width, p.mb_height
+        n = self._n_shards
+        band = mb_h // n
+        y, u, v = self._pad_input(frame)
+        qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
+        lam = int(tables.LAMBDA_TABLE[qp])
+        self.frame_num = 0
+        self.poc = 0
+        self._prev_mv = None
+        hv, hl = self._band_headers(qp, SLICE_I, 3, band, n)
+        cap_words = pipeline.capacity_words(band * mb_w)
+        out = prows.encode_i_rows(
+            self._rows_mesh, mb_h, mb_w, self._i4x4,
+            bool(p.b_deblocking_filter), y, u, v,
+            self._qtab(qp, qp_c), lam, qp,
+            2 * p.i_deblocking_filter_alphac0,
+            2 * p.i_deblocking_filter_beta,
+            p.analyse.i_chroma_qp_offset, hv, hl, cap_words)
+        payload = self._assemble_band_nals(out, NAL_SLICE_IDR, 3,
+                                           cap_words, n)
+        recon = self._finish_frame(out, frame)
+        self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+        self._last_mb_counts = (mb_h * mb_w, 0, 0)
+        return payload, recon
+
+    def _encode_p_rows(self, frame: Frame, qp: int):
+        import jax.numpy as jnp
+        from ..parallel import rows as prows
+        p = self.params
+        mb_w, mb_h = p.mb_width, p.mb_height
+        n = self._n_shards
+        band = mb_h // n
+        y, u, v = self._pad_input(frame)
+        qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
+        lam = int(tables.LAMBDA_TABLE[qp])
+        mvp_seed = (self._prev_mv if self._prev_mv is not None
+                    else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
+        ry, ru, rv = self._ref
+        hv, hl = self._band_headers(qp, SLICE_P, 2, band, n)
+        cap_words = pipeline.capacity_words(band * mb_w)
+        out = prows.encode_p_rows(
+            self._rows_mesh, mb_h, mb_w, self._me_range, self._subpel,
+            bool(p.b_deblocking_filter), y, u, v, ry, ru, rv,
+            self._qtab_p(qp, qp_c), lam, qp,
+            2 * p.i_deblocking_filter_alphac0,
+            2 * p.i_deblocking_filter_beta,
+            p.analyse.i_chroma_qp_offset, mvp_seed, hv, hl, cap_words)
+        payload = self._assemble_band_nals(out, NAL_SLICE, 2, cap_words, n)
+        self._prev_mv = out["mv"]
+        recon = self._finish_frame(out, frame)
+        n_intra = out["intra_mb"].sum()
+        n_skip = out["skip"].sum()
+        self._last_mb_counts = (n_intra, mb_h * mb_w - n_intra - n_skip,
+                                n_skip)
+        return payload, recon
+
     def _encode_idr(self, frame: Frame, qp: int):
         p = self.params
+        if self._rows_mesh is not None:
+            return self._encode_idr_rows(frame, qp)
         mb_w, mb_h = p.mb_width, p.mb_height
         y, u, v = self._pad_input(frame)
 
@@ -255,6 +395,8 @@ class Encoder:
         (x264_encoder_encode P path; ME/MC per SURVEY §7 step 4)."""
         import jax.numpy as jnp
         p = self.params
+        if self._rows_mesh is not None:
+            return self._encode_p_rows(frame, qp)
         mb_w, mb_h = p.mb_width, p.mb_height
         y, u, v = self._pad_input(frame)
 
@@ -373,6 +515,7 @@ class Encoder:
     def close(self) -> dict:
         """x264_encoder_close: emit the global stats report
         (encoder/encoder.c:1878-2080) and return it as a dict."""
+        self.rc.write_stats()
         summary = self.stats.summary()
         if self.params.i_log_level >= 1 and summary:
             import sys

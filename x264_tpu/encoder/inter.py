@@ -137,11 +137,17 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab):
 
 def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                   y, u, v, ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
-                  subpel_steps=(2, 1)):
+                  subpel_steps=(2, 1), ref_prepadded: bool = False):
     """Encode one P frame (pre-deblock). All planes int32, MB-aligned;
     ref_* are the deblocked reference reconstruction. mvp_seed:
     (mb_h, mb_w, 2) qpel MV predictors for ME cost (previous frame's
-    field). Returns the full per-MB output dict (see keys below)."""
+    field). Returns the full per-MB output dict (see keys below).
+
+    ref_prepadded: the caller already supplies PAD(=32, luma; 16 chroma)
+    edge rows/cols around each ref plane — used by the MB-row-sharded
+    path (parallel/rows.py), where the vertical pad of interior bands is
+    *real halo pixels* from neighbor shards rather than edge replication
+    (the i_mv_range_thread contract, encoder/encoder.c:557-578)."""
     K = min(mb_h, mb_w)
     D = mb_h + mb_w - 1
 
@@ -151,7 +157,8 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     v_tiles = v.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
 
     # ---------------------------------------------------------- stage 1: ME
-    ref_pad = omc.pad_plane(ref_y.astype(I32))
+    ref_pad = (ref_y.astype(I32) if ref_prepadded
+               else omc.pad_plane(ref_y.astype(I32)))
     planes = omc.hpel_planes(ref_pad)
     mv_fp, sad_fp = ome.fullpel_search(y, ref_pad, mb_h, mb_w, me_range,
                                        lam, mvp_seed)
@@ -169,8 +176,10 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     xs = jnp.arange(mb_w, dtype=I32)[None, :] * 16 \
         + jnp.zeros((mb_h, 1), I32)
     pred_y = omc.mc_luma(planes, ys, xs, mv, 16, 16)
-    ref_u_pad = omc.pad_plane(ref_u.astype(I32), omc.PAD // 2)
-    ref_v_pad = omc.pad_plane(ref_v.astype(I32), omc.PAD // 2)
+    ref_u_pad = (ref_u.astype(I32) if ref_prepadded
+                 else omc.pad_plane(ref_u.astype(I32), omc.PAD // 2))
+    ref_v_pad = (ref_v.astype(I32) if ref_prepadded
+                 else omc.pad_plane(ref_v.astype(I32), omc.PAD // 2))
     pred_u = omc.mc_chroma(ref_u_pad, ys >> 1, xs >> 1, mv, 8, 8)
     pred_v = omc.mc_chroma(ref_v_pad, ys >> 1, xs >> 1, mv, 8, 8)
 

@@ -148,6 +148,19 @@ class EncoderParams:
         rc.i_qp_constant = _clip(rc.i_qp_constant, 0, 51)
         rc.i_qp_min = min(rc.i_qp_min, rc.i_qp_constant)
         rc.i_qp_max = _clip(rc.i_qp_max, rc.i_qp_min, 51)
+        if rc.i_rc_method == RC_ABR and rc.i_bitrate <= 0:
+            raise ValueError("ABR rate control requires a bitrate")
+        if rc.i_vbv_max_bitrate > 0 and rc.i_vbv_buffer_size <= 0:
+            rc.i_vbv_buffer_size = rc.i_vbv_max_bitrate
+        if rc.i_aq_mode != AQ_NONE:
+            # per-MB adaptive quant needs mb_qp_delta syntax in the
+            # device entropy writers — not implemented yet; log-off
+            # rather than silently ignore (validate-and-log contract)
+            if self.i_log_level >= 2:
+                import sys
+                print("x264_tpu [info]: adaptive quantization not yet "
+                      "implemented, disabling", file=sys.stderr)
+            rc.i_aq_mode = AQ_NONE
         if rc.i_rc_method == RC_CQP:
             rc.i_aq_mode = AQ_NONE
             if rc.i_qp_constant == 0:
