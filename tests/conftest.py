@@ -26,6 +26,26 @@ import jax  # noqa: E402
 # the env var above is then a no-op and jax.devices() would hit the TPU
 # tunnel (which wedges under the test workload). Force the binding back.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/x264_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Persistent compile cache: the CPU-PJRT executable serialize/cache
+# write path segfaults nondeterministically on this jaxlib (observed in
+# rounds 2 and 3 at compilation_cache.py:265 even with a fresh cache
+# dir), killing the whole suite. Reads are fine; writes are the hazard.
+# Default OFF for reliability; opt back in with X264_TPU_TEST_CACHE=1.
+if os.environ.get("X264_TPU_TEST_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/x264_tpu_jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+# XLA CPU compiles have segfaulted nondeterministically deep into a
+# single-process run (after ~40 accumulated executables; observed in
+# backend_compile_and_load and in the executable-serialize path).
+# Dropping compiled-executable references between modules keeps the
+# process footprint bounded and has kept the crash from reproducing.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()

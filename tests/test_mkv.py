@@ -113,3 +113,26 @@ def test_mux_structure():
     nlen = struct.unpack(">I", buf[bpos + 4:bpos + 8])[0]
     nal = buf[bpos + 8:bpos + 8 + nlen]
     assert nal == bytes([0x65]) + b"payload-idr"
+
+
+def test_long_interval_splits_cluster():
+    """A keyframe interval beyond the int16 relative-timecode range must
+    start a new cluster instead of overflowing struct.pack('>h')."""
+    sps = bytes([0x67, 66, 0xC0, 30, 0xAA, 0xBB])
+    pps = bytes([0x68, 0xCE, 0x38, 0x80])
+    hdr = b"\x00\x00\x00\x01" + sps + b"\x00\x00\x00\x01" + pps
+    f = io.BytesIO()
+    w = mkv.MKVWriter(f, 64, 48, 1, 1)      # 1 fps -> 1000 ms per frame
+    w.set_headers(hdr)
+    idr = b"\x00\x00\x00\x01" + bytes([0x65]) + b"i"
+    pfr = b"\x00\x00\x00\x01" + bytes([0x41]) + b"p"
+    w.write_frame(idr, True)
+    for _ in range(40):                     # 40 s > 32.767 s
+        w.write_frame(pfr, False)
+    w.close()                               # must not raise
+    buf = f.getvalue()
+    top = _parse_elements(buf, 0, len(buf))
+    eid, spos, ssize = top[1]
+    seg = _parse_elements(buf, spos, spos + ssize)
+    clusters = [e for e in seg if e[0] == 0x1F43B675]
+    assert len(clusters) >= 2

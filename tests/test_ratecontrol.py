@@ -198,3 +198,41 @@ def test_cqp_unchanged_by_rc():
     s2, q2, _, _ = encode_bits(p2, frames)
     assert s1 == s2 and q1 == q2
     assert all(q == 26 for q in q1)
+
+
+def test_zone_bitrate_factor_no_ratchet():
+    """A b=F zone must apply a one-time qscale scale per frame, not a
+    compounding per-frame QP shift (advisor finding r2; x264 zones scale
+    the rate factor once, ratecontrol.c:1186-1194)."""
+    frames = make_clip(n=12)
+    p = base_params()
+    p.rc.i_rc_method = RC_CRF
+    enc = Encoder(p)
+    enc.rc.zones = [(4, 9, "b", 2.0)]
+    qps = []
+    for f in frames:
+        enc.encode(f)
+        qps.append(enc.rc.last_qp)
+    enc.close()
+    in_zone = qps[5:9]
+    # inside the zone QP drops by ~6*log2(2)=6 and stays flat: it must
+    # not walk monotonically toward qp_min
+    assert max(in_zone) - min(in_zone) <= 3, qps
+    assert min(in_zone) > p.rc.i_qp_min, qps
+    # and the zone must actually lower QP vs the surrounding frames
+    assert np.mean(in_zone) < np.mean([qps[2], qps[3]]), qps
+
+
+def test_zone_force_qp():
+    frames = make_clip(n=8)
+    p = base_params()
+    p.rc.i_rc_method = RC_CRF
+    enc = Encoder(p)
+    enc.rc.zones = [(2, 4, "q", 33)]
+    qps = []
+    for f in frames:
+        enc.encode(f)
+        qps.append(enc.rc.last_qp)
+    enc.close()
+    assert qps[2] == qps[3] == qps[4] == 33, qps
+    assert qps[6] != 33 or qps[7] != 33

@@ -59,6 +59,10 @@ def build_argparser():
     ap.add_argument("--merange", type=int, default=16)
     ap.add_argument("--trellis", type=int, default=0)
     ap.add_argument("--aq-mode", type=int, default=1)
+    ap.add_argument("--frame-parallel", type=int, default=2,
+                    help="frames in flight (device compute overlaps the "
+                    "host entropy tail; the i_threads frame-pipeline "
+                    "analogue, doc/threads.txt)")
     # debug
     ap.add_argument("--dump-yuv", help="write reconstruction to .y4m "
                     "(doc/regression_test.txt flow)")
@@ -91,6 +95,7 @@ def params_from_args(args, width, height, fps_num, fps_den) -> EncoderParams:
     p.analyse.i_trellis = args.trellis
     p.rc.i_aq_mode = args.aq_mode
     p.i_scenecut_threshold = args.scenecut
+    p.i_frame_parallel = args.frame_parallel
     if args.rc_pass == 1:
         p.rc.b_stat_write = True
         p.rc.psz_stat_out = args.stats
@@ -171,19 +176,14 @@ def main(argv=None):
         else:
             out.write(enc.headers())
         qpfile = parse_qpfile(args.qpfile) if args.qpfile else {}
-        zones = parse_zones(args.zones) if args.zones else []
-        for (y, u, v) in reader:
-            ftype, fqp = qpfile.get(n, (None, None))
-            for (zs, ze, kind, val) in zones:
-                if zs <= n <= ze:
-                    if kind == "q":
-                        fqp = val
-                    else:  # bitrate factor: shift qp by -6*log2(b)
-                        import math
-                        fqp = max(0, min(51, round(
-                            enc.rc.last_qp - 6 * math.log2(val))))
-            ef = enc.encode(Frame(y, u, v), forced_type=ftype,
-                            forced_qp=fqp)
+        if args.zones:
+            # zones live inside RC (get_qscale order) so a bitrate-factor
+            # zone scales the frame qscale once instead of compounding
+            enc.rc.zones = parse_zones(args.zones)
+        def emit(ef):
+            nonlocal total_bits
+            if ef is None:      # frame delayed in the pipeline
+                return
             if mkv is not None:
                 mkv.write_frame(ef.payload, ef.frame_type == "IDR")
             else:
@@ -191,12 +191,19 @@ def main(argv=None):
             total_bits += ef.bits
             if args.dump_yuv:
                 recons.append((ef.recon.y, ef.recon.u, ef.recon.v))
+
+        for (y, u, v) in reader:
+            ftype, fqp = qpfile.get(n, (None, None))
+            emit(enc.encode(Frame(y, u, v), forced_type=ftype,
+                            forced_qp=fqp))
             n += 1
             if not args.quiet and n % 10 == 0:
                 el = time.time() - t0
                 print(f"\r{n} frames, {n/el:.2f} fps", end="", file=sys.stderr)
             if args.frames and n >= args.frames:
                 break
+        for ef in enc.flush():   # drain delayed frames (x264.c:870-873)
+            emit(ef)
         if mkv is not None:
             mkv.close()
     el = time.time() - t0

@@ -1,0 +1,195 @@
+"""Lowres lookahead costs — encoder/slicetype.c re-expressed for TPU.
+
+The reference runs per-MB HEX motion search on half-resolution planes to
+estimate frame coding costs (x264_slicetype_mb_cost,
+encoder/slicetype.c:43-256): per 8x8 lowres block it takes
+min(inter ME cost, intra prediction cost), sums interior blocks into
+i_cost_est, and the scenecut/frame-type logic consumes the sums
+(scenecut, slicetype.c:437-474).
+
+TPU re-expression: the per-block HEX walk becomes one dense batched
+search — every (dx, dy) in the window is a whole-plane shift + per-8x8
+SAD reduction (pure VPU work, no gathers), and the intra ladder becomes
+three batched predictions (DC/H/V) scored with SATD. One jitted program
+returns the per-block cost planes; the host keeps only the sums.
+
+Cost model mirrored from the reference:
+  - inter: SAD + mv-bit cost, -2 skip adjust, +5 if mv != 0
+    (slicetype.c:168-172)
+  - intra: min-mode SATD + 5 intra penalty (slicetype.c:196-231)
+  - per-block cost = min(inter, intra); only interior blocks counted
+    (slicetype.c:243-247)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import pixel as opix
+from ..ops import me as ome
+
+I32 = jnp.int32
+
+INTRA_PENALTY = 5   # slicetype.c:196 intra_penalty
+NONZERO_MV_PENALTY = 5   # slicetype.c:170-171 (cost -= 2; += 5 if mv)
+
+
+@jax.jit
+def lowres_plane(y):
+    """Half-res downsample by 2x2 mean (x264_frame_init_lowres,
+    common/mc.c:306-357). y: (H, W) uint8 -> (H//2, W//2) int32."""
+    h, w = y.shape
+    p = y[: h & ~1, : w & ~1].astype(I32)
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+            + p[1::2, 1::2] + 2) >> 2
+
+
+@jax.jit
+def lowres_planes(y):
+    """All four phase-shifted lowres planes (x264_frame_init_lowres,
+    common/mc.c:306-357): plane[2*pv+ph](i, j) averages the fullres 2x2
+    at (2i+pv, 2j+ph), so a 1-fullres-pixel shift — a lowres *half*
+    pixel — is exact, not interpolated.
+
+    y: (H, W) uint8 -> (4, H//2, W//2) int32, order [00, 0h, v0, vh].
+    """
+    h, w = y.shape
+    p = y[: h & ~1, : w & ~1].astype(I32)
+    pp = jnp.pad(p, ((0, 1), (0, 1)), mode="edge")
+
+    def ds(pv, ph):
+        q = pp[pv:pv + (h & ~1), ph:ph + (w & ~1)]
+        return (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2]
+                + q[1::2, 1::2] + 2) >> 2
+
+    return jnp.stack([ds(0, 0), ds(0, 1), ds(1, 0), ds(1, 1)])
+
+
+def _pad8(low, bh, bw):
+    """Edge-pad a lowres plane to (bh*8, bw*8)."""
+    h, w = low.shape
+    return jnp.pad(low, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def intra_cost_plane(low, bh: int, bw: int):
+    """Per-8x8-block lowres intra cost: min(DC, H, V) SATD + penalty
+    (the 8x8c prediction ladder of slicetype.c:196-231; DC/H/V are the
+    dominant modes — plane adds little for a cost estimate).
+
+    low: (h, w) int32 lowres plane. Returns (bh, bw) int32.
+    """
+    p = _pad8(low, bh, bw)
+    tiles = p.reshape(bh, 8, bw, 8).swapaxes(1, 2)       # (bh,bw,8,8)
+
+    # neighbor pixels: row above each block / column left of each block
+    top = jnp.roll(p, 1, axis=0)[0::8]                    # (bh, w)
+    top = top.reshape(bh, bw, 8)
+    left = jnp.roll(p, 1, axis=1)[:, 0::8]                # (h, bw)
+    left = left.reshape(bh, 8, bw).swapaxes(1, 2)         # (bh,bw,8)
+    has_top = (jnp.arange(bh) > 0)[:, None, None]
+    has_left = (jnp.arange(bw) > 0)[None, :, None]
+
+    tsum = top.sum(-1, keepdims=True)
+    lsum = left.sum(-1, keepdims=True)
+    both = (tsum + lsum + 8) >> 4
+    dc = jnp.where(has_top & has_left, both,
+                   jnp.where(has_top, (tsum + 4) >> 3,
+                             jnp.where(has_left, (lsum + 4) >> 3, 128)))
+    pred_dc = jnp.broadcast_to(dc[..., None], tiles.shape)
+    pred_v = jnp.broadcast_to(top[:, :, None, :], tiles.shape)
+    pred_h = jnp.broadcast_to(left[:, :, :, None], tiles.shape)
+
+    s_dc = opix.satd(tiles, pred_dc)
+    s_v = jnp.where(jnp.squeeze(has_top, -1), opix.satd(tiles, pred_v),
+                    jnp.int32(1 << 28))
+    s_h = jnp.where(jnp.squeeze(has_left, -1), opix.satd(tiles, pred_h),
+                    jnp.int32(1 << 28))
+    return jnp.minimum(s_dc, jnp.minimum(s_v, s_h)) + INTRA_PENALTY
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def inter_cost_plane(low, ref_planes, bh: int, bw: int, r: int):
+    """Per-8x8-block lowres inter cost: dense full-pel search over
+    (2r+1)^2 displacements (the HEX walk of x264_me_search collapsed to
+    its exhaustive endpoint), then a half-pel SATD re-score over the
+    winner's 3x3 neighborhood through the exact phase planes
+    (slicetype.c:43-185; subpel via lowres[1..3] like the reference's
+    lowres hpel search).
+
+    low: (h, w) current plane-0. ref_planes: (4, h, w) phase planes of
+    the reference. Returns (cost (bh, bw) int32,
+    mv (bh, bw, 2) half-pel lowres units).
+    """
+    cur = _pad8(low, bh, bw)
+    H, W = bh * 8, bw * 8
+    refs = jnp.stack([jnp.pad(_pad8(ref_planes[k], bh, bw), r, mode="edge")
+                      for k in range(4)])
+    ref0 = refs[0]
+    dxs = jnp.arange(-r, r + 1, dtype=I32)
+
+    def sad_row(_, dy):
+        rows = jax.lax.dynamic_slice(ref0, (r + dy, 0), (H, W + 2 * r))
+
+        def sad_dx(dx):
+            s = jax.lax.dynamic_slice(rows, (0, r + dx), (H, W))
+            d = jnp.abs(cur - s)
+            return d.reshape(bh, 8, bw, 8).sum(axis=(1, 3))
+
+        return None, jax.vmap(sad_dx)(dxs)
+
+    _, sads = jax.lax.scan(sad_row, None, dxs)   # (dy, dx, bh, bw)
+
+    cand = jnp.stack(jnp.meshgrid(dxs, dxs, indexing="xy"), axis=-1)
+    cand = cand.reshape(-1, 2)                   # (NC, 2) (dx, dy)
+    bits = ome.se_bits(cand[:, 0]) + ome.se_bits(cand[:, 1])
+    nz = jnp.any(cand != 0, axis=-1)
+    penalty = bits - 2 + jnp.where(nz, NONZERO_MV_PENALTY, 0)
+    cost = sads.reshape(-1, bh, bw) + penalty[:, None, None]
+    best = jnp.argmin(cost, axis=0)
+    mv_fp = cand[best]                           # (bh, bw, 2) fullpel
+    pen = jnp.take_along_axis(penalty[:, None, None]
+                              * jnp.ones((1, bh, bw), I32),
+                              best[None], axis=0)[0]
+
+    # half-pel 3x3 SATD re-score (units: SATD, matching the intra plane)
+    cur_tiles = cur.reshape(bh, 8, bw, 8).swapaxes(1, 2)
+    iy = jnp.arange(8, dtype=I32)
+    best_cost = best_mv = None
+    for oy in (-1, 0, 1):
+        for ox in (-1, 0, 1):
+            hx = mv_fp[..., 0] * 2 + ox          # half-pel units
+            hy = mv_fp[..., 1] * 2 + oy
+            fy, py = hy >> 1, hy & 1
+            fx, px = hx >> 1, hx & 1
+            plane = py * 2 + px                  # (bh, bw)
+            by = jnp.arange(bh, dtype=I32)[:, None] * 8 + fy + r
+            bx = jnp.arange(bw, dtype=I32)[None, :] * 8 + fx + r
+            rows = by[..., None, None] + iy[:, None]
+            cols = bx[..., None, None] + iy[None, :]
+            tiles = refs[plane[..., None, None], rows, cols]
+            c = opix.satd(cur_tiles, tiles) + pen
+            mv = jnp.stack([hx, hy], axis=-1)
+            if best_cost is None:
+                best_cost, best_mv = c, mv
+            else:
+                upd = c < best_cost
+                best_cost = jnp.where(upd, c, best_cost)
+                best_mv = jnp.where(upd[..., None], mv, best_mv)
+    return best_cost, best_mv
+
+
+def frame_cost_sums(icost, pcost=None):
+    """Interior-block sums (slicetype.c:243-247 excludes the border ring
+    from i_cost_est). Returns (icost_sum, pcost_sum)."""
+    inner = (slice(1, -1), slice(1, -1)) if min(icost.shape) > 2 \
+        else (slice(None), slice(None))
+    ic = icost[inner]
+    isum = int(ic.sum())
+    if pcost is None:
+        return isum, isum
+    pc = jnp.minimum(pcost[inner], ic)
+    return isum, int(pc.sum())

@@ -21,8 +21,9 @@ Reference behaviors matched (file:line cites into
 Everything here is host-side control logic over per-frame scalars — the
 natural TPU split per SURVEY.md §7 ("rate control ... stays in Python on
 host (tiny compute, control-heavy)"). Per-frame complexity (the
-x264_rc_analyse_slice role) comes from numpy lowres costs on the host so
-no device round-trip happens before QP is chosen.
+x264_rc_analyse_slice role) comes from the device lowres lookahead
+(encoder/lookahead.py): one small jitted program per frame whose cost
+sums cross to the host before QP is chosen.
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ import os
 import numpy as np
 
 from ..params import (EncoderParams, RC_CQP, RC_CRF, RC_ABR)
+from . import lookahead
 
 
 def qp2qscale(qp: float) -> float:
@@ -43,55 +45,6 @@ def qp2qscale(qp: float) -> float:
 def qscale2qp(qscale: float) -> float:
     """encoder/ratecontrol.c:154-158."""
     return 12.0 + 6.0 * math.log2(qscale / 0.85)
-
-
-# ---------------------------------------------------------------------------
-# Lowres frame cost: the x264_rc_analyse_slice / slicetype lowres-ME stand-in.
-# ---------------------------------------------------------------------------
-
-def lowres(y: np.ndarray) -> np.ndarray:
-    """Half-res downsample by 2x2 mean (x264_frame_init_lowres,
-    common/mc.c:306-357 uses the same 2-tap average)."""
-    h, w = y.shape
-    h &= ~1
-    w &= ~1
-    p = y[:h, :w].astype(np.int32)
-    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
-            + p[1::2, 1::2] + 2) >> 2
-
-
-def _block_sum(a: np.ndarray, bs: int = 8) -> np.ndarray:
-    h, w = a.shape
-    hb, wb = h // bs, w // bs
-    return a[:hb * bs, :wb * bs].reshape(hb, bs, wb, bs).sum(axis=(1, 3))
-
-
-def intra_cost(low: np.ndarray) -> float:
-    """Lowres intra-cost proxy: per-8x8 deviation from the block DC
-    (plays the role of the lowres intra-prediction SATD,
-    encoder/slicetype.c:186-245)."""
-    h, w = low.shape
-    hb, wb = h // 8, w // 8
-    blk = low[:hb * 8, :wb * 8].reshape(hb, 8, wb, 8)
-    dc = blk.mean(axis=(1, 3), keepdims=True)
-    sad = np.abs(blk - dc).sum()
-    return float(sad)
-
-
-def inter_cost(low: np.ndarray, ref_low: np.ndarray) -> float:
-    """Lowres inter-cost proxy: per-8x8 min SAD over a small candidate
-    set of global shifts (the zero-MV + diamond probes of the lowres ME,
-    encoder/slicetype.c:43-185)."""
-    h, w = low.shape
-    hb, wb = h // 8, w // 8
-    cur = low[:hb * 8, :wb * 8]
-    best = None
-    for dy, dx in ((0, 0), (0, -2), (0, 2), (-2, 0), (2, 0),
-                   (0, -5), (0, 5), (-5, 0), (5, 0)):
-        ref = np.roll(ref_low, (dy, dx), axis=(0, 1))[:hb * 8, :wb * 8]
-        sad = _block_sum(np.abs(cur.astype(np.int32) - ref))
-        best = sad if best is None else np.minimum(best, sad)
-    return float(best.sum())
 
 
 # ---------------------------------------------------------------------------
@@ -151,16 +104,34 @@ class RateControl:
         self.ip_offset = 6.0 * math.log2(rc.f_ip_factor)
         self.bitrate = rc.i_bitrate * 1000.0
         self.last_qp = rc.i_qp_constant
-        self.last_qscale = qp2qscale(26)
-        self.last_qscale_for = {"I": qp2qscale(26), "P": qp2qscale(26)}
 
-        # complexity accumulators (rate_estimate_qscale:1396)
+        # ABR/CRF seeds (x264_ratecontrol_new:350-382; ABR_INIT_QP is
+        # rf_constant under CRF, 24 otherwise)
+        self._abr_init_qp = (rc.f_rf_constant if self.method == RC_CRF
+                             else 24.0)
+        self.accum_p_norm = 0.01
+        self.accum_p_qp = self._abr_init_qp * self.accum_p_norm
+        self.cplxr_sum = 0.01 * pow(7.0e5, self.qcomp) * math.sqrt(self.nmb)
+        self.wanted_bits_window = max(self.bitrate / self.fps, 1.0)
+        self.lstep = pow(2.0, rc.i_qp_step / 6.0)
+        self.last_qscale = qp2qscale(self._abr_init_qp)
+        self.last_qscale_for = {t: qp2qscale(self._abr_init_qp)
+                                for t in ("I", "P", "B")}
+        self.last_non_b_type = "P"
+        self.last_rceq = 1.0
+
+        # complexity accumulators (rate_estimate_qscale:1443-1450)
         self.short_term_cplxsum = 0.0
         self.short_term_cplxcount = 0.0
-        self.cplxr_sum = 0.01
-        self.wanted_bits_window = 1.0
         self.total_bits = 0
-        self.frame_count = 0
+        self.frame_count = 0      # frames *completed* (i_frame_done)
+        self._started = 0
+
+        # zones (x264_ratecontrol zones, encoder/ratecontrol.c:601-715):
+        # list of (start, end, kind, value); kind 'q' forces QP, 'b'
+        # divides qscale by the bitrate factor — applied in get_qscale
+        # order (before the I-frame replacement), never compounding
+        self.zones: list[tuple] = []
 
         # CRF rate factor (x264_ratecontrol_new:267 CRF branch)
         base_cplx = self.nmb * (80 if p.i_bframe == 0 else 120)
@@ -173,11 +144,18 @@ class RateControl:
         self.vbv = self.vbv_buffer_size > 0 and self.vbv_max_rate > 0
         self.buffer_fill = self.vbv_buffer_size * rc.f_vbv_buffer_init
         self.buffer_rate = self.vbv_max_rate / self.fps if self.vbv else 0.0
+        # cbr_decay (ratecontrol.c:290,328-329): 1.0 without VBV
+        self.cbr_decay = 1.0
+        if self.vbv and self.bitrate > 0:
+            self.cbr_decay = 1.0 - self.buffer_rate / self.vbv_buffer_size \
+                * 0.5 * max(0.0, 1.5 - self.buffer_rate * self.fps
+                            / self.bitrate)
 
         self.pred = {"I": Predictor(), "P": Predictor(), "B": Predictor()}
 
-        # lowres state for complexity + scenecut
+        # lowres state for complexity + scenecut (device lookahead)
         self._prev_low = None
+        self._lowres_range = max(4, min(12, p.analyse.i_me_range // 2))
         self.last_satd = 0.0
         self.frame_cplx = 0.0
 
@@ -192,42 +170,97 @@ class RateControl:
                            self.qcomp, self.qp_min, self.qp_max)
 
     # ------------------------------------------------------------- analyse
-    def analyse_frame(self, y: np.ndarray) -> dict:
-        """Lowres cost + scenecut decision for the incoming frame.
-        Returns {'scenecut': bool, 'icost': float, 'pcost': float}.
-        (x264_slicetype_analyse + scenecut, encoder/slicetype.c:437-474)"""
-        low = lowres(np.asarray(y, np.uint8))
-        icost = intra_cost(low)
-        out = {"scenecut": False, "icost": icost, "pcost": icost}
-        if self._prev_low is not None and self._prev_low.shape == low.shape:
-            pcost = inter_cost(low, self._prev_low)
-            out["pcost"] = pcost
-            thresh = self.p.i_scenecut_threshold / 100.0
-            # scenecut when inter predicts no better than (1-bias)*intra
-            # (slicetype.c:449-467; the distance-adaptive bias is dropped
-            # because keyint enforcement is handled by the caller)
-            if icost > 0 and pcost >= (1.0 - thresh) * icost:
+    def analyse_frame(self, y: np.ndarray, gop_size: int | None = None) \
+            -> dict:
+        """Lowres cost + scenecut decision for the incoming frame
+        (device lookahead per-block ME/intra costs, then the scenecut
+        rule of encoder/slicetype.c:437-474 with its distance-adaptive
+        bias). gop_size: frames since the last IDR (for the bias ramp);
+        None = use the max bias.
+        Returns {'scenecut': bool, 'icost': float, 'pcost': float}."""
+        import jax.numpy as jnp
+        lows = lookahead.lowres_planes(jnp.asarray(y, jnp.uint8))
+        low = lows[0]
+        h, w = low.shape
+        bh, bw = (h + 7) // 8, (w + 7) // 8
+        icost_p = lookahead.intra_cost_plane(low, bh, bw)
+        out = {"scenecut": False}
+        if self._prev_low is not None and self._prev_low.shape == lows.shape:
+            pcost_p, _mv = lookahead.inter_cost_plane(
+                low, self._prev_low, bh, bw, self._lowres_range)
+            isum, psum = lookahead.frame_cost_sums(icost_p, pcost_p)
+            out["icost"], out["pcost"] = float(isum), float(psum)
+            # bias ramp (scenecut, slicetype.c:445-462)
+            t_max = self.p.i_scenecut_threshold / 100.0
+            kmin = max(1, self.p.i_keyint_min)
+            kmax = max(kmin + 1, self.p.i_keyint_max)
+            t_min = t_max * kmin / (kmax * 4.0)
+            if gop_size is None or gop_size > kmax:
+                bias = t_max
+            elif gop_size < kmin / 4:
+                bias = t_min / 4
+            elif gop_size <= kmin:
+                bias = t_min * gop_size / kmin
+            else:
+                bias = t_min + (t_max - t_min) * (gop_size - kmin) \
+                    / (kmax - kmin)
+            if isum > 0 and psum >= (1.0 - bias) * isum:
                 out["scenecut"] = True
-        self._prev_low = low
+        else:
+            isum, psum = lookahead.frame_cost_sums(icost_p)
+            out["icost"] = out["pcost"] = float(isum)
+        self._prev_low = lows
         self.frame_cplx = max(out["pcost"], 1.0)
         return out
 
+    def _get_zone(self, frame_idx: int):
+        """Last matching zone wins (get_zone, ratecontrol.c:741-752)."""
+        hit = None
+        for z in self.zones:
+            if z[0] <= frame_idx <= z[1]:
+                hit = z
+        return hit
+
     # ------------------------------------------------------------- start
-    def start(self, frame_type: str, satd: float | None = None) -> int:
+    def start(self, frame_type: str, satd: float | None = None,
+              frame_idx: int | None = None) -> int:
         """Choose the frame QP (x264_ratecontrol_start:789 +
-        rate_estimate_qscale:1396). frame_type: 'I' or 'P'."""
-        self.frame_count += 1
+        rate_estimate_qscale:1396). frame_type: 'I', 'P' or 'B'."""
+        if frame_idx is None:
+            frame_idx = self._started
+        self._started += 1
         if satd is None:
             satd = self.frame_cplx
         self.last_satd = max(satd, 1.0)
+        zone = self._get_zone(frame_idx)
 
         if self.method == RC_CQP:
             # pure constant QP for every slice type (the reference applies
             # f_ip_factor to CQP I frames, ratecontrol.c:571-576; kept
-            # flat here so CQP streams stay regression-locked byte-exact)
+            # flat here so CQP streams stay regression-locked byte-exact).
+            # B frames take the pb_factor offset (qp_constant[SLICE_TYPE_B],
+            # ratecontrol.c:357-360)
             qp = self.p.rc.i_qp_constant
+            if frame_type == "B":
+                qp += round(6.0 * math.log2(abs(self.p.rc.f_pb_factor)))
+            if zone is not None and zone[2] == "q":
+                qp = max(0, min(51, int(zone[3])))
+            qp = max(0, min(51, qp))
             self.last_qp = qp
             return int(qp)
+
+        if frame_type == "B" and not self.stat_read:
+            # B-frames ride the adjacent P quantizer + pb offset
+            # (rate_estimate_qscale B branch, ratecontrol.c:1419-1452)
+            q = self.last_qscale_for["P"] * abs(self.p.rc.f_pb_factor)
+            q = max(qp2qscale(self.qp_min), min(qp2qscale(self.qp_max), q))
+            if self.vbv:
+                q = self._clip_qscale("B", q)
+            self.last_qscale_for["B"] = q
+            qp = int(round(qscale2qp(q)))
+            qp = max(self.qp_min, min(self.qp_max, qp))
+            self.last_qp = qp
+            return qp
 
         if self.stat_read:
             # 2-pass replay: QPs precomputed by init_pass2
@@ -235,6 +268,8 @@ class RateControl:
             rce = self.stat_read[idx]
             self._read_pos += 1
             q = rce.new_qp if rce.new_qp is not None else rce.qp
+            if zone is not None and zone[2] == "q":
+                q = float(zone[3])
             qp = int(round(max(self.qp_min, min(self.qp_max, q))))
             self.last_qp = qp
             self.last_qscale = qp2qscale(qp)
@@ -248,36 +283,59 @@ class RateControl:
         blurred = self.short_term_cplxsum / self.short_term_cplxcount
         self.last_rceq = pow(blurred, 1.0 - self.qcomp)
 
+        overflow = 1.0
         if self.method == RC_CRF:
             q = self.last_rceq / self.rate_factor_constant
-        else:  # ABR (rate_estimate_qscale ABR branch :1472-1530)
-            wanted = self.bitrate * self.frame_count / self.fps
-            self.wanted_bits_window = max(wanted, 1.0)
-            rate_factor = self.wanted_bits_window / self.cplxr_sum
-            q = self.last_rceq / max(rate_factor, 1e-9)
-            abr_buffer = 2.0 * self.p.rc.f_rate_tolerance * self.bitrate
-            overflow = 1.0 + (self.total_bits - wanted) / max(abr_buffer, 1.0)
-            q *= min(2.0, max(0.5, overflow))
+        else:  # 1-pass ABR (rate_estimate_qscale:1528-1572)
+            q = self.last_rceq / (self.wanted_bits_window / self.cplxr_sum)
+            wanted = self.frame_count * self.bitrate / self.fps
+            if wanted > 0:
+                abr_buffer = 2.0 * self.p.rc.f_rate_tolerance \
+                    * self.bitrate \
+                    * max(1.0, math.sqrt(self.frame_count / 25.0))
+                overflow = min(2.0, max(0.5, 1.0 + (self.total_bits
+                                                    - wanted) / abr_buffer))
+                q *= overflow
 
-        if frame_type == "I" and self.p.i_keyint_max > 1:
-            # I-frame boost (rate_estimate_qscale:1510-1516)
-            q = qp2qscale(qscale2qp(q) - self.ip_offset)
+        # bitrate-factor zone (get_qscale, ratecontrol.c:1186-1194)
+        if zone is not None and zone[2] == "b":
+            q /= float(zone[3])
 
-        # smooth vs last qscale of same type (:1518-1526)
+        if frame_type == "I" and self.p.i_keyint_max > 1 \
+                and self.last_non_b_type != "I":
+            # I frames track the decayed average P QP / ip_factor
+            # (rate_estimate_qscale:1574-1578)
+            q = qp2qscale(self.accum_p_qp / self.accum_p_norm)
+            q /= abs(self.p.rc.f_ip_factor)
+        elif self.frame_count > 0:
+            # asymmetric clip vs last qscale of same type (:1580-1592)
+            lmin_t = self.last_qscale_for[frame_type] / self.lstep
+            lmax_t = self.last_qscale_for[frame_type] * self.lstep
+            if overflow > 1.1 and self.frame_count > 3:
+                lmax_t *= self.lstep
+            elif overflow < 0.9:
+                lmin_t /= self.lstep
+            q = max(lmin_t, min(lmax_t, q))
+        elif self.method == RC_CRF:
+            q = qp2qscale(self._abr_init_qp) / abs(self.p.rc.f_ip_factor)
+
+        # q= zones force the QP outright (zone->b_force_qp), bypassing
+        # the smoothing that would otherwise ramp toward it
+        if zone is not None and zone[2] == "q":
+            q = qp2qscale(float(zone[3]))
+
         lmin = qp2qscale(self.qp_min)
         lmax = qp2qscale(self.qp_max)
         q = max(lmin, min(lmax, q))
         if self.vbv:
             q = self._clip_qscale(frame_type, q)
+
+        self.last_qscale_for[frame_type] = self.last_qscale = q
+        if self.frame_count == 0:
+            self.last_qscale_for["P"] = q
         qp = int(round(qscale2qp(q)))
-        qp = max(self.qp_min, min(self.qp_max,
-                                  min(self.last_qp + self.qp_step,
-                                      max(self.last_qp - self.qp_step, qp))
-                                  if self.frame_count > 1 and
-                                  self.method == RC_ABR else qp))
+        qp = max(self.qp_min, min(self.qp_max, qp))
         self.last_qp = qp
-        self.last_qscale = qp2qscale(qp)
-        self.last_qscale_for[frame_type] = self.last_qscale
         return qp
 
     def _clip_qscale(self, frame_type: str, q: float) -> float:
@@ -298,19 +356,46 @@ class RateControl:
                 break
         return max(qp2qscale(self.qp_min), min(qp2qscale(self.qp_max), q))
 
+    def _accum_p_update(self, qp: float, frame_type: str):
+        """accum_p_qp_update (ratecontrol.c:776-786): decayed average of
+        P-equivalent QPs, used as the I-frame quant base."""
+        self.accum_p_qp *= 0.95
+        self.accum_p_norm *= 0.95
+        self.accum_p_norm += 1.0
+        self.accum_p_qp += qp + (self.ip_offset if frame_type == "I"
+                                 else 0.0)
+
     # ------------------------------------------------------------- end
     def end(self, frame_type: str, bits: int, qp: int,
-            mb_counts=None, header_bits: int = 0):
-        """Post-frame accounting (x264_ratecontrol_end:1077)."""
+            mb_counts=None, header_bits: int = 0,
+            rceq: float | None = None, satd: float | None = None):
+        """Post-frame accounting (x264_ratecontrol_end:1077-1133):
+        cplxr_sum accumulates bits*qscale/rceq, wanted_bits_window
+        accumulates the per-frame target, both decayed by cbr_decay
+        (1.0 without VBV — matched decaying windows keep the ABR rate
+        factor stationary). rceq/satd override the live values when the
+        frame-pipeline delays accounting past the next start()."""
         self.total_bits += bits
         qscale = qp2qscale(qp)
+        if rceq is None:
+            rceq = self.last_rceq
+        if satd is None:
+            satd = self.last_satd
         if self.method != RC_CQP and not self.stat_read:
-            self.cplxr_sum *= 0.5
-            self.wanted_bits_window *= 0.5
-            self.cplxr_sum += bits * qscale / max(self.last_rceq, 1e-9) \
-                if hasattr(self, "last_rceq") else 0.0
+            div = max(rceq, 1e-9)
+            if frame_type == "B":
+                div *= abs(self.p.rc.f_pb_factor)
+            self.cplxr_sum += bits * qscale / div
+            self.cplxr_sum *= self.cbr_decay
+            self.wanted_bits_window += self.bitrate / self.fps
+            self.wanted_bits_window *= self.cbr_decay
+            if frame_type != "B":
+                self._accum_p_update(qp, frame_type)
+        if frame_type != "B":
+            self.last_non_b_type = frame_type
+        self.frame_count += 1
         self.pred[frame_type if frame_type in self.pred else "P"].update(
-            bits, qscale, self.last_satd)
+            bits, qscale, satd)
         if self.vbv:
             self.buffer_fill += self.buffer_rate - bits
             self.buffer_fill = max(0.0,
@@ -321,7 +406,7 @@ class RateControl:
             imb, pmb, smb = (int(x) for x in mb_counts)
         self.entries.append(RateControlEntry(
             frame_type, tex_bits=bits - header_bits, misc_bits=header_bits,
-            qp=qp, cplx=self.last_satd, imb=imb, pmb=pmb, smb=smb))
+            qp=qp, cplx=satd, imb=imb, pmb=pmb, smb=smb))
 
     # ------------------------------------------------------------- 2-pass
     def write_stats(self):

@@ -172,7 +172,10 @@ class MKVWriter:
         cluster_blocks: list[bytes] = []
         cluster_tc = 0
         for tc, key, payload in self.frames:
-            if key and cluster_blocks:
+            # new cluster on keyframes, and whenever the int16 relative
+            # timecode of SimpleBlock would overflow (long keyint at low
+            # fps) — matroska muxers split clusters the same way
+            if cluster_blocks and (key or tc - cluster_tc > 32767):
                 clusters.append(elem(CLUSTER, b"".join(
                     [elem_uint(0xE7, cluster_tc)] + cluster_blocks)))
                 cluster_blocks = []

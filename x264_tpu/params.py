@@ -184,16 +184,57 @@ class EncoderParams:
         a.i_me_range = _clip(a.i_me_range, 4, 64)
         if a.i_mv_range <= 0:
             a.i_mv_range = 512  # level 4+ default; level logic narrows this
+        if a.i_trellis:
+            self._log("trellis quantization not yet implemented, disabling")
+            a.i_trellis = 0
 
         self.i_frame_reference = _clip(self.i_frame_reference, 1, 16)
+        if self.i_frame_reference > 1:
+            # multi-ref needs ref_idx_l0 syntax in the entropy writers;
+            # advertising N refs in the PPS without coding ref_idx emits
+            # a spec-corrupt stream — clamp until multi-ref lands
+            # (x264_validate_parameters clamp contract, encoder.c:335)
+            self._log("multiple reference frames not yet implemented, "
+                      "using --ref 1")
+            self.i_frame_reference = 1
         self.i_bframe = _clip(self.i_bframe, 0, 16)
+        if self.i_bframe > 1:
+            # current B support: one non-reference B between references
+            # (B_16x16 L0/L1/BI; no pyramid/direct yet)
+            self._log("using --bframes 1 (longer B runs not yet "
+                      "implemented)")
+            self.i_bframe = 1
+        if self.i_bframe > 0 and self.i_mb_row_shards > 1:
+            self._log("B-frames with MB-row sharding not yet supported; "
+                      "using --bframes 0")
+            self.i_bframe = 0
         if self.i_bframe == 0:
             self.b_bframe_pyramid = False
         self.i_keyint_max = max(self.i_keyint_max, 1)
         self.i_keyint_min = _clip(self.i_keyint_min, 1, self.i_keyint_max // 2 + 1)
         self.i_mb_row_shards = max(1, self.i_mb_row_shards)
         self.i_frame_parallel = max(1, self.i_frame_parallel)
+        if a.i_me_method != ME_ESA and a.i_me_method != ME_TESA:
+            # the TPU pipeline always runs the dense (ESA-endpoint)
+            # search: pattern walks (dia/hex/umh) are latency-bound
+            # scalar control flow with no TPU win; log so --me is not
+            # silently dead (validate-and-log contract)
+            self._log(f"me method '{ME_NAMES[a.i_me_method]}' maps to the "
+                      "dense TPU search (esa-equivalent)", once="me")
         return self
+
+    _logged_once: set = None
+
+    def _log(self, msg: str, once: str | None = None):
+        if self.i_log_level >= 2:
+            if once is not None:
+                if EncoderParams._logged_once is None:
+                    EncoderParams._logged_once = set()
+                if once in EncoderParams._logged_once:
+                    return
+                EncoderParams._logged_once.add(once)
+            import sys
+            print(f"x264_tpu [info]: {msg}", file=sys.stderr)
 
     # ------------------------------------------------------------------
     @property
