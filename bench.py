@@ -47,25 +47,32 @@ def make_frames(w, h, n):
     return frames
 
 
-def run_encoder(frames, w, h, cabac, deblock, keyint, warm=1):
+def run_encoder(frames, w, h, cabac, deblock, keyint, warm=1,
+                frame_parallel=2):
     from x264_tpu import EncoderParams, Encoder
     p = EncoderParams(i_width=w, i_height=h, b_cabac=cabac,
                       b_deblocking_filter=deblock, i_log_level=0,
-                      i_keyint_max=keyint)
+                      i_keyint_max=keyint,
+                      i_frame_parallel=frame_parallel)
     p.rc.i_rc_method = 0
     p.rc.i_qp_constant = 26
     enc = Encoder(p)
+    outs = []
     for f in frames[:warm]:
-        enc.encode(f)          # warmup + compile (IDR path)
+        outs.append(enc.encode(f))   # warmup + compile (IDR path)
     if keyint > 1 and len(frames) > warm:
-        enc.encode(frames[warm])   # compile the P path too
+        outs.append(enc.encode(frames[warm]))  # compile the P path too
         warm += 1
     t0 = time.time()
     n = 0
     bits = 0
     for f in frames[warm:]:
-        bits += enc.encode(f).bits
+        ef = enc.encode(f)
+        if ef is not None:
+            bits += ef.bits
         n += 1
+    for ef in enc.flush():
+        bits += ef.bits
     dt = time.time() - t0
     return n / dt, bits / max(n, 1)
 
@@ -118,7 +125,7 @@ def stage_timings(w, h):
         yy, jnp.pad(rr, 32, mode="edge"), mb_h, mb_w, 16, lam, mm))
     t_me = timed(lambda: me_jit(y, ry, mvp0)[0])
     t_p_full = timed(lambda: pipeline.encode_p_cabac(
-        mb_h, mb_w, 16, True, (2, 1), y, u, v, ry, u, v, qtab, lam,
+        mb_h, mb_w, 16, True, (2, 1), True, y, u, v, ry, u, v, qtab, lam,
         qp, qp_c, 0, 0, 0, mvp0)["ops"])
     print(f"[bench] per-stage ms/frame @{w}x{h}: intra_scan={t_intra:.1f} "
           f"idr_fused={t_i_full:.1f} me_fullpel={t_me:.1f} "

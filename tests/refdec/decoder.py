@@ -242,7 +242,8 @@ class Decoder:
         self.sps = None
         self.pps = None
         self.frames = []
-        self.ref = None   # DPB: (Y, U, V) full deblocked planes
+        self.ref = None   # most recent reference planes (P list0)
+        self.dpb = []     # [(poc, (Y, U, V))] reference frames, poc order
         self._pic = None  # in-progress picture (multi-slice)
         self._row0 = 0    # top MB row of the slice being decoded
 
@@ -267,19 +268,28 @@ class Decoder:
         br = BitReader(rbsp)
         first_mb = br.ue()
         slice_type = br.ue() % 5
-        assert slice_type in (0, 2), "only I/P slices supported"
+        assert slice_type in (0, 1, 2), "only I/P/B slices supported"
         is_p = slice_type == 0
+        is_b = slice_type == 1
         pps_id = br.ue()
         br.u(sps.log2_max_frame_num)  # frame_num
         if is_idr:
             br.ue()  # idr_pic_id
-        br.u(sps.log2_max_poc_lsb)    # poc_lsb
+        poc_lsb = br.u(sps.log2_max_poc_lsb)
+        if is_b:
+            assert br.bit() == 1, "only spatial direct supported"
         num_ref = pps.num_ref_idx_l0
-        if is_p:
+        num_ref_l1 = pps.num_ref_idx_l1
+        if is_p or is_b:
             if br.bit():              # num_ref_idx_active_override
                 num_ref = br.ue() + 1
+                if is_b:
+                    num_ref_l1 = br.ue() + 1
             assert br.bit() == 0, "ref list reordering unsupported"
-        assert num_ref == 1, "multi-ref decode not yet supported"
+            if is_b:
+                assert br.bit() == 0, "L1 reordering unsupported"
+        assert num_ref == 1 and num_ref_l1 == 1, \
+            "multi-ref decode not yet supported"
         if nal_ref_idc != 0:
             if is_idr:
                 br.bit()
@@ -288,7 +298,7 @@ class Decoder:
                 if br.bit():
                     raise NotImplementedError("adaptive marking")
         cabac_init_idc = 0
-        if pps.cabac and is_p:
+        if pps.cabac and (is_p or is_b):
             cabac_init_idc = br.ue()
         self._cabac_init_idc = cabac_init_idc
         qp = pps.pic_init_qp + br.se()
@@ -311,10 +321,15 @@ class Decoder:
                 nnz_c=np.zeros((2, mb_h * 2, mb_w * 2), dtype=np.int64),
                 qp_mb=np.zeros((mb_h, mb_w), dtype=np.int32),
                 intra_mb=np.zeros((mb_h, mb_w), dtype=bool),
-                # MV/ref fields for MV prediction + deblock bS
-                # (-2 = outside/unavailable)
-                mv_f=np.zeros((mb_h, mb_w, 2), dtype=np.int64),
-                ref_f=np.full((mb_h, mb_w), -2, dtype=np.int64),
+                # MV/ref/mvd fields at 4x4-block granularity (the
+                # scan8 cache analogue) for MV prediction, CABAC mvd
+                # contexts and deblock bS (-2 = outside/unavailable)
+                mv_f=np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int64),
+                ref_f=np.full((mb_h * 4, mb_w * 4), -2, dtype=np.int64),
+                mvd_f=np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int64),
+                mv_f1=np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int64),
+                ref_f1=np.full((mb_h * 4, mb_w * 4), -2, dtype=np.int64),
+                is_b=is_b, poc=poc_lsb, ref_idc=nal_ref_idc,
                 i4grid=np.full((mb_h * 4, mb_w * 4), 2, np.int64),
                 slices=[], next_mb=0)
         pic = self._pic
@@ -336,26 +351,52 @@ class Decoder:
         if row0 > 0:
             saved = (nnz_l[row0 * 4 - 1].copy(),
                      nnz_c[:, row0 * 2 - 1].copy(),
-                     ref_f[row0 - 1].copy(),
+                     ref_f[row0 * 4 - 1].copy(),
                      i4grid[row0 * 4 - 1].copy())
             nnz_l[row0 * 4 - 1] = -1
             nnz_c[:, row0 * 2 - 1] = -1
-            ref_f[row0 - 1] = -2
+            ref_f[row0 * 4 - 1] = -2
             i4grid[row0 * 4 - 1] = 2
 
         qt = enc_tables.DEFAULT_QUANT
 
-        if pps.cabac and is_p:
-            assert first_mb == 0, "multi-slice CABAC not supported"
-            self._decode_p_slice_cabac(br, rbsp, qp, qt, Y, U, V,
+        mv_f1, ref_f1 = pic["mv_f1"], pic["ref_f1"]
+        if is_b:
+            # reference lists by POC (x264_reference_build_list):
+            # L0 = closest past, L1 = closest future
+            past = [e for e in self.dpb if e[0] < poc_lsb]
+            futr = [e for e in self.dpb if e[0] > poc_lsb]
+            assert past and futr, "B slice without past+future refs"
+            self._ref_l0 = max(past, key=lambda e: e[0])[1]
+            self._ref_l1 = min(futr, key=lambda e: e[0])[1]
+
+        if pps.cabac and is_b:
+            assert first_mb == 0, "sharded B CABAC not supported"
+            self._decode_b_slice_cabac(br, rbsp, qp, qt, Y, U, V,
                                        nnz_l, nnz_c, qp_mb, intra_mb,
-                                       mv_f, ref_f)
+                                       mv_f, ref_f, mv_f1, ref_f1)
             mb_end = nmb
+        elif is_b:
+            assert self.dpb, "B slice with empty DPB"
+            mb_i = first_mb
+            while mb_i < nmb and br.more_rbsp_data():
+                skip_run = br.ue()
+                assert skip_run == 0, "B_SKIP unsupported"
+                my, mx = divmod(mb_i, mb_w)
+                qp = self._decode_mb_b(br, my, mx, qp, qt, Y, U, V,
+                                       nnz_l, nnz_c, mv_f, ref_f,
+                                       mv_f1, ref_f1, intra_mb)
+                qp_mb[my, mx] = qp
+                mb_i += 1
+            mb_end = mb_i
+        elif pps.cabac and is_p:
+            mb_end = self._decode_p_slice_cabac(
+                br, rbsp, qp, qt, Y, U, V, nnz_l, nnz_c, qp_mb,
+                intra_mb, mv_f, ref_f, first_mb)
         elif pps.cabac:
-            assert first_mb == 0, "multi-slice CABAC not supported"
-            self._decode_i_slice_cabac(br, rbsp, qp, qt, Y, U, V,
-                                       nnz_l, nnz_c, qp_mb, intra_mb)
-            mb_end = nmb
+            mb_end = self._decode_i_slice_cabac(
+                br, rbsp, qp, qt, Y, U, V, nnz_l, nnz_c, qp_mb,
+                intra_mb, first_mb)
         elif not is_p:
             mb_i = first_mb
             while mb_i < nmb:
@@ -391,7 +432,7 @@ class Decoder:
         if saved is not None:
             nnz_l[row0 * 4 - 1] = saved[0]
             nnz_c[:, row0 * 2 - 1] = saved[1]
-            ref_f[row0 - 1] = saved[2]
+            ref_f[row0 * 4 - 1] = saved[2]
             i4grid[row0 * 4 - 1] = saved[3]
         self._row0 = 0
 
@@ -408,18 +449,30 @@ class Decoder:
                 continue
             assert dis == 2 or len(pic["slices"]) == 1, \
                 "cross-slice deblocking (idc 0) not supported"
-            ref4 = np.repeat(np.repeat(
-                np.where(ref_f[r0:r1] < 0, 0, ref_f[r0:r1]), 4, 0), 4, 1)
-            mv4 = np.repeat(np.repeat(mv_f[r0:r1], 4, 0), 4, 1)
+            ref4 = ref_f[r0 * 4:r1 * 4]
+            mv4 = mv_f[r0 * 4:r1 * 4]
+            kw = {}
+            if pic["is_b"]:
+                kw = dict(ref4_l1=pic["ref_f1"][r0 * 4:r1 * 4],
+                          mv4_l1=pic["mv_f1"][r0 * 4:r1 * 4])
             golden_deblock.deblock_frame(
                 Y[r0 * 16:r1 * 16], U[r0 * 8:r1 * 8], V[r0 * 8:r1 * 8],
                 qp_mb[r0:r1], intra_mb[r0:r1], nnz4=nnz_l[r0 * 4:r1 * 4],
                 ref4=ref4, mv4=mv4,
                 alpha_off=2 * a2, beta_off=2 * b2,
-                chroma_qp_offset=pps.chroma_qp_offset)
+                chroma_qp_offset=pps.chroma_qp_offset, **kw)
 
         self._pic = None
-        self.ref = (Y.copy(), U.copy(), V.copy())
+        if is_idr:
+            self.dpb = []
+        if pic["ref_idc"] != 0:
+            planes = (Y.copy(), U.copy(), V.copy())
+            self.ref = planes
+            self.dpb.append((pic["poc"], planes))
+            max_refs = max(2, self.sps.num_ref_frames)
+            if len(self.dpb) > max_refs:
+                self.dpb.sort(key=lambda e: e[0])
+                self.dpb.pop(0)       # sliding window: oldest poc out
         return DecodedFrame(
             Y[:mb_h * 16 - sps.crop_b, :mb_w * 16 - sps.crop_r].astype(np.uint8),
             U[:(mb_h * 16 - sps.crop_b) // 2, :(mb_w * 16 - sps.crop_r) // 2].astype(np.uint8),
@@ -427,9 +480,11 @@ class Decoder:
 
     # ------------------------------------------------------------ CABAC
     def _decode_i_slice_cabac(self, br, rbsp, qp, qt, Y, U, V,
-                              nnz_l, nnz_c, qp_mb, intra_mb):
+                              nnz_l, nnz_c, qp_mb, intra_mb,
+                              first_mb=0):
         """CABAC I16x16 slice decode (spec 9.3; context derivations of
-        encoder/cabac.c mirrored)."""
+        encoder/cabac.c mirrored). Starts at first_mb, ends at the
+        end_of_slice terminal (multi-slice / MB-row-band streams)."""
         from x264_tpu.entropy.cabac import CabacDecoder
         from x264_tpu.entropy import cabac_tables as ctab
 
@@ -447,24 +502,28 @@ class Decoder:
         i4grid = np.full((mb_h * 4, mb_w * 4), 2, np.int64)
         cbp_l_map = np.zeros((mb_h, mb_w), np.int64)
         cbp_c_map = np.zeros((mb_h, mb_w), np.int64)
-        for my in range(mb_h):
-            for mx in range(mb_w):
-                self._decode_mb_i16_cabac(cd, my, mx, qp, qt, Y, U, V,
-                                          nnz_l, nnz_c, dcnz, cdcnz,
-                                          cm_map, i4mb, i4grid,
-                                          cbp_l_map, cbp_c_map)
-                qp_mb[my, mx] = qp
-                intra_mb[my, mx] = True
-                eos = cd.terminal()
-                is_last = (my == mb_h - 1) and (mx == mb_w - 1)
-                assert eos == (1 if is_last else 0), \
-                    f"end_of_slice at mb ({my},{mx})"
+        mb_i = first_mb
+        while mb_i < mb_h * mb_w:
+            my, mx = divmod(mb_i, mb_w)
+            self._decode_mb_i16_cabac(cd, my, mx, qp, qt, Y, U, V,
+                                      nnz_l, nnz_c, dcnz, cdcnz,
+                                      cm_map, i4mb, i4grid,
+                                      cbp_l_map, cbp_c_map)
+            qp_mb[my, mx] = qp
+            intra_mb[my, mx] = True
+            mb_i += 1
+            if cd.terminal():
+                break
+        return mb_i
 
     _MVD_CTX_OFF = [0, 3, 4, 5, 6, 6, 6, 6, 6]
 
     def _decode_p_slice_cabac(self, br, rbsp, qp, qt, Y, U, V,
-                              nnz_l, nnz_c, qp_mb, intra_mb, mv_f, ref_f):
-        """CABAC P slice decode (P_L0_16x16 + I16x16 + P_Skip)."""
+                              nnz_l, nnz_c, qp_mb, intra_mb, mv_f, ref_f,
+                              first_mb=0):
+        """CABAC P slice decode (P_L0 16x16/16x8/8x16 + I16x16 +
+        P_Skip). Starts at first_mb, ends at the end_of_slice terminal
+        (multi-slice / MB-row-band streams)."""
         from x264_tpu.entropy.cabac import CabacDecoder
         from x264_tpu.entropy import cabac_tables as ctab
 
@@ -475,32 +534,34 @@ class Decoder:
                           ctab.init_states(False, qp,
                                            self._cabac_init_idc).copy())
 
+        row0 = first_mb // mb_w
         dcnz = np.zeros((mb_h, mb_w), np.int64)
         cdcnz = np.zeros((2, mb_h, mb_w), np.int64)
         cm_map = np.zeros((mb_h, mb_w), np.int64)
         skip_map = np.zeros((mb_h, mb_w), bool)
-        mvd_map = np.zeros((mb_h, mb_w, 2), np.int64)
+        mvd_map = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
         cbp_l_map = np.zeros((mb_h, mb_w), np.int64)
         cbp_c_map = np.zeros((mb_h, mb_w), np.int64)
 
-        for my in range(mb_h):
-            for mx in range(mb_w):
-                inc = 11 \
-                    + (1 if (mx > 0 and not skip_map[my, mx - 1]) else 0) \
-                    + (1 if (my > 0 and not skip_map[my - 1, mx]) else 0)
-                if cd.decision(inc):
-                    skip_map[my, mx] = True
-                    self._decode_mb_pskip(my, mx, Y, U, V, mv_f, ref_f)
-                else:
-                    self._decode_mb_p_cabac(
-                        cd, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
-                        mv_f, ref_f, intra_mb, dcnz, cdcnz, cm_map,
-                        mvd_map, cbp_l_map, cbp_c_map)
-                qp_mb[my, mx] = qp
-                eos = cd.terminal()
-                is_last = (my == mb_h - 1) and (mx == mb_w - 1)
-                assert eos == (1 if is_last else 0), \
-                    f"end_of_slice at mb ({my},{mx})"
+        mb_i = first_mb
+        while mb_i < mb_h * mb_w:
+            my, mx = divmod(mb_i, mb_w)
+            inc = 11 \
+                + (1 if (mx > 0 and not skip_map[my, mx - 1]) else 0) \
+                + (1 if (my > row0 and not skip_map[my - 1, mx]) else 0)
+            if cd.decision(inc):
+                skip_map[my, mx] = True
+                self._decode_mb_pskip(my, mx, Y, U, V, mv_f, ref_f)
+            else:
+                self._decode_mb_p_cabac(
+                    cd, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
+                    mv_f, ref_f, intra_mb, dcnz, cdcnz, cm_map,
+                    mvd_map, cbp_l_map, cbp_c_map, row0)
+            qp_mb[my, mx] = qp
+            mb_i += 1
+            if cd.terminal():
+                break
+        return mb_i
 
     def _decode_mvd_cabac(self, cd, base, inc):
         if not cd.decision(base + inc):
@@ -513,13 +574,13 @@ class Decoder:
 
     def _decode_mb_p_cabac(self, cd, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
                            mv_f, ref_f, intra_mb, dcnz, cdcnz, cm_map,
-                           mvd_map, cbp_l_map, cbp_c_map):
+                           mvd_map, cbp_l_map, cbp_c_map, row0=0):
         pps = self.pps
         mb_w, mb_h = self.sps.mb_width, self.sps.mb_height
-        avail_l, avail_t = mx > 0, my > 0
+        avail_l, avail_t = mx > 0, my > row0
 
-        def nz_flag(m, gy, gx, unavail):
-            if gy < 0 or gx < 0:
+        def nz_flag(m, gy, gx, unavail, lim_scale=4):
+            if gy < row0 * lim_scale or gx < 0:
                 return unavail
             return 1 if m[gy, gx] else 0
 
@@ -547,8 +608,8 @@ class Decoder:
             assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
             qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
-            ctx_dc = 2 * nz_flag(dcnz, my - 1, mx, 1) \
-                + nz_flag(dcnz, my, mx - 1, 1)
+            ctx_dc = 2 * nz_flag(dcnz, my - 1, mx, 1, 1) \
+                + nz_flag(dcnz, my, mx - 1, 1, 1)
             dc_z = self._residual_cabac(cd, 0, ctx_dc, 16)
             dcnz[my, mx] = 1 if np.any(dc_z) else 0
 
@@ -566,8 +627,8 @@ class Decoder:
                 nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
 
             cdc, cac = self._decode_chroma_res_cabac(
-                cd, my, mx, cbp_chroma, nnz_c, cdcnz, 1)
-            ref_f[my, mx] = -1
+                cd, my, mx, cbp_chroma, nnz_c, cdcnz, 1, row0)
+            ref_f[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
             intra_mb[my, mx] = True
             cbp_l_map[my, mx] = cbp_luma
             cbp_c_map[my, mx] = cbp_chroma
@@ -576,20 +637,53 @@ class Decoder:
                             Y, U, V)
             return
 
-        # ---- inter P_L0_16x16
-        assert cd.decision(15) == 0, "P 16x8/8x16/8x8 unsupported"
-        assert cd.decision(16) == 0, "P_8x8 unsupported"
-        mvd = np.zeros(2, np.int64)
-        for comp, base in ((0, 40), (1, 47)):
-            am = (abs(int(mvd_map[my, mx - 1, comp])) if avail_l else 0) \
-                + (abs(int(mvd_map[my - 1, mx, comp])) if avail_t else 0)
-            inc = (1 if am > 2 else 0) + (1 if am > 32 else 0)
-            mvd[comp] = self._decode_mvd_cabac(cd, base, inc)
-        mvd_map[my, mx] = mvd
-        mvp = self._mvp_16x16(ref_f, mv_f, my, mx)
-        mv = mvp + mvd
-        mv_f[my, mx] = mv
-        ref_f[my, mx] = 0
+        # ---- inter P_L0: prefix bins select 16x16 / 16x8 / 8x16
+        # (x264_cabac_mb_type P branch, encoder/cabac.c:86-107)
+        if cd.decision(15):
+            ptype = 1 if cd.decision(17) else 2
+        else:
+            assert cd.decision(16) == 0, "P_8x8 unsupported"
+            ptype = 0
+
+        def amvd_at(r, c, comp):
+            a = abs(int(mvd_map[r, c - 1, comp])) \
+                if (c - 1 >= 0 and r >= row0 * 4) else 0
+            b = abs(int(mvd_map[r - 1, c, comp])) \
+                if (r - 1 >= row0 * 4 and c >= 0) else 0
+            return a + b
+
+        def read_mvd(r, c):
+            out = np.zeros(2, np.int64)
+            for comp, base in ((0, 40), (1, 47)):
+                am = amvd_at(r, c, comp)
+                inc = (1 if am > 2 else 0) + (1 if am > 32 else 0)
+                out[comp] = self._decode_mvd_cabac(cd, base, inc)
+            return out
+
+        r0, c0 = my * 4, mx * 4
+        if ptype == 0:
+            mvd0 = read_mvd(r0, c0)
+            mvd_map[r0:r0 + 4, c0:c0 + 4] = mvd0
+            mv0 = self._mvp_16x16(ref_f, mv_f, my, mx) + mvd0
+            mv1 = mv0
+            self._set_part_field(mv_f, ref_f, my, mx, 0, mv0, mv0)
+        else:
+            r1, c1 = (r0 + 2, c0) if ptype == 1 else (r0, c0 + 2)
+            mvd0 = read_mvd(r0, c0)
+            # part-0 mvd enters the cache before part-1's ctx reads it
+            if ptype == 1:
+                mvd_map[r0:r0 + 2, c0:c0 + 4] = mvd0
+            else:
+                mvd_map[r0:r0 + 4, c0:c0 + 2] = mvd0
+            mvd1 = read_mvd(r1, c1)
+            if ptype == 1:
+                mvd_map[r0 + 2:r0 + 4, c0:c0 + 4] = mvd1
+            else:
+                mvd_map[r0:r0 + 4, c0 + 2:c0 + 4] = mvd1
+            mv0 = self._mvp_part(ref_f, mv_f, my, mx, ptype, 0) + mvd0
+            self._set_part_field(mv_f, ref_f, my, mx, ptype, mv0, mv0)
+            mv1 = self._mvp_part(ref_f, mv_f, my, mx, ptype, 1) + mvd1
+            self._set_part_field(mv_f, ref_f, my, mx, ptype, mv0, mv1)
 
         def cbp_nbr(m, gy, gx):
             if gy < 0 or gx < 0:
@@ -618,7 +712,7 @@ class Decoder:
             assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
-        py, pu, pv = self._inter_pred(my, mx, mv)
+        py, pu, pv = self._inter_pred_mb(my, mx, ptype, mv0, mv1)
         dmf = qt.dequant4_mf[enc_tables.CQM_4PY, qp % 6]
         mb = py.astype(np.int64)
         for i in range(16):
@@ -665,10 +759,10 @@ class Decoder:
             P[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = cmb
 
     def _decode_chroma_res_cabac(self, cd, my, mx, cbp_chroma, nnz_c,
-                                 cdcnz, b_intra):
+                                 cdcnz, b_intra, row0=0):
         """Chroma DC + AC residual decode shared by intra/inter CABAC."""
-        def nz_flag(m, gy, gx, unavail):
-            if gy < 0 or gx < 0:
+        def nz_flag(m, gy, gx, unavail, lim_scale=2):
+            if gy < row0 * lim_scale or gx < 0:
                 return unavail
             return 1 if m[gy, gx] else 0
 
@@ -676,8 +770,8 @@ class Decoder:
         cac = np.zeros((2, 4, 15), np.int64)
         if cbp_chroma:
             for ch in range(2):
-                inc = 2 * nz_flag(cdcnz[ch], my - 1, mx, b_intra) \
-                    + nz_flag(cdcnz[ch], my, mx - 1, b_intra)
+                inc = 2 * nz_flag(cdcnz[ch], my - 1, mx, b_intra, 1) \
+                    + nz_flag(cdcnz[ch], my, mx - 1, b_intra, 1)
                 cdc[ch] = self._residual_cabac(cd, 3, inc, 4)
                 cdcnz[ch, my, mx] = 1 if np.any(cdc[ch]) else 0
         else:
@@ -761,7 +855,7 @@ class Decoder:
                             cbp_l_map, cbp_c_map):
         """I_4x4 macroblock, CABAC (within an I slice)."""
         pps = self.pps
-        avail_l, avail_t = mx > 0, my > 0
+        avail_l, avail_t = mx > 0, my > self._row0
         modes = self._decode_i4_modes_cabac(cd, my, mx, i4grid)
 
         cctx = 64 \
@@ -802,7 +896,7 @@ class Decoder:
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
         def nz_flag(m, gy, gx):
-            if gy < 0 or gx < 0:
+            if gy < self._row0 * 4 or gx < 0:
                 return 1            # unavailable -> 1 for intra MBs
             return 1 if m[gy, gx] else 0
 
@@ -821,7 +915,7 @@ class Decoder:
         self._recon_i4_luma(my, mx, modes, blocks_z, cbp, qp, qt, Y)
 
         cdc, cac = self._decode_chroma_res_cabac(
-            cd, my, mx, cbp_chroma, nnz_c, cdcnz, 1)
+            cd, my, mx, cbp_chroma, nnz_c, cdcnz, 1, self._row0)
         cdc2 = np.stack([c.reshape(2, 2) for c in cdc])
         cac2 = np.zeros((2, 4, 4, 4), np.int64)
         for ch in range(2):
@@ -838,7 +932,7 @@ class Decoder:
                              cbp_l_map=None, cbp_c_map=None):
         pps = self.pps
         mb_w, mb_h = self.sps.mb_width, self.sps.mb_height
-        avail_l, avail_t = mx > 0, my > 0
+        avail_l, avail_t = mx > 0, my > self._row0
 
         # mb_type (x264_cabac_mb_type I branch + mb_type_intra suffix)
         ctx = 3 \
@@ -889,13 +983,13 @@ class Decoder:
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
         # CBF neighbor increments (x264_cabac_mb_cbf_ctxidxinc)
-        def nz_at(m, gy, gx, h, w):
-            if gy < 0 or gx < 0:
+        def nz_at(m, gy, gx, lim):
+            if gy < lim or gx < 0:
                 return 1      # unavailable -> 1 in intra slices
             return 1 if m[gy, gx] else 0
 
-        ctx_dc = 2 * nz_at(dcnz, my - 1, mx, mb_h, mb_w) \
-            + nz_at(dcnz, my, mx - 1, mb_h, mb_w)
+        ctx_dc = 2 * nz_at(dcnz, my - 1, mx, self._row0) \
+            + nz_at(dcnz, my, mx - 1, self._row0)
         dc_z = self._residual_cabac(cd, 0, ctx_dc, 16)
         dcnz[my, mx] = 1 if np.any(dc_z) else 0
 
@@ -904,8 +998,8 @@ class Decoder:
             for i in range(16):
                 bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
                 gy, gx = my * 4 + by, mx * 4 + bx
-                inc = 2 * nz_at(nnz_l, gy - 1, gx, 0, 0) \
-                    + nz_at(nnz_l, gy, gx - 1, 0, 0)
+                inc = 2 * nz_at(nnz_l, gy - 1, gx, self._row0 * 4) \
+                    + nz_at(nnz_l, gy, gx - 1, self._row0 * 4)
                 z = self._residual_cabac(cd, 1, inc, 15)
                 nnz_l[gy, gx] = np.count_nonzero(z)
                 blocks_z[i] = z
@@ -916,8 +1010,8 @@ class Decoder:
         cac = np.zeros((2, 4, 15), np.int64)
         if cbp_chroma:
             for ch in range(2):
-                inc = 2 * nz_at(cdcnz[ch], my - 1, mx, 0, 0) \
-                    + nz_at(cdcnz[ch], my, mx - 1, 0, 0)
+                inc = 2 * nz_at(cdcnz[ch], my - 1, mx, self._row0) \
+                    + nz_at(cdcnz[ch], my, mx - 1, self._row0)
                 cdc[ch] = self._residual_cabac(cd, 3, inc, 4)
                 cdcnz[ch, my, mx] = 1 if np.any(cdc[ch]) else 0
         else:
@@ -928,8 +1022,9 @@ class Decoder:
                     bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
                         int(enc_tables.CHROMA_BLOCK_XY[i][1])
                     gy, gx = my * 2 + by, mx * 2 + bx
-                    inc = 2 * nz_at(nnz_c[ch], gy - 1, gx, 0, 0) \
-                        + nz_at(nnz_c[ch], gy, gx - 1, 0, 0)
+                    inc = 2 * nz_at(nnz_c[ch], gy - 1, gx,
+                                    self._row0 * 2) \
+                        + nz_at(nnz_c[ch], gy, gx - 1, self._row0 * 2)
                     z = self._residual_cabac(cd, 4, inc, 15)
                     nnz_c[ch, gy, gx] = np.count_nonzero(z)
                     cac[ch, i] = z
@@ -1051,7 +1146,8 @@ class Decoder:
             gy, gx = my * 16 + by * 4, mx * 16 + bx * 4
             l, lt, t, tr, ht, hl = self._i4_neighbors(Y, my, mx, z)
             pred = G.predict_4x4(modes[z], l, lt, t, tr, ht, hl)
-            assert pred is not None, f"illegal i4 mode {modes[z]}"
+            assert pred is not None, \
+                f"illegal i4 mode {modes[z]} at mb ({my},{mx}) z{z}"
             if (cbp_luma >> (z // 4)) & 1:
                 blk = np.zeros(16, np.int64)
                 blk[np.asarray(ZIG4)] = blocks_z[z]
@@ -1171,20 +1267,16 @@ class Decoder:
         return qp
 
     # ----------------------------------------------------- MV prediction
-    def _nbr(self, ref_f, mv_f, my, mx):
-        mb_h, mb_w = ref_f.shape
-        if my < 0 or mx < 0 or my >= mb_h or mx >= mb_w:
+    def _nbr(self, ref_f, mv_f, by, bx):
+        """Fetch (ref, mv) at 4x4-block coords (the scan8 cache slot)."""
+        bh, bw = ref_f.shape
+        if by < 0 or bx < 0 or by >= bh or bx >= bw:
             return -2, np.zeros(2, np.int64)
-        return int(ref_f[my, mx]), mv_f[my, mx]
+        return int(ref_f[by, bx]), mv_f[by, bx]
 
-    def _mvp_16x16(self, ref_f, mv_f, my, mx):
-        """Spec 8.4.1.3 median prediction for a 16x16 partition
-        (x264_mb_predict_mv_16x16, common/macroblock.c:96)."""
-        ra, mva = self._nbr(ref_f, mv_f, my, mx - 1)
-        rb, mvb = self._nbr(ref_f, mv_f, my - 1, mx)
-        rc, mvc = self._nbr(ref_f, mv_f, my - 1, mx + 1)
-        if rc == -2:
-            rc, mvc = self._nbr(ref_f, mv_f, my - 1, mx - 1)
+    @staticmethod
+    def _mvp_rule(ra, mva, rb, mvb, rc, mvc):
+        """The common count/median tail of x264_mb_predict_mv*."""
         cnt = (ra == 0) + (rb == 0) + (rc == 0)
         if cnt > 1:
             return np.array([_median3(mva[0], mvb[0], mvc[0]),
@@ -1196,10 +1288,61 @@ class Decoder:
         return np.array([_median3(mva[0], mvb[0], mvc[0]),
                          _median3(mva[1], mvb[1], mvc[1])], np.int64)
 
+    def _mvp_16x16(self, ref_f, mv_f, my, mx):
+        """Spec 8.4.1.3 median prediction for a 16x16 partition
+        (x264_mb_predict_mv_16x16, common/macroblock.c:96)."""
+        r, c = my * 4, mx * 4
+        ra, mva = self._nbr(ref_f, mv_f, r, c - 1)
+        rb, mvb = self._nbr(ref_f, mv_f, r - 1, c)
+        rc, mvc = self._nbr(ref_f, mv_f, r - 1, c + 4)
+        if rc == -2:
+            rc, mvc = self._nbr(ref_f, mv_f, r - 1, c - 1)
+        return self._mvp_rule(ra, mva, rb, mvb, rc, mvc)
+
+    def _mvp_part(self, ref_f, mv_f, my, mx, ptype, part):
+        """x264_mb_predict_mv for D_16x8 / D_8x16 partitions
+        (common/macroblock.c:28-94: directional early-outs, then the
+        median rule; C falls back to D when its cache slot is
+        unavailable/unwritten)."""
+        r, c = my * 4, mx * 4
+        if ptype == 1 and part == 0:       # 16x8 top
+            ra, mva = self._nbr(ref_f, mv_f, r, c - 1)
+            rb, mvb = self._nbr(ref_f, mv_f, r - 1, c)
+            rc, mvc = self._nbr(ref_f, mv_f, r - 1, c + 4)
+            if rc == -2:
+                rc, mvc = self._nbr(ref_f, mv_f, r - 1, c - 1)
+            if rb == 0:
+                return mvb.copy()
+        elif ptype == 1:                   # 16x8 bottom
+            ra, mva = self._nbr(ref_f, mv_f, r + 2, c - 1)
+            rb, mvb = self._nbr(ref_f, mv_f, r + 1, c)
+            # the C cache slot is never written in raster order -> D
+            rc, mvc = self._nbr(ref_f, mv_f, r + 1, c - 1)
+            if ra == 0:
+                return mva.copy()
+        elif part == 0:                    # 8x16 left
+            ra, mva = self._nbr(ref_f, mv_f, r, c - 1)
+            rb, mvb = self._nbr(ref_f, mv_f, r - 1, c)
+            rc, mvc = self._nbr(ref_f, mv_f, r - 1, c + 2)
+            if rc == -2:
+                rc, mvc = self._nbr(ref_f, mv_f, r - 1, c - 1)
+            if ra == 0:
+                return mva.copy()
+        else:                              # 8x16 right
+            ra, mva = self._nbr(ref_f, mv_f, r, c + 1)
+            rb, mvb = self._nbr(ref_f, mv_f, r - 1, c + 2)
+            rc, mvc = self._nbr(ref_f, mv_f, r - 1, c + 4)
+            if rc == -2:
+                rc, mvc = self._nbr(ref_f, mv_f, r - 1, c + 1)
+            if rc == 0:
+                return mvc.copy()
+        return self._mvp_rule(ra, mva, rb, mvb, rc, mvc)
+
     def _mv_pskip(self, ref_f, mv_f, my, mx):
         """x264_mb_predict_mv_pskip (common/macroblock.c:133)."""
-        ra, mva = self._nbr(ref_f, mv_f, my, mx - 1)
-        rb, mvb = self._nbr(ref_f, mv_f, my - 1, mx)
+        r, c = my * 4, mx * 4
+        ra, mva = self._nbr(ref_f, mv_f, r, c - 1)
+        rb, mvb = self._nbr(ref_f, mv_f, r - 1, c)
         if ra == -2 or rb == -2 \
                 or (ra == 0 and mva[0] == 0 and mva[1] == 0) \
                 or (rb == 0 and mvb[0] == 0 and mvb[1] == 0):
@@ -1207,6 +1350,55 @@ class Decoder:
         return self._mvp_16x16(ref_f, mv_f, my, mx)
 
     # ----------------------------------------------------- P macroblocks
+    def _inter_pred_mb(self, my, mx, ptype, mv0, mv1):
+        """Whole-MB prediction for P_L0 16x16 / 16x8 / 8x16."""
+        if ptype == 0:
+            return self._inter_pred(my, mx, mv0)
+        refY, refU, refV = self.ref
+        py = np.zeros((16, 16), np.int64)
+        pu = np.zeros((8, 8), np.int64)
+        pv = np.zeros((8, 8), np.int64)
+        if ptype == 1:        # 16x8 top/bottom
+            py[:8] = golden_mc.mc_luma(refY, my * 16, mx * 16,
+                                       int(mv0[0]), int(mv0[1]), 8, 16)
+            py[8:] = golden_mc.mc_luma(refY, my * 16 + 8, mx * 16,
+                                       int(mv1[0]), int(mv1[1]), 8, 16)
+            pu[:4] = golden_mc.mc_chroma(refU, my * 8, mx * 8,
+                                         int(mv0[0]), int(mv0[1]), 4, 8)
+            pu[4:] = golden_mc.mc_chroma(refU, my * 8 + 4, mx * 8,
+                                         int(mv1[0]), int(mv1[1]), 4, 8)
+            pv[:4] = golden_mc.mc_chroma(refV, my * 8, mx * 8,
+                                         int(mv0[0]), int(mv0[1]), 4, 8)
+            pv[4:] = golden_mc.mc_chroma(refV, my * 8 + 4, mx * 8,
+                                         int(mv1[0]), int(mv1[1]), 4, 8)
+        else:                 # 8x16 left/right
+            py[:, :8] = golden_mc.mc_luma(refY, my * 16, mx * 16,
+                                          int(mv0[0]), int(mv0[1]), 16, 8)
+            py[:, 8:] = golden_mc.mc_luma(refY, my * 16, mx * 16 + 8,
+                                          int(mv1[0]), int(mv1[1]), 16, 8)
+            pu[:, :4] = golden_mc.mc_chroma(refU, my * 8, mx * 8,
+                                            int(mv0[0]), int(mv0[1]), 8, 4)
+            pu[:, 4:] = golden_mc.mc_chroma(refU, my * 8, mx * 8 + 4,
+                                            int(mv1[0]), int(mv1[1]), 8, 4)
+            pv[:, :4] = golden_mc.mc_chroma(refV, my * 8, mx * 8,
+                                            int(mv0[0]), int(mv0[1]), 8, 4)
+            pv[:, 4:] = golden_mc.mc_chroma(refV, my * 8, mx * 8 + 4,
+                                            int(mv1[0]), int(mv1[1]), 8, 4)
+        return py, pu, pv
+
+    def _set_part_field(self, mv_f, ref_f, my, mx, ptype, mv0, mv1):
+        """Write the per-4x4 mv/ref cache for a decoded inter MB."""
+        r, c = my * 4, mx * 4
+        ref_f[r:r + 4, c:c + 4] = 0
+        if ptype == 0:
+            mv_f[r:r + 4, c:c + 4] = mv0
+        elif ptype == 1:
+            mv_f[r:r + 2, c:c + 4] = mv0
+            mv_f[r + 2:r + 4, c:c + 4] = mv1
+        else:
+            mv_f[r:r + 4, c:c + 2] = mv0
+            mv_f[r:r + 4, c + 2:c + 4] = mv1
+
     def _inter_pred(self, my, mx, mv):
         refY, refU, refV = self.ref
         py = golden_mc.mc_luma(refY, my * 16, mx * 16,
@@ -1223,8 +1415,7 @@ class Decoder:
         Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = py
         U[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pu
         V[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pv
-        mv_f[my, mx] = mv
-        ref_f[my, mx] = 0
+        self._set_part_field(mv_f, ref_f, my, mx, 0, mv, mv)
 
     def _decode_mb_p(self, br, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
                      mv_f, ref_f, intra_mb):
@@ -1232,17 +1423,27 @@ class Decoder:
         mb_type = br.ue()
         if mb_type >= 5:
             # intra MB in a P slice (mb_type offset 5)
-            ref_f[my, mx] = -1
+            ref_f[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
             intra_mb[my, mx] = True
             return self._decode_mb_i(br, my, mx, qp, qt, Y, U, V,
                                      nnz_l, nnz_c, mb_type - 5)
-        assert mb_type == 0, f"only P_L0_16x16 supported, got {mb_type}"
-        # single ref -> no ref_idx coded
-        mvd = np.array([br.se(), br.se()], np.int64)
-        mvp = self._mvp_16x16(ref_f, mv_f, my, mx)
-        mv = mvp + mvd
-        mv_f[my, mx] = mv
-        ref_f[my, mx] = 0
+        assert mb_type in (0, 1, 2), \
+            f"P_8x8 / sub-partitions unsupported, got {mb_type}"
+        ptype = mb_type
+        # single ref -> no ref_idx coded; mvds in partition order
+        mvd0 = np.array([br.se(), br.se()], np.int64)
+        if ptype:
+            mvd1 = np.array([br.se(), br.se()], np.int64)
+        if ptype == 0:
+            mv0 = self._mvp_16x16(ref_f, mv_f, my, mx) + mvd0
+            mv1 = mv0
+            self._set_part_field(mv_f, ref_f, my, mx, 0, mv0, mv0)
+        else:
+            mv0 = self._mvp_part(ref_f, mv_f, my, mx, ptype, 0) + mvd0
+            # part 0 must land in the cache before part 1 predicts
+            self._set_part_field(mv_f, ref_f, my, mx, ptype, mv0, mv0)
+            mv1 = self._mvp_part(ref_f, mv_f, my, mx, ptype, 1) + mvd1
+            self._set_part_field(mv_f, ref_f, my, mx, ptype, mv0, mv1)
 
         cbp = int(_GOLOMB_TO_CBP_INTER[br.ue()])
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
@@ -1250,7 +1451,7 @@ class Decoder:
             qp = qp + br.se()
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
-        py, pu, pv = self._inter_pred(my, mx, mv)
+        py, pu, pv = self._inter_pred_mb(my, mx, ptype, mv0, mv1)
 
         # luma residual: full 4x4 blocks per coded 8x8 group
         dmf = qt.dequant4_mf[enc_tables.CQM_4PY, qp % 6]
@@ -1315,6 +1516,363 @@ class Decoder:
                     np.clip(blk, 0, 255)
             P[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = cmb
         return qp
+
+
+
+    def _decode_b_slice_cabac(self, br, rbsp, qp, qt, Y, U, V,
+                              nnz_l, nnz_c, qp_mb, intra_mb,
+                              mv_f0, ref_f0, mv_f1, ref_f1):
+        """CABAC B slice decode (B_L0/L1/BI_16x16 + I16x16)."""
+        from x264_tpu.entropy.cabac import CabacDecoder
+        from x264_tpu.entropy import cabac_tables as ctab
+
+        mb_w, mb_h = self.sps.mb_width, self.sps.mb_height
+        while br.pos % 8:
+            assert br.bit() == 1, "bad cabac alignment"
+        cd = CabacDecoder(rbsp[br.pos // 8:],
+                          ctab.init_states(False, qp,
+                                           self._cabac_init_idc).copy())
+
+        dcnz = np.zeros((mb_h, mb_w), np.int64)
+        cdcnz = np.zeros((2, mb_h, mb_w), np.int64)
+        cm_map = np.zeros((mb_h, mb_w), np.int64)
+        mvd_map0 = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
+        mvd_map1 = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
+        cbp_l_map = np.zeros((mb_h, mb_w), np.int64)
+        cbp_c_map = np.zeros((mb_h, mb_w), np.int64)
+
+        for my in range(mb_h):
+            for mx in range(mb_w):
+                inc = 24 + (1 if mx > 0 else 0) + (1 if my > 0 else 0)
+                assert cd.decision(inc) == 0, "B_SKIP unsupported"
+                self._decode_mb_b_cabac(
+                    cd, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
+                    mv_f0, ref_f0, mv_f1, ref_f1, intra_mb, dcnz, cdcnz,
+                    cm_map, mvd_map0, mvd_map1, cbp_l_map, cbp_c_map)
+                qp_mb[my, mx] = qp
+                eos = cd.terminal()
+                is_last = (my == mb_h - 1) and (mx == mb_w - 1)
+                assert eos == (1 if is_last else 0), \
+                    f"end_of_slice at mb ({my},{mx})"
+
+    def _decode_mb_b_cabac(self, cd, my, mx, qp, qt, Y, U, V, nnz_l,
+                           nnz_c, mv_f0, ref_f0, mv_f1, ref_f1, intra_mb,
+                           dcnz, cdcnz, cm_map, mvd_map0, mvd_map1,
+                           cbp_l_map, cbp_c_map):
+        pps = self.pps
+        avail_l, avail_t = mx > 0, my > 0
+        r0b, c0b = my * 4, mx * 4
+
+        def nz_flag(m, gy, gx, unavail):
+            if gy < 0 or gx < 0:
+                return unavail
+            return 1 if m[gy, gx] else 0
+
+        # ---- mb_type (x264_cabac_mb_type B table, D_16x16 subset)
+        ctx = 27 + (1 if avail_l else 0) + (1 if avail_t else 0)
+        assert cd.decision(ctx) == 1, "B_DIRECT unsupported"
+        b1 = cd.decision(30)
+        is_intra = False
+        if not b1:
+            bmode = 1 if cd.decision(32) else 0     # L0 / L1
+        else:
+            b2 = cd.decision(31)
+            if not b2:
+                bits = [cd.decision(32) for _ in range(3)]
+                assert bits == [0, 0, 0], f"B type bins {bits} unsupported"
+                bmode = 2                            # BI 16x16
+            else:
+                bits = [cd.decision(32) for _ in range(3)]
+                assert bits == [1, 0, 1], f"B type bins {bits} unsupported"
+                is_intra = True
+
+        if is_intra:
+            # ---- I16x16 suffix at ctx 32..35
+            assert cd.decision(32) == 1, "I_4x4 in B unsupported"
+            assert cd.terminal() == 0, "I_PCM unsupported"
+            cbp_luma = 15 if cd.decision(33) else 0
+            cbp_chroma = 0
+            if cd.decision(34):
+                cbp_chroma = 2 if cd.decision(34) else 1
+            pred16 = (cd.decision(35) << 1) | cd.decision(35)
+            cctx = 64 \
+                + (1 if (avail_l and cm_map[my, mx - 1] != 0) else 0) \
+                + (1 if (avail_t and cm_map[my - 1, mx] != 0) else 0)
+            if not cd.decision(cctx):
+                cm = 0
+            elif not cd.decision(67):
+                cm = 1
+            elif not cd.decision(67):
+                cm = 2
+            else:
+                cm = 3
+            cm_map[my, mx] = cm
+            assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
+            qpc = _chroma_qp(qp, pps.chroma_qp_offset)
+
+            ctx_dc = 2 * nz_flag(dcnz, my - 1, mx, 1) \
+                + nz_flag(dcnz, my, mx - 1, 1)
+            dc_z = self._residual_cabac(cd, 0, ctx_dc, 16)
+            dcnz[my, mx] = 1 if np.any(dc_z) else 0
+
+            blocks_z = np.zeros((16, 15), np.int64)
+            if cbp_luma:
+                for i in range(16):
+                    bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
+                    gy, gx = my * 4 + by, mx * 4 + bx
+                    inc = 2 * nz_flag(nnz_l, gy - 1, gx, 1) \
+                        + nz_flag(nnz_l, gy, gx - 1, 1)
+                    z = self._residual_cabac(cd, 1, inc, 15)
+                    nnz_l[gy, gx] = np.count_nonzero(z)
+                    blocks_z[i] = z
+            else:
+                nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+
+            cdc, cac = self._decode_chroma_res_cabac(
+                cd, my, mx, cbp_chroma, nnz_c, cdcnz, 1)
+            ref_f0[r0b:r0b + 4, c0b:c0b + 4] = -1
+            ref_f1[r0b:r0b + 4, c0b:c0b + 4] = -1
+            intra_mb[my, mx] = True
+            cbp_l_map[my, mx] = cbp_luma
+            cbp_c_map[my, mx] = cbp_chroma
+            self._recon_i16(my, mx, pred16, cm, qp, qpc, qt,
+                            cbp_luma, cbp_chroma, dc_z, blocks_z, cdc, cac,
+                            Y, U, V)
+            return
+
+        use0 = bmode in (0, 2)
+        use1 = bmode in (1, 2)
+
+        def read_mvd(mvd_map):
+            out = np.zeros(2, np.int64)
+            for comp, base in ((0, 40), (1, 47)):
+                a = abs(int(mvd_map[r0b, c0b - 1, comp])) \
+                    if c0b - 1 >= 0 else 0
+                b = abs(int(mvd_map[r0b - 1, c0b, comp])) \
+                    if r0b - 1 >= 0 else 0
+                am = a + b
+                inc = (1 if am > 2 else 0) + (1 if am > 32 else 0)
+                out[comp] = self._decode_mvd_cabac(cd, base, inc)
+            return out
+
+        mv0 = mv1 = None
+        if use0:
+            mvd0 = read_mvd(mvd_map0)
+            mvd_map0[r0b:r0b + 4, c0b:c0b + 4] = mvd0
+            mv0 = self._mvp_16x16(ref_f0, mv_f0, my, mx) + mvd0
+        if use1:
+            mvd1 = read_mvd(mvd_map1)
+            mvd_map1[r0b:r0b + 4, c0b:c0b + 4] = mvd1
+            mv1 = self._mvp_16x16(ref_f1, mv_f1, my, mx) + mvd1
+        self._b_set_fields(mv_f0, ref_f0, mv_f1, ref_f1, my, mx,
+                           use0, mv0, use1, mv1)
+
+        def cbp_nbr(m, gy, gx):
+            if gy < 0 or gx < 0:
+                return -1
+            return int(m[gy, gx])
+
+        cl = cbp_nbr(cbp_l_map, my, mx - 1) if avail_l else -1
+        ct = cbp_nbr(cbp_l_map, my - 1, mx) if avail_t else -1
+        cbp = 0
+        cbp |= cd.decision(76 - ((cl >> 1) & 1) - ((ct >> 1) & 2)) << 0
+        cbp |= cd.decision(76 - ((cbp >> 0) & 1) - ((ct >> 2) & 2)) << 1
+        cbp |= cd.decision(76 - ((cl >> 3) & 1) - ((cbp << 1) & 2)) << 2
+        cbp |= cd.decision(76 - ((cbp >> 2) & 1) - ((cbp >> 0) & 2)) << 3
+        ccl = cbp_nbr(cbp_c_map, my, mx - 1) if avail_l else -1
+        cct = cbp_nbr(cbp_c_map, my - 1, mx) if avail_t else -1
+        c0 = 77 + (1 if (ccl > 0) else 0) + 2 * (1 if (cct > 0) else 0)
+        cbp_chroma = 0
+        if cd.decision(c0):
+            c1 = 77 + 4 + (1 if ccl == 2 else 0) + 2 * (1 if cct == 2 else 0)
+            cbp_chroma = 2 if cd.decision(c1) else 1
+        cbp_l_map[my, mx] = cbp
+        cbp_c_map[my, mx] = cbp_chroma
+        dcnz[my, mx] = 0
+
+        if cbp or cbp_chroma:
+            assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
+        qpc = _chroma_qp(qp, pps.chroma_qp_offset)
+
+        py, pu, pv = self._bipred(my, mx, use0, mv0, use1, mv1)
+        dmf = qt.dequant4_mf[enc_tables.CQM_4PY, qp % 6]
+        mb = py.astype(np.int64)
+        for i in range(16):
+            bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
+            gy, gx = my * 4 + by, mx * 4 + bx
+            if (cbp >> (i // 4)) & 1:
+                inc = 2 * nz_flag(nnz_l, gy - 1, gx, 0) \
+                    + nz_flag(nnz_l, gy, gx - 1, 0)
+                z = self._residual_cabac(cd, 2, inc, 16)
+                nnz_l[gy, gx] = np.count_nonzero(z)
+                blk = np.zeros(16, dtype=np.int64)
+                blk[np.asarray(ZIG4)] = z
+                rres = G.idct4x4(G.dequant(blk, dmf, qp, 4).reshape(4, 4))
+                b = mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + rres
+                mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = b
+            else:
+                nnz_l[gy, gx] = 0
+        Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = np.clip(mb, 0, 255)
+
+        cdc, cac = self._decode_chroma_res_cabac(
+            cd, my, mx, cbp_chroma, nnz_c, cdcnz, 0)
+        cdmf = qt.dequant4_mf[enc_tables.CQM_4PC, qpc % 6]
+        for ch, (P, pred) in ((0, (U, pu)), (1, (V, pv))):
+            dc_rec = G.dequant_2x2_dc(
+                G.hadamard2x2(cdc[ch].reshape(2, 2)), int(cdmf[0]), qpc)
+            cmb = pred.astype(np.int64)
+            for i in range(4):
+                bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
+                    int(enc_tables.CHROMA_BLOCK_XY[i][1])
+                if cbp_chroma & 2 and np.any(cac[ch, i]):
+                    a = np.zeros(16, dtype=np.int64)
+                    a[np.asarray(ZIG4)[1:]] = cac[ch, i]
+                    b = G.dequant(a, cdmf, qpc, 4).reshape(4, 4)
+                    b[0, 0] = dc_rec[by, bx]
+                    rres = G.idct4x4(b)
+                elif cbp_chroma:
+                    rres = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
+                                   dtype=np.int64)
+                else:
+                    rres = np.zeros((4, 4), dtype=np.int64)
+                blk = cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + rres
+                cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    np.clip(blk, 0, 255)
+            P[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = cmb
+
+    # ----------------------------------------------------- B macroblocks
+    def _bipred(self, my, mx, use0, mv0, use1, mv1):
+        """Prediction for B_L0/L1/BI 16x16 (pixel_avg bipred, weight 32)."""
+        saved = self.ref
+        try:
+            if use0:
+                self.ref = self._ref_l0
+                p0 = self._inter_pred(my, mx, mv0)
+            if use1:
+                self.ref = self._ref_l1
+                p1 = self._inter_pred(my, mx, mv1)
+        finally:
+            self.ref = saved
+        if use0 and use1:
+            return tuple((a.astype(np.int64) + b.astype(np.int64) + 1) >> 1
+                         for a, b in zip(p0, p1))
+        return p0 if use0 else p1
+
+    def _b_set_fields(self, mv_f0, ref_f0, mv_f1, ref_f1, my, mx,
+                      use0, mv0, use1, mv1):
+        r, c = my * 4, mx * 4
+        if use0:
+            ref_f0[r:r + 4, c:c + 4] = 0
+            mv_f0[r:r + 4, c:c + 4] = mv0
+        else:
+            ref_f0[r:r + 4, c:c + 4] = -1
+            mv_f0[r:r + 4, c:c + 4] = 0
+        if use1:
+            ref_f1[r:r + 4, c:c + 4] = 0
+            mv_f1[r:r + 4, c:c + 4] = mv1
+        else:
+            ref_f1[r:r + 4, c:c + 4] = -1
+            mv_f1[r:r + 4, c:c + 4] = 0
+
+    def _inter_residual_cavlc(self, br, my, mx, qp, qt, Y, U, V,
+                              nnz_l, nnz_c, py, pu, pv):
+        """Inter CBP + residual + reconstruction, CAVLC (shared by the
+        P 16x16 tail and B MBs)."""
+        pps = self.pps
+        cbp = int(_GOLOMB_TO_CBP_INTER[br.ue()])
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = qp + br.se()
+        qpc = _chroma_qp(qp, pps.chroma_qp_offset)
+
+        dmf = qt.dequant4_mf[enc_tables.CQM_4PY, qp % 6]
+        mb = py.astype(np.int64)
+        for i in range(16):
+            bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
+            if (cbp_luma >> (i // 4)) & 1:
+                nc = self._nc(nnz_l, my * 4 + by, mx * 4 + bx)
+                z = decode_residual(br, nc, 16)
+                nnz_l[my * 4 + by, mx * 4 + bx] = np.count_nonzero(z)
+                blk = np.zeros(16, dtype=np.int64)
+                blk[np.asarray(ZIG4)] = z
+                r = G.idct4x4(G.dequant(blk, dmf, qp, 4).reshape(4, 4))
+                b = mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
+                mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = b
+            else:
+                nnz_l[my * 4 + by, mx * 4 + bx] = 0
+        Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = np.clip(mb, 0, 255)
+
+        cdmf = qt.dequant4_mf[enc_tables.CQM_4PC, qpc % 6]
+        cdc = np.zeros((2, 2, 2), dtype=np.int64)
+        cac = np.zeros((2, 4, 4, 4), dtype=np.int64)
+        if cbp_chroma:
+            for ch in range(2):
+                z = decode_residual(br, -1, 4)
+                cdc[ch] = z.reshape(2, 2)
+            if cbp_chroma & 2:
+                for ch in range(2):
+                    for i in range(4):
+                        bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
+                            int(enc_tables.CHROMA_BLOCK_XY[i][1])
+                        nc = self._nc(nnz_c[ch], my * 2 + by, mx * 2 + bx)
+                        z = decode_residual(br, nc, 15)
+                        nnz_c[ch, my * 2 + by, mx * 2 + bx] = \
+                            np.count_nonzero(z)
+                        a = np.zeros(16, dtype=np.int64)
+                        a[np.asarray(ZIG4)[1:]] = z
+                        cac[ch, i] = a.reshape(4, 4)
+        if not (cbp_chroma & 2):
+            nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+
+        for ch, (P, pred) in ((0, (U, pu)), (1, (V, pv))):
+            dc_rec = G.dequant_2x2_dc(G.hadamard2x2(cdc[ch]),
+                                      int(cdmf[0]), qpc)
+            cmb = pred.astype(np.int64)
+            for i in range(4):
+                bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
+                    int(enc_tables.CHROMA_BLOCK_XY[i][1])
+                if cbp_chroma & 2 and np.any(cac[ch, i]):
+                    b = G.dequant(cac[ch, i].ravel(), cdmf, qpc, 4) \
+                        .reshape(4, 4)
+                    b[0, 0] = dc_rec[by, bx]
+                    r = G.idct4x4(b)
+                elif cbp_chroma:
+                    r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
+                                dtype=np.int64)
+                else:
+                    r = np.zeros((4, 4), dtype=np.int64)
+                blk = cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
+                cmb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    np.clip(blk, 0, 255)
+            P[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = cmb
+        return qp
+
+    def _decode_mb_b(self, br, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
+                     mv_f0, ref_f0, mv_f1, ref_f1, intra_mb):
+        """B macroblock, CAVLC: B_L0/L1/BI_16x16 (+ intra offset 23)."""
+        mb_type = br.ue()
+        r, c = my * 4, mx * 4
+        if mb_type >= 23:
+            ref_f0[r:r + 4, c:c + 4] = -1
+            ref_f1[r:r + 4, c:c + 4] = -1
+            intra_mb[my, mx] = True
+            return self._decode_mb_i(br, my, mx, qp, qt, Y, U, V,
+                                     nnz_l, nnz_c, mb_type - 23)
+        assert mb_type in (1, 2, 3), f"B mb_type {mb_type} unsupported"
+        use0 = mb_type in (1, 3)
+        use1 = mb_type in (2, 3)
+        mv0 = mv1 = None
+        if use0:
+            mvd = np.array([br.se(), br.se()], np.int64)
+            mv0 = self._mvp_16x16(ref_f0, mv_f0, my, mx) + mvd
+        if use1:
+            mvd = np.array([br.se(), br.se()], np.int64)
+            mv1 = self._mvp_16x16(ref_f1, mv_f1, my, mx) + mvd
+        self._b_set_fields(mv_f0, ref_f0, mv_f1, ref_f1, my, mx,
+                           use0, mv0, use1, mv1)
+        py, pu, pv = self._bipred(my, mx, use0, mv0, use1, mv1)
+        return self._inter_residual_cavlc(br, my, mx, qp, qt, Y, U, V,
+                                          nnz_l, nnz_c, py, pu, pv)
 
     # ------------------------------------------------------------ macroblock
     def _nc(self, m, gy, gx):

@@ -112,32 +112,61 @@ def test_static_scene_skips():
 
 
 def test_mv_prediction_matches_scalar_spec():
-    """Fuzz: vectorized mv_prediction (encoder) == scalar median/pskip
-    model (decoder), including intra holes and borders."""
-    import jax.numpy as jnp
-    from x264_tpu.encoder.inter import mv_prediction
+    """Fuzz: vectorized mvpred (encoder, block-granular maps) == the
+    scalar spec model in the reference decoder, for 16x16, pskip and
+    the 16x8/8x16 partition rules, including intra holes, partitioned
+    neighbors and borders."""
+    from x264_tpu.encoder import mvpred
 
     rng = np.random.default_rng(42)
     dec = Decoder()
     for trial in range(8):
-        mb_h, mb_w = rng.integers(1, 7), rng.integers(1, 7)
-        ref = np.where(rng.random((mb_h, mb_w)) < 0.25, -1, 0)
-        mv = rng.integers(-32, 33, (mb_h, mb_w, 2))
-        # sprinkle exact zero MVs (pskip trigger paths)
-        zmask = rng.random((mb_h, mb_w)) < 0.3
-        mv[zmask] = 0
-        mv[ref == -1] = 0
-        mvp_v, skip_v = mv_prediction(jnp.asarray(mv), jnp.asarray(ref))
-        mvp_v, skip_v = np.asarray(mvp_v), np.asarray(skip_v)
+        mb_h, mb_w = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+        # random per-MB partition layout with block-granular fields
+        ref4 = np.zeros((mb_h * 4, mb_w * 4), np.int64)
+        mv4 = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
         for my in range(mb_h):
             for mx in range(mb_w):
-                want = dec._mvp_16x16(ref.astype(np.int64),
-                                      mv.astype(np.int64), my, mx)
+                r, c = my * 4, mx * 4
+                if rng.random() < 0.2:           # intra MB
+                    ref4[r:r + 4, c:c + 4] = -1
+                    continue
+                pt = int(rng.integers(0, 3))
+                mva = rng.integers(-32, 33, 2)
+                mvb = rng.integers(-32, 33, 2)
+                if rng.random() < 0.3:
+                    mva[:] = 0
+                if pt == 0:
+                    mv4[r:r + 4, c:c + 4] = mva
+                elif pt == 1:
+                    mv4[r:r + 2, c:c + 4] = mva
+                    mv4[r + 2:r + 4, c:c + 4] = mvb
+                else:
+                    mv4[r:r + 4, c:c + 2] = mva
+                    mv4[r:r + 4, c + 2:c + 4] = mvb
+
+        mvp16 = np.asarray(mvpred.predict_16x16(ref4, mv4))
+        skipv = np.asarray(mvpred.predict_pskip(ref4, mv4))
+        t0, t1 = mvpred.predict_16x8(ref4, mv4)
+        l0, l1 = mvpred.predict_8x16(ref4, mv4)
+        t0, t1, l0, l1 = (np.asarray(x) for x in (t0, t1, l0, l1))
+        for my in range(mb_h):
+            for mx in range(mb_w):
                 np.testing.assert_array_equal(
-                    mvp_v[my, mx], want,
-                    err_msg=f"mvp trial {trial} mb ({my},{mx})")
-                wskip = dec._mv_pskip(ref.astype(np.int64),
-                                      mv.astype(np.int64), my, mx)
+                    mvp16[my, mx], dec._mvp_16x16(ref4, mv4, my, mx),
+                    err_msg=f"mvp16 trial {trial} mb ({my},{mx})")
                 np.testing.assert_array_equal(
-                    skip_v[my, mx], wskip,
+                    skipv[my, mx], dec._mv_pskip(ref4, mv4, my, mx),
                     err_msg=f"pskip trial {trial} mb ({my},{mx})")
+                for part, got in ((0, t0), (1, t1)):
+                    np.testing.assert_array_equal(
+                        got[my, mx],
+                        dec._mvp_part(ref4, mv4, my, mx, 1, part),
+                        err_msg=f"16x8 p{part} trial {trial} "
+                                f"mb ({my},{mx})")
+                for part, got in ((0, l0), (1, l1)):
+                    np.testing.assert_array_equal(
+                        got[my, mx],
+                        dec._mvp_part(ref4, mv4, my, mx, 2, part),
+                        err_msg=f"8x16 p{part} trial {trial} "
+                                f"mb ({my},{mx})")

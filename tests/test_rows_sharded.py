@@ -36,8 +36,8 @@ def make_frames(n=4, seed=3):
     return frames
 
 
-def encode(shards, deblock=True, qp=26, n=4):
-    p = EncoderParams(i_width=W, i_height=H, b_cabac=False,
+def encode(shards, deblock=True, qp=26, n=4, cabac=False):
+    p = EncoderParams(i_width=W, i_height=H, b_cabac=cabac,
                       b_deblocking_filter=deblock, i_log_level=0,
                       i_keyint_max=8, i_mb_row_shards=shards)
     p.rc.i_rc_method = 0
@@ -102,3 +102,24 @@ def test_sharded_no_deblock_decode():
         dec.decode_nal(nal)
     for df, (ry, ru, rv) in zip(dec.frames, recons):
         assert np.array_equal(np.asarray(df.y, np.int32), ry)
+
+
+def test_sharded_cabac_decode_matches_recon():
+    """CABAC MB-row sharding: per-band op streams, fresh contexts per
+    slice (spec 9.3.1) — decode closure on the 4-shard mesh."""
+    stream, recons, enc = encode(shards=4, n=3, cabac=True)
+    assert enc._rows_mesh is not None
+    dec = Decoder()
+    for nal in split_annexb(stream):
+        dec.decode_nal(nal)
+    assert len(dec.frames) == len(recons)
+    for i, (df, (ry, ru, rv)) in enumerate(zip(dec.frames, recons)):
+        assert np.array_equal(np.asarray(df.y, np.int32), ry), f"Y f{i}"
+        assert np.array_equal(np.asarray(df.u, np.int32), ru), f"U f{i}"
+        assert np.array_equal(np.asarray(df.v, np.int32), rv), f"V f{i}"
+
+
+def test_sharded_cabac_deterministic():
+    s1, _, _ = encode(shards=4, n=2, cabac=True)
+    s2, _, _ = encode(shards=4, n=2, cabac=True)
+    assert s1 == s2

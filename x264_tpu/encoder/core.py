@@ -89,6 +89,8 @@ class Encoder:
         # subme ladder -> sub-pel refinement stages (the subpel_iterations
         # table role, encoder/me.c:34-44): 1 = full-pel, 2-3 = half-pel,
         # >=4 = half+quarter
+        from ..params import ANALYSE_PSUB16x16
+        self._parts = bool(p.analyse.inter & ANALYSE_PSUB16x16)
         sp = p.analyse.i_subpel_refine
         self._subpel = () if sp <= 1 else ((2,) if sp <= 3 else (2, 1))
         # MB-row sharding across devices: one slice per row band
@@ -100,19 +102,37 @@ class Encoder:
             while n > 1 and (p.mb_height % n
                              or (p.mb_height // n) * 16 < 32):
                 n -= 1
-            if n > 1 and not p.b_cabac:
+            if n > 1:
                 from ..parallel import rows as prows
                 self._rows_mesh = prows.make_rows_mesh(n)
                 self._n_shards = n
             elif p.i_log_level >= 2:
                 import sys
                 print("x264_tpu [info]: mb-row sharding unavailable "
-                      f"(shards={p.i_mb_row_shards}, mb_h={p.mb_height}, "
-                      f"cabac={p.b_cabac}); encoding unsharded",
-                      file=sys.stderr)
+                      f"(shards={p.i_mb_row_shards}, mb_h={p.mb_height}); "
+                      "encoding unsharded", file=sys.stderr)
         self.stats = estats.Stats(
             p.i_width, p.i_height, p.i_fps_num / max(1, p.i_fps_den),
             b_psnr=p.analyse.b_psnr, b_ssim=p.analyse.b_ssim)
+        # frame pipelining (the doc/threads.txt frame-thread analogue):
+        # with i_frame_parallel > 1, encode() submits the device program
+        # and returns the *previous* frame once its host entropy tail is
+        # done — the serial CABAC/CAVLC host work for frame N-1 then
+        # overlaps the device compute of frame N (async dispatch).
+        # Delayed-output contract matches x264_encoder_encode (a call may
+        # return no frame; flush() drains, x264.c:870-873).
+        self._pending: list = []
+        self._delay = max(0, p.i_frame_parallel - 1)
+        if self._rows_mesh is not None:
+            self._delay = 0   # sharded path finalizes synchronously
+        # B-frame state: one display-buffered candidate (x264 delays
+        # inputs in frames.next until slicetype_decide promotes them,
+        # encoder/encoder.c:1423-1457); _prev_ref is the past reference
+        # (L0) once the future reference (L1 = _ref) is encoded
+        self._bframes = p.i_bframe
+        self._bbuf = None
+        self._prev_ref = None
+        self._disp_since_idr = 0
         # rate control (x264_ratecontrol_new, encoder/ratecontrol.c:267)
         self.rc = rcmod.RateControl(p)
         self._since_idr = 0
@@ -132,14 +152,21 @@ class Encoder:
 
     # ------------------------------------------------------------- encode
     def encode(self, frame: Frame, forced_type: str | None = None,
-               forced_qp: int | None = None) -> EncodedFrame:
+               forced_qp: int | None = None) -> EncodedFrame | None:
         """x264_encoder_encode: frame-type decision (keyint GOP, scenecut
         IDR refresh, qpfile forcing via forced_type/forced_qp —
-        parse_qpfile, x264.c:711) + per-type pipeline."""
+        parse_qpfile, x264.c:711) + per-type pipeline.
+
+        With i_frame_parallel > 1 this submits the device program and
+        returns an *earlier* frame (or None while the pipe fills) so the
+        host entropy tail overlaps device compute — the frame-pipeline
+        of doc/threads.txt:10-17. Call flush() to drain.
+        """
         p = self.params
         scenecut = False
         if self._analyse_lowres:
-            scenecut = self.rc.analyse_frame(frame.y)["scenecut"]
+            scenecut = self.rc.analyse_frame(
+                frame.y, gop_size=self._since_idr)["scenecut"]
         if forced_type in ("I", "IDR"):
             is_idr = True
         elif forced_type == "P" and self._ref is not None:
@@ -148,33 +175,139 @@ class Encoder:
             is_idr = (self._gop_pos == 0 or self._ref is None
                       or p.i_keyint_max == 1
                       or (scenecut and self._since_idr >= p.i_keyint_min))
-        qp = self.rc.start("I" if is_idr else "P")
+
+        disp_poc = 2 * self._disp_since_idr
+        if self._bframes > 0:
+            # IbP orchestration: a non-sync frame waits in _bbuf until
+            # its future reference is encoded (x264 frames.next delay +
+            # reorder, encoder/encoder.c:1423-1457); an IDR closes the
+            # GOP by promoting the buffered frame to P first
+            if self._bbuf is not None:
+                g, g_qp, g_poc = self._bbuf
+                self._bbuf = None
+                if is_idr:
+                    self._submit_ip(g, False, g_qp, g_poc)
+                    self._advance_gop(True)
+                    self._submit_ip(frame, True, forced_qp, 0)
+                else:
+                    self._submit_ip(frame, False, forced_qp, disp_poc)
+                    self._advance_gop(False)
+                    self._submit_b_disp(g, g_qp, g_poc)
+            elif is_idr:
+                self._advance_gop(True)
+                self._submit_ip(frame, True, forced_qp, 0)
+            elif forced_type == "P":
+                self._advance_gop(False)
+                self._submit_ip(frame, False, forced_qp, disp_poc)
+            else:
+                self._bbuf = (frame, forced_qp, disp_poc)
+                self._advance_gop(False)
+        else:
+            if is_idr:
+                self._advance_gop(True)
+                self._submit_ip(frame, True, forced_qp, 0)
+            else:
+                self._advance_gop(False)
+                self._submit_ip(frame, False, forced_qp, disp_poc)
+
+        if len(self._pending) > self._delay:
+            return self._finalize(self._pending.pop(0))
+        return None
+
+    def _advance_gop(self, to_idr: bool):
+        """Display-order GOP bookkeeping."""
+        p = self.params
+        if to_idr:
+            self._gop_pos = 0
+            self._since_idr = 0
+            self._disp_since_idr = 0
+        self._gop_pos = (self._gop_pos + 1) % max(1, p.i_keyint_max)
+        self._since_idr += 1
+        self._disp_since_idr += 1
+
+    def _submit_ip(self, frame: Frame, is_idr: bool, forced_qp, poc: int):
+        """Submit one reference frame (IDR or P) in encode order."""
+        qp = self.rc.start("I" if is_idr else "P",
+                           frame_idx=self.frame_count)
         if forced_qp is not None:
             qp = max(0, min(51, int(forced_qp)))
             self.rc.last_qp = qp
+        self.poc = poc
         if is_idr:
-            payload, recon = self._encode_idr(frame, qp)
-            ftype = "IDR"
-            self._gop_pos = 0
-            self._since_idr = 0
+            pend = self._submit_idr(frame, qp)
+            pend["ftype"] = "IDR"
         else:
-            payload, recon = self._encode_p(frame, qp)
-            ftype = "P"
-        self._gop_pos = (self._gop_pos + 1) % max(1, p.i_keyint_max)
-        self._since_idr += 1
+            pend = self._submit_p(frame, qp)
+            pend["ftype"] = "P"
+        pend.update(frame=frame, qp=qp,
+                    rc_rceq=self.rc.last_rceq, rc_satd=self.rc.last_satd)
         self.frame_count += 1
-        self.rc.end("I" if is_idr else "P", len(payload) * 8, qp,
-                    self._last_mb_counts)
+        self._pending.append(pend)
 
+    def _submit_b_disp(self, frame: Frame, forced_qp, poc: int):
+        qp = self.rc.start("B", frame_idx=self.frame_count)
+        if forced_qp is not None:
+            qp = max(0, min(51, int(forced_qp)))
+            self.rc.last_qp = qp
+        self.poc = poc
+        pend = self._submit_b(frame, qp)
+        pend["ftype"] = "B"
+        pend.update(frame=frame, qp=qp,
+                    rc_rceq=self.rc.last_rceq, rc_satd=self.rc.last_satd)
+        self.frame_count += 1
+        self._pending.append(pend)
+
+    def flush(self) -> list:
+        """Drain delayed frames (the pic_in=NULL flush loop contract,
+        x264.c:870-873). A trailing buffered B candidate becomes a P."""
+        if self._bbuf is not None:
+            g, g_qp, g_poc = self._bbuf
+            self._bbuf = None
+            self._submit_ip(g, self._ref is None, g_qp, g_poc)
+        out = []
+        while self._pending:
+            out.append(self._finalize(self._pending.pop(0)))
+        return out
+
+    def _finalize(self, pend: dict) -> EncodedFrame:
+        """Host tail of one frame: entropy coding / bitstream fetch, NAL
+        assembly, RC accounting, stats (the x264_encoder_frame_end
+        analogue, encoder/encoder.c:1705)."""
+        p = self.params
+        ftype, qp, frame = pend["ftype"], pend["qp"], pend["frame"]
+        kind = pend["kind"]
+        if kind == "done":
+            payload = pend["payload"]
+        elif kind == "cabac":
+            payload = self._cabac_payload(pend)
+        else:
+            payload = self._cavlc_payload(pend)
+
+        out = pend.get("out")
+        if ftype in ("P", "B") and out is not None and "intra_mb" in out:
+            n_intra = int(np.asarray(out["intra_mb"]).sum())
+            n_skip = (int(np.asarray(out["skip"]).sum())
+                      if "skip" in out else 0)
+            nmb = p.mb_width * p.mb_height
+            counts = (n_intra, nmb - n_intra - n_skip, n_skip)
+        elif ftype in ("P", "B"):
+            counts = pend.get("counts", (0, 0, 0))
+        else:
+            counts = (p.mb_width * p.mb_height, 0, 0)
+        self._last_mb_counts = counts
+
+        recon = pend["recon"]
+        bits = len(payload) * 8
+        self.rc.end("I" if ftype == "IDR" else ftype, bits, qp, counts,
+                    rceq=pend.get("rc_rceq"), satd=pend.get("rc_satd"))
         metrics = None
         if p.analyse.b_psnr or p.analyse.b_ssim:
             metrics = estats.frame_metrics(
                 np.asarray(frame.y), np.asarray(frame.u),
                 np.asarray(frame.v), recon.y, recon.u, recon.v,
                 p.i_width, p.i_height)
-        self.stats.add_frame(ftype, len(payload) * 8, qp, metrics,
-                             self._last_mb_counts)
-        return EncodedFrame(payload, ftype, recon, len(payload) * 8)
+        self.stats.add_frame(ftype, bits, qp, metrics, counts)
+        return EncodedFrame(payload, ftype, recon, bits)
 
     def _qtab(self, qp_y: int, qp_c: int):
         key = (qp_y, qp_c)
@@ -222,15 +355,18 @@ class Encoder:
         v = pad_plane(np.asarray(frame.v, np.uint8), mb_h * 8, mb_w * 8)
         return y, u, v
 
-    def _finish_frame(self, out, frame: Frame):
+    def _finish_frame(self, out, frame: Frame, is_ref: bool = True):
         """Update DPB state and crop the recon view (x264_reference_update,
-        encoder/encoder.c:1059)."""
-        self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        encoder/encoder.c:1059). Non-reference frames (B) leave the DPB
+        and frame_num untouched; POC is display-managed by encode()."""
+        if is_ref:
+            self._prev_ref = self._ref
+            self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+            self.frame_num = (self.frame_num + 1) \
+                % (1 << self.sps.log2_max_frame_num)
         recon = Frame(out["recon_y"][:frame.y.shape[0], :frame.y.shape[1]],
                       out["recon_u"][:frame.u.shape[0], :frame.u.shape[1]],
                       out["recon_v"][:frame.v.shape[0], :frame.v.shape[1]])
-        self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
-        self.poc += 2
         return recon
 
     # --------------------------------------------------- row-sharded path
@@ -265,6 +401,47 @@ class Encoder:
             payload.append(nal_unit(nal_type, nal_ref_idc, rbsp))
         return b"".join(payload)
 
+    def _band_cabac_headers(self, qp: int, slice_type: int,
+                            nal_ref_idc: int, band: int, n: int):
+        """Per-band CABAC slice headers incl. alignment bits."""
+        p = self.params
+        hdrs = []
+        for k in range(n):
+            sh = self._slice_header(qp, slice_type)
+            sh.first_mb = k * band * p.mb_width
+            sh.disable_deblock = 2 if p.b_deblocking_filter else 1
+            hdr = BitWriter()
+            sh.write_rbsp(hdr, nal_ref_idc=nal_ref_idc)
+            pad = (-hdr.bit_pos) % 8
+            if pad:
+                hdr.put((1 << pad) - 1, pad)
+            hdrs.append(bytearray(hdr.pack()))
+        return hdrs
+
+    def _assemble_band_cabac_nals(self, out, hdrs, slice_is_i: bool,
+                                  qp: int, nal_type: int,
+                                  nal_ref_idc: int, cap_ops: int) -> bytes:
+        """Arithmetic-code each band's op stream with fresh per-slice
+        contexts (spec 9.3.1 — bands are independent)."""
+        from ..entropy import cabac as ecabac
+        from ..entropy import cabac_tables as ctab
+        n_ops = np.asarray(out["n_ops"]).reshape(-1)
+        ops_all = np.asarray(out["ops"])
+        payload = []
+        for k, hdr_bytes in enumerate(hdrs):
+            nk = int(n_ops[k])
+            if nk > cap_ops:
+                raise RuntimeError(
+                    f"band {k} CABAC ops overflowed ({nk} > {cap_ops})")
+            states = ctab.init_states(slice_is_i, qp,
+                                      self.params.i_cabac_init_idc)
+            body, fixup = ecabac.encode_ops(states, ops_all[k][:nk],
+                                            hdr_bytes[-1])
+            hdr_bytes[-1] = fixup
+            payload.append(nal_unit(nal_type, nal_ref_idc,
+                                    bytes(hdr_bytes) + body))
+        return b"".join(payload)
+
     def _encode_idr_rows(self, frame: Frame, qp: int):
         from ..parallel import rows as prows
         p = self.params
@@ -277,17 +454,30 @@ class Encoder:
         self.frame_num = 0
         self.poc = 0
         self._prev_mv = None
-        hv, hl = self._band_headers(qp, SLICE_I, 3, band, n)
-        cap_words = pipeline.capacity_words(band * mb_w)
-        out = prows.encode_i_rows(
-            self._rows_mesh, mb_h, mb_w, self._i4x4,
-            bool(p.b_deblocking_filter), y, u, v,
-            self._qtab(qp, qp_c), lam, qp,
-            2 * p.i_deblocking_filter_alphac0,
-            2 * p.i_deblocking_filter_beta,
-            p.analyse.i_chroma_qp_offset, hv, hl, cap_words)
-        payload = self._assemble_band_nals(out, NAL_SLICE_IDR, 3,
-                                           cap_words, n)
+        if p.b_cabac:
+            hdrs = self._band_cabac_headers(qp, SLICE_I, 3, band, n)
+            cap_ops = pipeline.cabac_capacity(band * mb_w)
+            out = prows.encode_i_rows_cabac(
+                self._rows_mesh, mb_h, mb_w, self._i4x4,
+                bool(p.b_deblocking_filter), y, u, v,
+                self._qtab(qp, qp_c), lam, qp,
+                2 * p.i_deblocking_filter_alphac0,
+                2 * p.i_deblocking_filter_beta,
+                p.analyse.i_chroma_qp_offset, cap_ops)
+            payload = self._assemble_band_cabac_nals(
+                out, hdrs, True, qp, NAL_SLICE_IDR, 3, cap_ops)
+        else:
+            hv, hl = self._band_headers(qp, SLICE_I, 3, band, n)
+            cap_words = pipeline.capacity_words(band * mb_w)
+            out = prows.encode_i_rows(
+                self._rows_mesh, mb_h, mb_w, self._i4x4,
+                bool(p.b_deblocking_filter), y, u, v,
+                self._qtab(qp, qp_c), lam, qp,
+                2 * p.i_deblocking_filter_alphac0,
+                2 * p.i_deblocking_filter_beta,
+                p.analyse.i_chroma_qp_offset, hv, hl, cap_words)
+            payload = self._assemble_band_nals(out, NAL_SLICE_IDR, 3,
+                                               cap_words, n)
         recon = self._finish_frame(out, frame)
         self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         self._last_mb_counts = (mb_h * mb_w, 0, 0)
@@ -306,16 +496,30 @@ class Encoder:
         mvp_seed = (self._prev_mv if self._prev_mv is not None
                     else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
         ry, ru, rv = self._ref
-        hv, hl = self._band_headers(qp, SLICE_P, 2, band, n)
-        cap_words = pipeline.capacity_words(band * mb_w)
-        out = prows.encode_p_rows(
-            self._rows_mesh, mb_h, mb_w, self._me_range, self._subpel,
-            bool(p.b_deblocking_filter), y, u, v, ry, ru, rv,
-            self._qtab_p(qp, qp_c), lam, qp,
-            2 * p.i_deblocking_filter_alphac0,
-            2 * p.i_deblocking_filter_beta,
-            p.analyse.i_chroma_qp_offset, mvp_seed, hv, hl, cap_words)
-        payload = self._assemble_band_nals(out, NAL_SLICE, 2, cap_words, n)
+        if p.b_cabac:
+            hdrs = self._band_cabac_headers(qp, SLICE_P, 2, band, n)
+            cap_ops = pipeline.cabac_capacity(band * mb_w)
+            out = prows.encode_p_rows_cabac(
+                self._rows_mesh, mb_h, mb_w, self._me_range, self._subpel,
+                bool(p.b_deblocking_filter), y, u, v, ry, ru, rv,
+                self._qtab_p(qp, qp_c), lam, qp,
+                2 * p.i_deblocking_filter_alphac0,
+                2 * p.i_deblocking_filter_beta,
+                p.analyse.i_chroma_qp_offset, mvp_seed, cap_ops)
+            payload = self._assemble_band_cabac_nals(
+                out, hdrs, False, qp, NAL_SLICE, 2, cap_ops)
+        else:
+            hv, hl = self._band_headers(qp, SLICE_P, 2, band, n)
+            cap_words = pipeline.capacity_words(band * mb_w)
+            out = prows.encode_p_rows(
+                self._rows_mesh, mb_h, mb_w, self._me_range, self._subpel,
+                bool(p.b_deblocking_filter), y, u, v, ry, ru, rv,
+                self._qtab_p(qp, qp_c), lam, qp,
+                2 * p.i_deblocking_filter_alphac0,
+                2 * p.i_deblocking_filter_beta,
+                p.analyse.i_chroma_qp_offset, mvp_seed, hv, hl, cap_words)
+            payload = self._assemble_band_nals(out, NAL_SLICE, 2,
+                                               cap_words, n)
         self._prev_mv = out["mv"]
         recon = self._finish_frame(out, frame)
         n_intra = out["intra_mb"].sum()
@@ -324,10 +528,11 @@ class Encoder:
                                 n_skip)
         return payload, recon
 
-    def _encode_idr(self, frame: Frame, qp: int):
+    def _submit_idr(self, frame: Frame, qp: int) -> dict:
         p = self.params
         if self._rows_mesh is not None:
-            return self._encode_idr_rows(frame, qp)
+            payload, recon = self._encode_idr_rows(frame, qp)
+            return dict(kind="done", payload=payload, recon=recon)
         mb_w, mb_h = p.mb_width, p.mb_height
         y, u, v = self._pad_input(frame)
 
@@ -340,14 +545,16 @@ class Encoder:
         self._prev_mv = None
 
         if p.b_cabac:
+            hdr_bytes = self._cabac_header(qp, SLICE_I, 3)
             out = pipeline.encode_i16_idr_cabac(
                 mb_h, mb_w, bool(p.b_deblocking_filter), self._i4x4,
                 y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset)
-            slice_bytes = self._cabac_nal(out, qp, SLICE_I, NAL_SLICE_IDR, 3,
-                                          mb_h * mb_w)
+            pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
+                        slice_is_i=True, nal_type=NAL_SLICE_IDR,
+                        nal_ref_idc=3, nmb=mb_h * mb_w)
         else:
             hdr = BitWriter()
             self._slice_header(qp).write_rbsp(hdr, nal_ref_idc=3)
@@ -360,43 +567,48 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset)
-
-            nbits = int(out["nbits"])
             cap_words = pipeline.capacity_words(mb_h * mb_w)
-            if nbits > cap_words * 32 and self._i4x4:
-                # pathological overflow: retry as pure I16x16 (the host
-                # fallback coder below has no I4x4 syntax); recon and
-                # stream must come from the same encode
-                out = pipeline.encode_i16_idr(
-                    mb_h, mb_w, bool(p.b_deblocking_filter), False,
-                    y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
-                    hdr_vals, hdr_lens,
-                    2 * p.i_deblocking_filter_alphac0,
-                    2 * p.i_deblocking_filter_beta,
-                    p.analyse.i_chroma_qp_offset)
+            if self._delay == 0:
+                # synchronous: keep the pathological-overflow fallbacks
+                # (retry without I4x4, then the host I16 coder — x264
+                # instead reallocs, x264_bitstream_check_buffer)
                 nbits = int(out["nbits"])
-            if nbits <= cap_words * 32:
-                rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
-                slice_bytes = nal_unit(NAL_SLICE_IDR, 3, rbsp)
-            else:  # pathological frame overflowed device buffer: host path
-                coef = intra.encode_i16_frame(
-                    mb_h, mb_w, y.astype(np.int32), u.astype(np.int32),
-                    v.astype(np.int32), self._qtab(qp, qp_c), lam)
-                coef = {k: np.asarray(val) for k, val in coef.items()}
-                slice_bytes = self._write_i_slice(coef, qp, mb_w, mb_h)
+                if nbits > cap_words * 32 and self._i4x4:
+                    out = pipeline.encode_i16_idr(
+                        mb_h, mb_w, bool(p.b_deblocking_filter), False,
+                        y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
+                        hdr_vals, hdr_lens,
+                        2 * p.i_deblocking_filter_alphac0,
+                        2 * p.i_deblocking_filter_beta,
+                        p.analyse.i_chroma_qp_offset)
+                    nbits = int(out["nbits"])
+                if nbits <= cap_words * 32:
+                    rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
+                    payload = nal_unit(NAL_SLICE_IDR, 3, rbsp)
+                else:
+                    coef = intra.encode_i16_frame(
+                        mb_h, mb_w, y.astype(np.int32), u.astype(np.int32),
+                        v.astype(np.int32), self._qtab(qp, qp_c), lam)
+                    coef = {k: np.asarray(val) for k, val in coef.items()}
+                    payload = self._write_i_slice(coef, qp, mb_w, mb_h)
+                pend = dict(kind="done", out=out, payload=payload)
+            else:
+                pend = dict(kind="cavlc", out=out, cap_words=cap_words,
+                            nal_type=NAL_SLICE_IDR, nal_ref_idc=3)
 
-        recon = self._finish_frame(out, frame)
+        pend["recon"] = self._finish_frame(out, frame)
         self.idr_pic_id = (self.idr_pic_id + 1) % 65536
-        self._last_mb_counts = (mb_h * mb_w, 0, 0)
-        return slice_bytes, recon
+        return pend
 
-    def _encode_p(self, frame: Frame, qp: int):
+    def _submit_p(self, frame: Frame, qp: int) -> dict:
         """One P frame against the single-entry DPB
         (x264_encoder_encode P path; ME/MC per SURVEY §7 step 4)."""
         import jax.numpy as jnp
         p = self.params
         if self._rows_mesh is not None:
-            return self._encode_p_rows(frame, qp)
+            payload, recon = self._encode_p_rows(frame, qp)
+            return dict(kind="done", payload=payload, recon=recon,
+                        counts=self._last_mb_counts)
         mb_w, mb_h = p.mb_width, p.mb_height
         y, u, v = self._pad_input(frame)
 
@@ -407,17 +619,19 @@ class Encoder:
                     else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
         ry, ru, rv = self._ref
         if p.b_cabac:
+            hdr_bytes = self._cabac_header(qp, SLICE_P, 2)
             out = pipeline.encode_p_cabac(
                 mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
-                self._subpel,
+                self._subpel, self._parts,
                 y, u, v, ry, ru, rv,
                 self._qtab_p(qp, qp_c), lam, qp, qp_c,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset,
                 mvp_seed)
-            slice_bytes = self._cabac_nal(out, qp, SLICE_P, NAL_SLICE, 2,
-                                          mb_h * mb_w)
+            pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
+                        slice_is_i=False, nal_type=NAL_SLICE,
+                        nal_ref_idc=2, nmb=mb_h * mb_w)
         else:
             hdr = BitWriter()
             self._slice_header(qp, SLICE_P).write_rbsp(hdr, nal_ref_idc=2)
@@ -425,7 +639,7 @@ class Encoder:
 
             out = pipeline.encode_p(
                 mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
-                self._subpel,
+                self._subpel, self._parts,
                 y, u, v, ry, ru, rv,
                 self._qtab_p(qp, qp_c), lam, qp, qp_c,
                 hdr_vals, hdr_lens,
@@ -433,23 +647,68 @@ class Encoder:
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset,
                 mvp_seed)
-
-            nbits = int(out["nbits"])
-            cap_words = pipeline.capacity_words(mb_h * mb_w)
-            if nbits > cap_words * 32:
-                raise RuntimeError(
-                    f"P slice overflowed the device pack buffer "
-                    f"({nbits} bits)")
-            rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
-            slice_bytes = nal_unit(NAL_SLICE, 2, rbsp)
+            pend = dict(kind="cavlc", out=out,
+                        cap_words=pipeline.capacity_words(mb_h * mb_w),
+                        nal_type=NAL_SLICE, nal_ref_idc=2)
 
         self._prev_mv = out["mv"]
-        recon = self._finish_frame(out, frame)
-        n_intra = out["intra_mb"].sum()
-        n_skip = out["skip"].sum()
-        self._last_mb_counts = (n_intra, mb_h * mb_w - n_intra - n_skip,
-                                n_skip)
-        return slice_bytes, recon
+        pend["recon"] = self._finish_frame(out, frame)
+        return pend
+
+    def _submit_b(self, frame: Frame, qp: int) -> dict:
+        """One non-reference B frame between _prev_ref (L0, past) and
+        _ref (L1, future) — x264_encoder_encode B path with the
+        reordered reference lists of x264_reference_build_list."""
+        import jax.numpy as jnp
+        from ..headers import SLICE_B
+        p = self.params
+        mb_w, mb_h = p.mb_width, p.mb_height
+        y, u, v = self._pad_input(frame)
+        qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
+        lam = int(tables.LAMBDA_TABLE[qp])
+        mvp_seed = (self._prev_mv if self._prev_mv is not None
+                    else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
+        l0 = self._prev_ref
+        l1 = self._ref
+        if p.b_cabac:
+            hdr_bytes = self._cabac_header(qp, SLICE_B, 0)
+            out = pipeline.encode_b_cabac(
+                mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
+                self._subpel, y, u, v, *l0, *l1,
+                self._qtab_p(qp, qp_c), lam, qp, qp_c,
+                2 * p.i_deblocking_filter_alphac0,
+                2 * p.i_deblocking_filter_beta,
+                p.analyse.i_chroma_qp_offset, mvp_seed)
+            pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
+                        slice_is_i=False, nal_type=NAL_SLICE,
+                        nal_ref_idc=0, nmb=mb_h * mb_w)
+        else:
+            hdr = BitWriter()
+            self._slice_header(qp, SLICE_B).write_rbsp(hdr, nal_ref_idc=0)
+            hdr_vals, hdr_lens = edev.header_slots(hdr)
+            out = pipeline.encode_b(
+                mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
+                self._subpel, y, u, v, *l0, *l1,
+                self._qtab_p(qp, qp_c), lam, qp, qp_c,
+                hdr_vals, hdr_lens,
+                2 * p.i_deblocking_filter_alphac0,
+                2 * p.i_deblocking_filter_beta,
+                p.analyse.i_chroma_qp_offset, mvp_seed)
+            pend = dict(kind="cavlc", out=out,
+                        cap_words=pipeline.capacity_words(mb_h * mb_w),
+                        nal_type=NAL_SLICE, nal_ref_idc=0)
+        pend["recon"] = self._finish_frame(out, frame, is_ref=False)
+        return pend
+
+    def _cavlc_payload(self, pend: dict) -> bytes:
+        out = pend["out"]
+        nbits = int(out["nbits"])
+        cap_words = pend["cap_words"]
+        if nbits > cap_words * 32:
+            raise RuntimeError(
+                f"slice overflowed the device pack buffer ({nbits} bits)")
+        rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
+        return nal_unit(pend["nal_type"], pend["nal_ref_idc"], rbsp)
 
     def _deblock(self, ry, ru, rv, qp_mb, intra_mb, nnz4=None, ref4=None,
                  mv4=None, ref4_l1=None, mv4_l1=None, is_b=False):
@@ -471,34 +730,41 @@ class Encoder:
             p.analyse.i_chroma_qp_offset)
         return np.asarray(ry), np.asarray(ru), np.asarray(rv)
 
-    def _cabac_nal(self, out: dict, qp: int, slice_type: int,
-                   nal_type: int, nal_ref_idc: int, nmb: int) -> bytes:
-        """Assemble a CABAC slice NAL: host slice header + alignment,
-        native arithmetic coding of the device-produced op stream
-        (x264_slice_write CABAC branch, encoder/encoder.c:1155-1199)."""
+    def _cabac_header(self, qp: int, slice_type: int,
+                      nal_ref_idc: int) -> bytearray:
+        """Slice header bytes + cabac_alignment_one_bit (spec 7.3.4),
+        built at submit time while frame_num/POC/idr_pic_id still hold
+        this frame's values."""
+        hdr = BitWriter()
+        self._slice_header(qp, slice_type).write_rbsp(
+            hdr, nal_ref_idc=nal_ref_idc)
+        pad = (-hdr.bit_pos) % 8
+        if pad:
+            hdr.put((1 << pad) - 1, pad)
+        return bytearray(hdr.pack())
+
+    def _cabac_payload(self, pend: dict) -> bytes:
+        """Native arithmetic coding of the device-produced op stream
+        (x264_slice_write CABAC branch, encoder/encoder.c:1155-1199) —
+        the host tail that the frame pipeline overlaps with device
+        compute of the following frame."""
         from ..entropy import cabac as ecabac
         from ..entropy import cabac_tables as ctab
 
+        out = pend["out"]
         n_ops = int(out["n_ops"])
-        if n_ops > pipeline.cabac_capacity(nmb):
+        if n_ops > pipeline.cabac_capacity(pend["nmb"]):
             raise RuntimeError(
                 f"CABAC op stream overflowed device buffer ({n_ops} ops)")
         ops = np.asarray(out["ops"][:n_ops])
 
-        hdr = BitWriter()
-        self._slice_header(qp, slice_type).write_rbsp(
-            hdr, nal_ref_idc=nal_ref_idc)
-        # cabac_alignment_one_bit (spec 7.3.4)
-        pad = (-hdr.bit_pos) % 8
-        if pad:
-            hdr.put((1 << pad) - 1, pad)
-        hdr_bytes = bytearray(hdr.pack())
-
-        states = ctab.init_states(slice_type == SLICE_I, qp,
+        hdr_bytes = pend["hdr_bytes"]
+        states = ctab.init_states(pend["slice_is_i"], pend["qp"],
                                   self.params.i_cabac_init_idc)
         payload, fixup = ecabac.encode_ops(states, ops, hdr_bytes[-1])
         hdr_bytes[-1] = fixup
-        return nal_unit(nal_type, nal_ref_idc, bytes(hdr_bytes) + payload)
+        return nal_unit(pend["nal_type"], pend["nal_ref_idc"],
+                        bytes(hdr_bytes) + payload)
 
     # ------------------------------------------------------------- slice
     def _write_i_slice(self, out: dict, qp: int, mb_w: int, mb_h: int) -> bytes:

@@ -5,21 +5,23 @@ The reference's per-MB P path (x264_macroblock_analyse P branch,
 encoder/analyse.c:1077-1519 + x264_macroblock_encode,
 encoder/macroblock.c:475) is re-staged for TPU as:
 
-1. Dense ME for every MB at once (ops/me.py) seeded by the previous
-   frame's MV field — the decoupling trick the reference's own lookahead
-   uses (encoder/slicetype.c:153-166), since the true median predictor
-   is only known after all MVs are final.
-2. Fully parallel inter residual path: MC fetch, 4x4 DCT, P-matrix
-   quantization, reconstruction — no wavefront needed because inter
-   prediction reads only the *reference* frame.
-3. An anti-diagonal wavefront (as in intra.py) for the intra-in-P
-   decision: I16x16 cost needs neighbor reconstruction, so the
-   inter-vs-intra choice and intra reconstruction run per diagonal;
-   inter MBs' recon tiles are pre-seeded so neighbors are always final.
-4. Vectorized post-passes: exact median MV prediction / mvd
-   (x264_mb_predict_mv_16x16, common/macroblock.c:96), P_Skip detection
-   (x264_mb_predict_mv_pskip, common/macroblock.c:133), per-4x4
-   nnz/ref/mv maps for the deblocker.
+1. Hierarchical dense ME for every MB at once (ops/me.py) seeded by
+   the previous frame's MV field — the decoupling trick the reference's
+   own lookahead uses (encoder/slicetype.c:153-166), since the true
+   median predictor is only known after all MVs are final. 16x8/8x16
+   partitions are searched in windows around the MB winner and the MB
+   partition type chosen by SATD+bits cost (encoder/analyse.c:1274).
+2. Fully parallel inter residual path: per-partition MC fetch, 4x4 DCT,
+   P-matrix quantization, reconstruction — no wavefront needed because
+   inter prediction reads only the *reference* frame.
+3. Bounded-depth parallel sweeps for the intra-in-P decision (see the
+   stage-3 comment): K full-frame batched I16 evaluations replace the
+   sequential per-MB wavefront; intra chains deeper than K demote to
+   inter.
+4. Vectorized post-passes: exact per-partition MV prediction / mvd on
+   block-granular maps (encoder/mvpred.py; x264_mb_predict_mv,
+   common/macroblock.c:28-153), P_Skip detection, per-4x4
+   nnz/ref/mv/mvd maps for the deblocker and the CABAC contexts.
 """
 
 from __future__ import annotations
@@ -73,41 +75,6 @@ def median3(a, b, c):
         - jnp.maximum(a, jnp.maximum(b, c))
 
 
-def mv_prediction(mv, ref):
-    """Vectorized 16x16 median MV prediction + P_Skip MV for the whole
-    frame (x264_mb_predict_mv_16x16 / _pskip, common/macroblock.c:96-153).
-
-    mv: (mb_h, mb_w, 2) final qpel MV field (0 where intra);
-    ref: (mb_h, mb_w) final ref map (0 = inter ref0, -1 = intra).
-    Returns (mvp, mv_skip): both (mb_h, mb_w, 2).
-    """
-    refp = jnp.pad(ref, ((1, 1), (1, 1)), constant_values=-2)
-    mvp_ = jnp.pad(mv, ((1, 1), (1, 1), (0, 0)))
-    a_r, a_mv = refp[1:-1, :-2], mvp_[1:-1, :-2]
-    b_r, b_mv = refp[:-2, 1:-1], mvp_[:-2, 1:-1]
-    c_r, c_mv = refp[:-2, 2:], mvp_[:-2, 2:]
-    d_r, d_mv = refp[:-2, :-2], mvp_[:-2, :-2]
-    use_d = c_r == -2
-    c_r = jnp.where(use_d, d_r, c_r)
-    c_mv = jnp.where(use_d[..., None], d_mv, c_mv)
-
-    cnt = ((a_r == 0).astype(I32) + (b_r == 0).astype(I32)
-           + (c_r == 0).astype(I32))
-    med = median3(a_mv, b_mv, c_mv)
-    only = jnp.where((a_r == 0)[..., None], a_mv,
-                     jnp.where((b_r == 0)[..., None], b_mv, c_mv))
-    a_only = (b_r == -2) & (c_r == -2) & (a_r != -2)
-    mvp = jnp.where((cnt > 1)[..., None], med,
-                    jnp.where((cnt == 1)[..., None], only,
-                              jnp.where(a_only[..., None], a_mv, med)))
-
-    a_zero = (a_r == 0) & jnp.all(a_mv == 0, axis=-1)
-    b_zero = (b_r == 0) & jnp.all(b_mv == 0, axis=-1)
-    force0 = (a_r == -2) | (b_r == -2) | a_zero | b_zero
-    mv_skip = jnp.where(force0[..., None], 0, mvp)
-    return mvp, mv_skip
-
-
 def inter_luma_residual(fenc_tiles, pred_tiles, qtab):
     """Inter 16x16 luma residual: 16 full 4x4 DCT blocks, P-matrix quant
     (x264_macroblock_encode P path, encoder/macroblock.c:538-616).
@@ -137,7 +104,8 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab):
 
 def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                   y, u, v, ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
-                  subpel_steps=(2, 1), ref_prepadded: bool = False):
+                  subpel_steps=(2, 1), ref_prepadded: bool = False,
+                  parts: bool = True):
     """Encode one P frame (pre-deblock). All planes int32, MB-aligned;
     ref_* are the deblocked reference reconstruction. mvp_seed:
     (mb_h, mb_w, 2) qpel MV predictors for ME cost (previous frame's
@@ -148,9 +116,6 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     path (parallel/rows.py), where the vertical pad of interior bands is
     *real halo pixels* from neighbor shards rather than edge replication
     (the i_mv_range_thread contract, encoder/encoder.c:557-578)."""
-    K = min(mb_h, mb_w)
-    D = mb_h + mb_w - 1
-
     y = y.astype(I32)
     y_tiles = _tile16(y, mb_h, mb_w)
     u_tiles = u.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
@@ -160,28 +125,108 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     ref_pad = (ref_y.astype(I32) if ref_prepadded
                else omc.pad_plane(ref_y.astype(I32)))
     planes = omc.hpel_planes(ref_pad)
-    mv_fp, sad_fp = ome.fullpel_search(y, ref_pad, mb_h, mb_w, me_range,
-                                       lam, mvp_seed)
+    mv_fp, sad_fp = ome.hier_search(y, ref_pad, mb_h, mb_w, me_range,
+                                    lam, mvp_seed)
     if subpel_steps:
         mv, satd_inter = ome.subpel_refine(y_tiles, planes, mv_fp, lam,
                                            mvp_seed, steps=subpel_steps)
     else:      # subme 1: full-pel only (cost stays SAD-comparable)
         mv, satd_inter = mv_fp, sad_fp
-    cost_inter = satd_inter + lam * ome.mv_cost_bits(mv, mvp_seed) \
-        + lam  # ue(0) mb_type bit
+    cost16 = satd_inter + lam * (ome.mv_cost_bits(mv, mvp_seed) + 1)
 
-    # ------------------------------------------------- stage 2: inter path
     ys = jnp.arange(mb_h, dtype=I32)[:, None] * 16 \
         + jnp.zeros((1, mb_w), I32)
     xs = jnp.arange(mb_w, dtype=I32)[None, :] * 16 \
         + jnp.zeros((mb_h, 1), I32)
-    pred_y = omc.mc_luma(planes, ys, xs, mv, 16, 16)
+
+    # --------------------------- stage 1b: 16x8 / 8x16 partition search
+    # (inter_p16x8 / p8x16, encoder/analyse.c:1274-1404 — window search
+    # seeded by the MB winner, then sub-pel SATD refine per partition)
+    parts = parts and bool(subpel_steps)
+    if parts:
+        pf = ome.partition_fullpel(y_tiles, ref_pad, mv_fp, lam,
+                                   mvp_seed, me_range)
+        mv_t, satd_t = ome.subpel_refine_blocks(
+            y_tiles[..., :8, :], planes, pf["t"], lam, mvp_seed,
+            ys, xs, 8, 16, subpel_steps)
+        mv_b, satd_b = ome.subpel_refine_blocks(
+            y_tiles[..., 8:, :], planes, pf["b"], lam, mvp_seed,
+            ys + 8, xs, 8, 16, subpel_steps)
+        mv_l, satd_l = ome.subpel_refine_blocks(
+            y_tiles[..., :, :8], planes, pf["l"], lam, mvp_seed,
+            ys, xs, 16, 8, subpel_steps)
+        mv_r, satd_r = ome.subpel_refine_blocks(
+            y_tiles[..., :, 8:], planes, pf["r"], lam, mvp_seed,
+            ys, xs + 8, 16, 8, subpel_steps)
+        cost_168 = satd_t + satd_b + lam * (
+            ome.mv_cost_bits(mv_t, mvp_seed)
+            + ome.mv_cost_bits(mv_b, mvp_seed) + 3)
+        cost_816 = satd_l + satd_r + lam * (
+            ome.mv_cost_bits(mv_l, mvp_seed)
+            + ome.mv_cost_bits(mv_r, mvp_seed) + 3)
+        costs = jnp.stack([cost16, cost_168, cost_816])
+        ptype = jnp.argmin(costs, axis=0).astype(I32)
+        cost_inter = jnp.min(costs, axis=0)
+    else:
+        mv_t = mv_b = mv_l = mv_r = mv
+        ptype = jnp.zeros((mb_h, mb_w), I32)
+        cost_inter = cost16
+
+    # partition MVs as (mb_h, mb_w, 2 parts, 2) — slot 0/1 per ptype
+    mv_p0 = jnp.where((ptype == 1)[..., None], mv_t,
+                      jnp.where((ptype == 2)[..., None], mv_l, mv))
+    mv_p1 = jnp.where((ptype == 1)[..., None], mv_b,
+                      jnp.where((ptype == 2)[..., None], mv_r, mv))
+
+    # per-4x4 MV field from the partition layout (basis for MC maps,
+    # deblock bS and exact MV prediction)
+    br = jnp.arange(4, dtype=I32)
+    in_p1 = jnp.where((ptype == 1)[..., None, None],
+                      (br[:, None] >= 2),            # bottom rows
+                      jnp.where((ptype == 2)[..., None, None],
+                                (br[None, :] >= 2),  # right cols
+                                jnp.zeros((4, 4), bool)))
+    mv_blk = jnp.where(in_p1[..., None], mv_p1[:, :, None, None, :],
+                       mv_p0[:, :, None, None, :])   # (mbh,mbw,4,4,2)
+
+    # ------------------------------------------------- stage 2: inter path
+    pred16 = omc.mc_luma(planes, ys, xs, mv, 16, 16)
     ref_u_pad = (ref_u.astype(I32) if ref_prepadded
                  else omc.pad_plane(ref_u.astype(I32), omc.PAD // 2))
     ref_v_pad = (ref_v.astype(I32) if ref_prepadded
                  else omc.pad_plane(ref_v.astype(I32), omc.PAD // 2))
-    pred_u = omc.mc_chroma(ref_u_pad, ys >> 1, xs >> 1, mv, 8, 8)
-    pred_v = omc.mc_chroma(ref_v_pad, ys >> 1, xs >> 1, mv, 8, 8)
+    pred_u16 = omc.mc_chroma(ref_u_pad, ys >> 1, xs >> 1, mv, 8, 8)
+    pred_v16 = omc.mc_chroma(ref_v_pad, ys >> 1, xs >> 1, mv, 8, 8)
+    if parts:
+        p168 = jnp.concatenate([
+            omc.mc_luma(planes, ys, xs, mv_t, 8, 16),
+            omc.mc_luma(planes, ys + 8, xs, mv_b, 8, 16)], axis=-2)
+        p816 = jnp.concatenate([
+            omc.mc_luma(planes, ys, xs, mv_l, 16, 8),
+            omc.mc_luma(planes, ys, xs + 8, mv_r, 16, 8)], axis=-1)
+        sel1 = (ptype == 1)[..., None, None]
+        sel2 = (ptype == 2)[..., None, None]
+        pred_y = jnp.where(sel1, p168, jnp.where(sel2, p816, pred16))
+        pu168 = jnp.concatenate([
+            omc.mc_chroma(ref_u_pad, ys >> 1, xs >> 1, mv_t, 4, 8),
+            omc.mc_chroma(ref_u_pad, (ys >> 1) + 4, xs >> 1, mv_b, 4, 8)],
+            axis=-2)
+        pv168 = jnp.concatenate([
+            omc.mc_chroma(ref_v_pad, ys >> 1, xs >> 1, mv_t, 4, 8),
+            omc.mc_chroma(ref_v_pad, (ys >> 1) + 4, xs >> 1, mv_b, 4, 8)],
+            axis=-2)
+        pu816 = jnp.concatenate([
+            omc.mc_chroma(ref_u_pad, ys >> 1, xs >> 1, mv_l, 8, 4),
+            omc.mc_chroma(ref_u_pad, ys >> 1, (xs >> 1) + 4, mv_r, 8, 4)],
+            axis=-1)
+        pv816 = jnp.concatenate([
+            omc.mc_chroma(ref_v_pad, ys >> 1, xs >> 1, mv_l, 8, 4),
+            omc.mc_chroma(ref_v_pad, ys >> 1, (xs >> 1) + 4, mv_r, 8, 4)],
+            axis=-1)
+        pred_u = jnp.where(sel1, pu168, jnp.where(sel2, pu816, pred_u16))
+        pred_v = jnp.where(sel1, pv168, jnp.where(sel2, pv816, pred_v16))
+    else:
+        pred_y, pred_u, pred_v = pred16, pred_u16, pred_v16
 
     recon_inter_y, inter_blocks_z, inter_cbp = inter_luma_residual(
         y_tiles, pred_y, qtab)
@@ -190,76 +235,103 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     irv, idcv, iacv, inzav, inzdv = eintra.chroma_residual(
         v_tiles, pred_v, qtab, "pc")
 
-    # -------------------------------------- stage 3: intra-in-P wavefront
-    state = dict(
-        ty=recon_inter_y, tu=iru, tv=irv,
-        intra=jnp.zeros((mb_h, mb_w), bool),
-        mode16=jnp.zeros((mb_h, mb_w), I32),
-        modec=jnp.zeros((mb_h, mb_w), I32),
-        luma_dc=jnp.zeros((mb_h, mb_w, 16), I32),
-        luma_ac=jnp.zeros((mb_h, mb_w, 16, 16), I32),
-        chroma_dc=jnp.zeros((mb_h, mb_w, 2, 4), I32),
-        chroma_ac=jnp.zeros((mb_h, mb_w, 2, 4, 16), I32),
-    )
+    # ------------------- stage 3: intra-in-P by bounded-depth sweeps
+    # The reference decides intra-vs-inter per MB inside the sequential
+    # slice loop because intra prediction reads neighbor reconstruction.
+    # TPU re-staging: (1) evaluate the I16 intra path for ALL MBs at once
+    # with neighbors taken from the inter reconstruction (known in
+    # parallel); (2) fix the intra/inter decision from those costs,
+    # demoting intra MBs whose left/top/topleft *intra* dependency chain
+    # is deeper than K_SWEEPS back to inter (rare in P frames — a mostly
+    # intra frame becomes an IDR via scenecut anyway); (3) run K_SWEEPS
+    # full-frame re-evaluations — after sweep t every kept intra MB with
+    # chain depth <= t has bit-exact reconstruction, since depth-1 MBs
+    # see only inter/border neighbors. Replaces a (mb_h+mb_w-1)-step
+    # sequential wavefront with K fully parallel passes.
+    K_SWEEPS = 3
+    nK = mb_h * mb_w
+    grid_y = jnp.arange(mb_h, dtype=I32)[:, None] + jnp.zeros((1, mb_w), I32)
+    grid_x = jnp.arange(mb_w, dtype=I32)[None, :] + jnp.zeros((mb_h, 1), I32)
+    ht_g = (grid_y > 0).reshape(nK)
+    hl_g = (grid_x > 0).reshape(nK)
+    fenc_flat = y_tiles.reshape(nK, 16, 16)
+    fu_flat = u_tiles.reshape(nK, 8, 8)
+    fv_flat = v_tiles.reshape(nK, 8, 8)
 
-    def diag_step(state, d):
-        ysd = jnp.maximum(0, d - (mb_w - 1)) + jnp.arange(K, dtype=I32)
-        xsd = d - ysd
-        valid = (ysd < mb_h) & (xsd >= 0) & (xsd < mb_w)
-        yc = jnp.clip(ysd, 0, mb_h - 1)
-        xc = jnp.clip(xsd, 0, mb_w - 1)
-        ym = jnp.clip(ysd - 1, 0, mb_h - 1)
-        xm = jnp.clip(xsd - 1, 0, mb_w - 1)
-        has_top = valid & (ysd > 0)
-        has_left = valid & (xsd > 0)
+    def up(a, fill=0):
+        return jnp.concatenate(
+            [jnp.full_like(a[:1], fill), a[:-1]], axis=0)
 
-        ty, tu, tv = state["ty"], state["tu"], state["tv"]
-        fenc = y_tiles[yc, xc]
-        top = ty[ym, xc, 15, :]
-        left = ty[yc, xm, :, 15]
-        topleft = ty[ym, xm, 15, 15]
+    def lf(a, fill=0):
+        return jnp.concatenate(
+            [jnp.full_like(a[:, :1], fill), a[:, :-1]], axis=1)
 
-        lp = eintra.luma_i16_path(fenc, top, left, topleft,
-                                  has_top, has_left, qtab, lam)
-        choose_intra = (lp["cost"] + lam * INTRA_PEN_BITS
-                        < cost_inter[yc, xc])
-
-        # chroma intra path (only scattered if intra wins)
-        fu, fv = u_tiles[yc, xc], v_tiles[yc, xc]
-        pu = opred.predict_8x8c(tu[ym, xc, 7, :], tu[yc, xm, :, 7],
-                                tu[ym, xm, 7, 7], has_top, has_left)
-        pv = opred.predict_8x8c(tv[ym, xc, 7, :], tv[yc, xm, :, 7],
-                                tv[ym, xm, 7, 7], has_top, has_left)
-        cavail = opred.mode_available_8x8c(has_top, has_left)
-        ccost = jnp.where(cavail, opix.satd(fu[:, None], pu)
-                          + opix.satd(fv[:, None], pv), _BIG)
+    def eval_intra(ty, tu, tv):
+        """One parallel sweep: full I16 + chroma intra path for every MB
+        against the current reconstruction state (grids of tiles)."""
+        top = up(ty)[:, :, 15, :].reshape(nK, 16)
+        left = lf(ty)[:, :, :, 15].reshape(nK, 16)
+        topleft = lf(up(ty))[:, :, 15, 15].reshape(nK)
+        lp = eintra.luma_i16_path(fenc_flat, top, left, topleft,
+                                  ht_g, hl_g, qtab, lam)
+        pu = opred.predict_8x8c(up(tu)[:, :, 7, :].reshape(nK, 8),
+                                lf(tu)[:, :, :, 7].reshape(nK, 8),
+                                lf(up(tu))[:, :, 7, 7].reshape(nK),
+                                ht_g, hl_g)
+        pv = opred.predict_8x8c(up(tv)[:, :, 7, :].reshape(nK, 8),
+                                lf(tv)[:, :, :, 7].reshape(nK, 8),
+                                lf(up(tv))[:, :, 7, 7].reshape(nK),
+                                ht_g, hl_g)
+        cavail = opred.mode_available_8x8c(ht_g, hl_g)
+        ccost = jnp.where(cavail, opix.satd(fu_flat[:, None], pu)
+                          + opix.satd(fv_flat[:, None], pv), _BIG)
         cmode = jnp.argmin(ccost, axis=-1).astype(I32)
         cpu = jnp.take_along_axis(pu, cmode[:, None, None, None], 1)[:, 0]
         cpv = jnp.take_along_axis(pv, cmode[:, None, None, None], 1)[:, 0]
-        ru, dcu, acu, _, _ = eintra.chroma_residual(fu, cpu, qtab, "c")
-        rv, dcv, acv, _, _ = eintra.chroma_residual(fv, cpv, qtab, "c")
+        ru, dcu, acu, _, _ = eintra.chroma_residual(fu_flat, cpu, qtab, "c")
+        rv, dcv, acv, _, _ = eintra.chroma_residual(fv_flat, cpv, qtab, "c")
+        return lp, cmode, ru, rv, dcu, dcv, acu, acv
 
-        sel = valid & choose_intra
-        oy = jnp.where(sel, yc, mb_h)   # drop non-intra / invalid lanes
-        ox = jnp.where(sel, xc, mb_w)
+    recon_u_tiles = iru
+    recon_v_tiles = irv
+    ty, tu, tv = recon_inter_y, recon_u_tiles, recon_v_tiles
+    intra_mb = None
+    lp = cmode = ru = rv = dcu = dcv = acu = acv = None
+    for t in range(K_SWEEPS):
+        lp, cmode, ru, rv, dcu, dcv, acu, acv = eval_intra(ty, tu, tv)
+        if intra_mb is None:
+            # decision pass: fix the choice, then demote unresolvable
+            # deep chains (depth > K_SWEEPS)
+            choose = (lp["cost"] + lam * INTRA_PEN_BITS
+                      < cost_inter.reshape(nK)).reshape(mb_h, mb_w)
+            resolved = ~choose
+            for _ in range(K_SWEEPS):
+                resolved = resolved | (choose
+                                       & up(resolved, True)
+                                       & lf(resolved, True)
+                                       & up(lf(resolved, True), True))
+            intra_mb = choose & resolved
+        m = intra_mb[..., None, None]
+        ty = jnp.where(m, lp["recon"].reshape(mb_h, mb_w, 16, 16),
+                       recon_inter_y)
+        tu = jnp.where(m, ru.reshape(mb_h, mb_w, 8, 8), recon_u_tiles)
+        tv = jnp.where(m, rv.reshape(mb_h, mb_w, 8, 8), recon_v_tiles)
 
-        def scat(dst, val):
-            return dst.at[oy, ox].set(val, mode="drop")
-
-        state = dict(
-            ty=scat(ty, lp["recon"]), tu=scat(tu, ru), tv=scat(tv, rv),
-            intra=scat(state["intra"], jnp.ones_like(sel)),
-            mode16=scat(state["mode16"], lp["mode"]),
-            modec=scat(state["modec"], cmode),
-            luma_dc=scat(state["luma_dc"], lp["dc_z"]),
-            luma_ac=scat(state["luma_ac"], lp["ac_z"]),
-            chroma_dc=scat(state["chroma_dc"], jnp.stack([dcu, dcv], 1)),
-            chroma_ac=scat(state["chroma_ac"], jnp.stack([acu, acv], 1)),
-        )
-        return state, None
-
-    state, _ = jax.lax.scan(diag_step, state, jnp.arange(D, dtype=I32))
-    intra_mb = state["intra"]
+    state = dict(
+        ty=ty, tu=tu, tv=tv,
+        mode16=jnp.where(intra_mb, lp["mode"].reshape(mb_h, mb_w), 0),
+        modec=jnp.where(intra_mb, cmode.reshape(mb_h, mb_w), 0),
+        luma_dc=jnp.where(intra_mb[..., None],
+                          lp["dc_z"].reshape(mb_h, mb_w, 16), 0),
+        luma_ac=jnp.where(intra_mb[..., None, None],
+                          lp["ac_z"].reshape(mb_h, mb_w, 16, 16), 0),
+        chroma_dc=jnp.where(intra_mb[..., None, None],
+                            jnp.stack([dcu, dcv], 1)
+                            .reshape(mb_h, mb_w, 2, 4), 0),
+        chroma_ac=jnp.where(intra_mb[..., None, None, None],
+                            jnp.stack([acu, acv], 1)
+                            .reshape(mb_h, mb_w, 2, 4, 16), 0),
+    )
 
     # --------------------------------------- stage 4: unify + syntax maps
     im = intra_mb[..., None, None]
@@ -277,12 +349,47 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     cnz_dc = jnp.any(chroma_dc != 0, axis=(-2, -1))
     cbp_chroma = jnp.where(cnz_ac, 2, jnp.where(cnz_dc, 1, 0)).astype(I32)
 
-    mv_final = jnp.where(intra_mb[..., None], 0, mv)
+    # final per-block maps (the macroblock_cache_save analogue): intra
+    # blocks carry mv 0 / ref -1 / mvd 0
+    from . import mvpred
+    im1 = intra_mb[..., None]
+    mv_blk_final = jnp.where(intra_mb[..., None, None, None], 0, mv_blk)
     ref_map = jnp.where(intra_mb, -1, 0).astype(I32)
-    mvp, mv_skip = mv_prediction(mv_final, ref_map)
-    mvd = mv_final - mvp
-    skip = (~intra_mb) & (cbp_luma_bits == 0) & (cbp_chroma == 0) \
-        & jnp.all(mv_final == mv_skip, axis=-1)
+    ref4 = jnp.repeat(jnp.repeat(ref_map, 4, 0), 4, 1)
+    mv4 = mv_blk_final.swapaxes(1, 2).reshape(mb_h * 4, mb_w * 4, 2)
+
+    # exact per-partition MV prediction on the final maps
+    # (x264_mb_predict_mv / _pskip, common/macroblock.c:28-153)
+    mvp16 = mvpred.predict_16x16(ref4, mv4)
+    mv_skip = mvpred.predict_pskip(ref4, mv4)
+    ptype_f = jnp.where(intra_mb, 0, ptype)
+    mv16_final = jnp.where(im1, 0, mv)
+    mv_p0f = jnp.where(im1, 0, mv_p0)
+    mv_p1f = jnp.where(im1, 0, mv_p1)
+    if parts:
+        mvp_t_, mvp_b_ = mvpred.predict_16x8(ref4, mv4)
+        mvp_l_, mvp_r_ = mvpred.predict_8x16(ref4, mv4)
+        mvd0 = jnp.where((ptype_f == 1)[..., None], mv_p0f - mvp_t_,
+                         jnp.where((ptype_f == 2)[..., None],
+                                   mv_p0f - mvp_l_, mv16_final - mvp16))
+        mvd1 = jnp.where((ptype_f == 1)[..., None], mv_p1f - mvp_b_,
+                         jnp.where((ptype_f == 2)[..., None],
+                                   mv_p1f - mvp_r_, 0))
+    else:
+        mvd0 = mv16_final - mvp16
+        mvd1 = jnp.zeros_like(mvd0)
+    mvd0 = jnp.where(im1, 0, mvd0)
+    skip = (~intra_mb) & (ptype_f == 0) & (cbp_luma_bits == 0) \
+        & (cbp_chroma == 0) & jnp.all(mv16_final == mv_skip, axis=-1)
+
+    # per-4x4 mvd map for the CABAC context derivation
+    # (x264_cabac_mb_mvd_cpn amvd, encoder/cabac.c:397-401); skip MBs
+    # cache mvd 0
+    ns = (~skip)[..., None, None, None]
+    mvd_blk = jnp.where(in_p1[..., None], mvd1[:, :, None, None, :],
+                        mvd0[:, :, None, None, :]) * ns
+    mvd_blk = jnp.where(intra_mb[..., None, None, None], 0, mvd_blk)
+    mvd4 = mvd_blk.swapaxes(1, 2).reshape(mb_h * 4, mb_w * 4, 2)
 
     # ---------------------------------------------- deblock input maps
     nnz_cnt = jnp.count_nonzero(luma_blocks, axis=-1).astype(I32)
@@ -297,8 +404,6 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     # semantics, common/frame.c:362) — irrelevant for bS (intra => bS>=3)
     nnz4 = nnz_raster.reshape(mb_h, mb_w, 4, 4).swapaxes(1, 2) \
         .reshape(mb_h * 4, mb_w * 4)
-    ref4 = jnp.repeat(jnp.repeat(ref_map, 4, 0), 4, 1)
-    mv4 = jnp.repeat(jnp.repeat(mv_final, 4, 0), 4, 1)
 
     return dict(
         recon_y=_untile(state["ty"]),
@@ -308,6 +413,217 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         luma_dc=luma_dc, luma_blocks=luma_blocks,
         chroma_dc=chroma_dc, chroma_ac=chroma_ac,
         cbp_luma_bits=cbp_luma_bits, cbp_chroma=cbp_chroma,
-        mv=mv_final, mvd=mvd, skip=skip,
+        mv=mv16_final, mvd=mvd0, mvd1=mvd1, ptype=ptype_f,
+        mvd4=mvd4, skip=skip,
         nnz4=nnz4, ref4=ref4, mv4=mv4,
+    )
+
+
+def encode_b_body(mb_h: int, mb_w: int, me_range: int,
+                  y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
+                  qtab, lam, mvp_seed, subpel_steps=(2, 1)):
+    """Encode one B frame (pre-deblock): 16x16 L0 / L1 / BI modes plus
+    intra — the B_16x16 ladder of x264_mb_analyse_b (encoder/analyse.c
+    b16x16:1549) without direct/skip (never choosing B_DIRECT/B_SKIP is
+    conformant; they are a bit-rate optimization added later).
+
+    l0_* is the past reference, l1_* the future reference (both
+    deblocked reconstructions, MB-aligned). Bipred uses the plain
+    rounding average (PPS weighted_bipred_idc 0, x264 pixel_avg).
+    Returns the per-MB output dict (keys mirror encode_p_body with
+    bmode/use_l0/use_l1/mvd_l1/per-list maps added).
+    """
+    y = y.astype(I32)
+    y_tiles = _tile16(y, mb_h, mb_w)
+    u_tiles = u.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
+    v_tiles = v.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
+
+    ys = jnp.arange(mb_h, dtype=I32)[:, None] * 16 \
+        + jnp.zeros((1, mb_w), I32)
+    xs = jnp.arange(mb_w, dtype=I32)[None, :] * 16 \
+        + jnp.zeros((mb_h, 1), I32)
+
+    # ---------------------------------------- stage 1: ME on both lists
+    def me_list(ry, ru, rv):
+        ref_pad = omc.pad_plane(ry.astype(I32))
+        planes = omc.hpel_planes(ref_pad)
+        mv_fp, sad_fp = ome.hier_search(y, ref_pad, mb_h, mb_w,
+                                        me_range, lam, mvp_seed)
+        if subpel_steps:
+            mv, satd = ome.subpel_refine(y_tiles, planes, mv_fp, lam,
+                                         mvp_seed, steps=subpel_steps)
+        else:
+            mv, satd = mv_fp, sad_fp
+        pred = omc.mc_luma(planes, ys, xs, mv, 16, 16)
+        ru_pad = omc.pad_plane(ru.astype(I32), omc.PAD // 2)
+        rv_pad = omc.pad_plane(rv.astype(I32), omc.PAD // 2)
+        pu = omc.mc_chroma(ru_pad, ys >> 1, xs >> 1, mv, 8, 8)
+        pv = omc.mc_chroma(rv_pad, ys >> 1, xs >> 1, mv, 8, 8)
+        return mv, satd, pred, pu, pv
+
+    mv0, satd0, pred0, pu0, pv0 = me_list(l0_y, l0_u, l0_v)
+    mv1, satd1, pred1, pu1, pv1 = me_list(l1_y, l1_u, l1_v)
+    pred_bi = omc.avg(pred0, pred1)
+    satd_bi = opix.satd(y_tiles, pred_bi)
+
+    bits0 = ome.mv_cost_bits(mv0, mvp_seed)
+    bits1 = ome.mv_cost_bits(mv1, mvp_seed)
+    # mb_type ue lengths: L0/L1 = 3 bits (ue 1/2), BI = 5 (ue 3)
+    cost_l0 = satd0 + lam * (bits0 + 3)
+    cost_l1 = satd1 + lam * (bits1 + 3)
+    cost_bi = satd_bi + lam * (bits0 + bits1 + 5)
+    costs = jnp.stack([cost_l0, cost_l1, cost_bi])
+    bmode = jnp.argmin(costs, axis=0).astype(I32)   # 0=L0 1=L1 2=BI
+    cost_inter = jnp.min(costs, axis=0)
+
+    sel1 = (bmode == 1)[..., None, None]
+    sel2 = (bmode == 2)[..., None, None]
+    pred_y = jnp.where(sel2, pred_bi, jnp.where(sel1, pred1, pred0))
+    pred_u = jnp.where(sel2, omc.avg(pu0, pu1),
+                       jnp.where(sel1, pu1, pu0))
+    pred_v = jnp.where(sel2, omc.avg(pv0, pv1),
+                       jnp.where(sel1, pv1, pv0))
+
+    # -------------------------------------------- stage 2: residuals
+    recon_inter_y, inter_blocks_z, inter_cbp = inter_luma_residual(
+        y_tiles, pred_y, qtab)
+    iru, idcu, iacu, _, _ = eintra.chroma_residual(u_tiles, pred_u,
+                                                   qtab, "pc")
+    irv, idcv, iacv, _, _ = eintra.chroma_residual(v_tiles, pred_v,
+                                                   qtab, "pc")
+
+    # ------------------- stage 3: intra-in-B by bounded-depth sweeps
+    # (same machinery as encode_p_body stage 3)
+    K_SWEEPS = 3
+    nK = mb_h * mb_w
+    grid_y = jnp.arange(mb_h, dtype=I32)[:, None] + jnp.zeros((1, mb_w), I32)
+    grid_x = jnp.arange(mb_w, dtype=I32)[None, :] + jnp.zeros((mb_h, 1), I32)
+    ht_g = (grid_y > 0).reshape(nK)
+    hl_g = (grid_x > 0).reshape(nK)
+    fenc_flat = y_tiles.reshape(nK, 16, 16)
+    fu_flat = u_tiles.reshape(nK, 8, 8)
+    fv_flat = v_tiles.reshape(nK, 8, 8)
+
+    def up(a, fill=0):
+        return jnp.concatenate(
+            [jnp.full_like(a[:1], fill), a[:-1]], axis=0)
+
+    def lf(a, fill=0):
+        return jnp.concatenate(
+            [jnp.full_like(a[:, :1], fill), a[:, :-1]], axis=1)
+
+    def eval_intra(ty, tu, tv):
+        top = up(ty)[:, :, 15, :].reshape(nK, 16)
+        left = lf(ty)[:, :, :, 15].reshape(nK, 16)
+        topleft = lf(up(ty))[:, :, 15, 15].reshape(nK)
+        lp = eintra.luma_i16_path(fenc_flat, top, left, topleft,
+                                  ht_g, hl_g, qtab, lam)
+        pu = opred.predict_8x8c(up(tu)[:, :, 7, :].reshape(nK, 8),
+                                lf(tu)[:, :, :, 7].reshape(nK, 8),
+                                lf(up(tu))[:, :, 7, 7].reshape(nK),
+                                ht_g, hl_g)
+        pv = opred.predict_8x8c(up(tv)[:, :, 7, :].reshape(nK, 8),
+                                lf(tv)[:, :, :, 7].reshape(nK, 8),
+                                lf(up(tv))[:, :, 7, 7].reshape(nK),
+                                ht_g, hl_g)
+        cavail = opred.mode_available_8x8c(ht_g, hl_g)
+        ccost = jnp.where(cavail, opix.satd(fu_flat[:, None], pu)
+                          + opix.satd(fv_flat[:, None], pv), _BIG)
+        cmode = jnp.argmin(ccost, axis=-1).astype(I32)
+        cpu = jnp.take_along_axis(pu, cmode[:, None, None, None], 1)[:, 0]
+        cpv = jnp.take_along_axis(pv, cmode[:, None, None, None], 1)[:, 0]
+        ru, dcu, acu, _, _ = eintra.chroma_residual(fu_flat, cpu, qtab, "c")
+        rv, dcv, acv, _, _ = eintra.chroma_residual(fv_flat, cpv, qtab, "c")
+        return lp, cmode, ru, rv, dcu, dcv, acu, acv
+
+    ty, tu, tv = recon_inter_y, iru, irv
+    intra_mb = None
+    lp = cmode = ru = rv = dcu = dcv = acu = acv = None
+    for t in range(K_SWEEPS):
+        lp, cmode, ru, rv, dcu, dcv, acu, acv = eval_intra(ty, tu, tv)
+        if intra_mb is None:
+            choose = (lp["cost"] + lam * INTRA_PEN_BITS
+                      < cost_inter.reshape(nK)).reshape(mb_h, mb_w)
+            resolved = ~choose
+            for _ in range(K_SWEEPS):
+                resolved = resolved | (choose
+                                       & up(resolved, True)
+                                       & lf(resolved, True)
+                                       & up(lf(resolved, True), True))
+            intra_mb = choose & resolved
+        m = intra_mb[..., None, None]
+        ty = jnp.where(m, lp["recon"].reshape(mb_h, mb_w, 16, 16),
+                       recon_inter_y)
+        tu = jnp.where(m, ru.reshape(mb_h, mb_w, 8, 8), iru)
+        tv = jnp.where(m, rv.reshape(mb_h, mb_w, 8, 8), irv)
+
+    im = intra_mb[..., None, None]
+    im1 = intra_mb[..., None]
+    luma_blocks = jnp.where(im, lp["ac_z"].reshape(mb_h, mb_w, 16, 16),
+                            inter_blocks_z)
+    luma_dc = jnp.where(im1, lp["dc_z"].reshape(mb_h, mb_w, 16), 0)
+    chroma_dc = jnp.where(im,
+                          jnp.stack([dcu, dcv], 1)
+                          .reshape(mb_h, mb_w, 2, 4),
+                          jnp.stack([idcu, idcv], axis=2))
+    chroma_ac = jnp.where(im[..., None],
+                          jnp.stack([acu, acv], 1)
+                          .reshape(mb_h, mb_w, 2, 4, 16),
+                          jnp.stack([iacu, iacv], axis=2))
+
+    cbp_i16 = jnp.any(lp["ac_z"].reshape(mb_h, mb_w, 16, 16) != 0,
+                      axis=(-2, -1))
+    cbp_luma_bits = jnp.where(intra_mb,
+                              jnp.where(cbp_i16, 15, 0), inter_cbp)
+    cnz_ac = jnp.any(chroma_ac != 0, axis=(-3, -2, -1))
+    cnz_dc = jnp.any(chroma_dc != 0, axis=(-2, -1))
+    cbp_chroma = jnp.where(cnz_ac, 2, jnp.where(cnz_dc, 1, 0)).astype(I32)
+
+    # --------------------------- stage 4: per-list maps + MV syntax
+    from . import mvpred
+    bmode_f = jnp.where(intra_mb, -1, bmode)
+    use_l0 = (~intra_mb) & ((bmode == 0) | (bmode == 2))
+    use_l1 = (~intra_mb) & ((bmode == 1) | (bmode == 2))
+    ref_l0 = jnp.where(use_l0, 0, -1).astype(I32)
+    ref_l1 = jnp.where(use_l1, 0, -1).astype(I32)
+    mv_l0 = jnp.where(use_l0[..., None], mv0, 0)
+    mv_l1 = jnp.where(use_l1[..., None], mv1, 0)
+    ref4_l0 = jnp.repeat(jnp.repeat(ref_l0, 4, 0), 4, 1)
+    ref4_l1 = jnp.repeat(jnp.repeat(ref_l1, 4, 0), 4, 1)
+    mv4_l0 = jnp.repeat(jnp.repeat(mv_l0, 4, 0), 4, 1)
+    mv4_l1 = jnp.repeat(jnp.repeat(mv_l1, 4, 0), 4, 1)
+
+    mvp_l0 = mvpred.predict_16x16(ref4_l0, mv4_l0)
+    mvp_l1 = mvpred.predict_16x16(ref4_l1, mv4_l1)
+    mvd_l0 = jnp.where(use_l0[..., None], mv_l0 - mvp_l0, 0)
+    mvd_l1 = jnp.where(use_l1[..., None], mv_l1 - mvp_l1, 0)
+    mvd4_l0 = jnp.repeat(jnp.repeat(mvd_l0, 4, 0), 4, 1)
+    mvd4_l1 = jnp.repeat(jnp.repeat(mvd_l1, 4, 0), 4, 1)
+
+    # deblock maps (is_b path needs both lists)
+    nnz_cnt = jnp.count_nonzero(luma_blocks, axis=-1).astype(I32)
+    blk_coded = jnp.where(
+        intra_mb[..., None], cbp_i16[..., None].astype(I32),
+        (cbp_luma_bits[..., None]
+         >> (jnp.arange(16, dtype=I32) // 4)) & 1)
+    nnz_z = nnz_cnt * blk_coded
+    R = jnp.asarray(tables.LUMA4x4_RASTER_OF_Z)
+    nnz_raster = jnp.zeros_like(nnz_z).at[..., R].set(nnz_z)
+    nnz4 = nnz_raster.reshape(mb_h, mb_w, 4, 4).swapaxes(1, 2) \
+        .reshape(mb_h * 4, mb_w * 4)
+
+    return dict(
+        recon_y=_untile(ty), recon_u=_untile(tu), recon_v=_untile(tv),
+        intra_mb=intra_mb,
+        mode16=jnp.where(intra_mb, lp["mode"].reshape(mb_h, mb_w), 0),
+        modec=jnp.where(intra_mb, cmode.reshape(mb_h, mb_w), 0),
+        luma_dc=luma_dc, luma_blocks=luma_blocks,
+        chroma_dc=chroma_dc, chroma_ac=chroma_ac,
+        cbp_luma_bits=cbp_luma_bits, cbp_chroma=cbp_chroma,
+        bmode=bmode_f, use_l0=use_l0, use_l1=use_l1,
+        mvd_l0=mvd_l0, mvd_l1=mvd_l1,
+        mvd4_l0=mvd4_l0, mvd4_l1=mvd4_l1,
+        mv=mv_l0, skip=jnp.zeros((mb_h, mb_w), bool),
+        nnz4=nnz4, ref4=ref4_l0, mv4=mv4_l0,
+        ref4_l1=ref4_l1, mv4_l1=mv4_l1,
     )

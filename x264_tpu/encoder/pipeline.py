@@ -72,9 +72,9 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
                 mode16=out["mode16"], modec=out["modec"])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
-             subpel_steps,
+             subpel_steps, parts,
              y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
              hdr_vals, hdr_lens, alpha_off, beta_off, chroma_qp_offset,
              mvp_seed):
@@ -89,7 +89,7 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                            for p in (ref_y, ref_u, ref_v))
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
                               ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
-                              subpel_steps)
+                              subpel_steps, parts=parts)
 
     vals, lens = edev.p_code_planes(out, mb_h, mb_w)
     stop = jnp.ones((1,), I32)
@@ -117,7 +117,7 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
 # op-stream capacity per MB for the CABAC path: the slot layout is
 # bounded (header ~40 + 27 residual blocks <= ~2750 slots), so this
 # covers the true worst case; the host still checks n_ops
-CABAC_OPS_PER_MB = 2900
+CABAC_OPS_PER_MB = 2950
 
 
 def cabac_capacity(nmb: int) -> int:
@@ -156,9 +156,9 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
                 mode16=out["mode16"], modec=out["modec"])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
-                   subpel_steps,
+                   subpel_steps, parts,
                    y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
                    alpha_off, beta_off, chroma_qp_offset, mvp_seed):
     """P frame with CABAC entropy: same encode as encode_p, emitting the
@@ -170,7 +170,7 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                            for p in (ref_y, ref_u, ref_v))
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
                               ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
-                              subpel_steps)
+                              subpel_steps, parts=parts)
 
     ops = cabac_planes.p_slice_ops(out, mb_h, mb_w)
     cops, n_ops = cabac_planes.compact_ops(ops, cabac_capacity(mb_h * mb_w))
@@ -189,3 +189,73 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                 ops=cops, n_ops=n_ops,
                 mv=out["mv"], intra_mb=out["intra_mb"],
                 skip=out["skip"])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def encode_b(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
+             subpel_steps,
+             y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
+             qtab, lam, qp, qp_c, hdr_vals, hdr_lens,
+             alpha_off, beta_off, chroma_qp_offset, mvp_seed):
+    """B frame (CAVLC): two-list ME + L0/L1/BI decision + entropy +
+    pack + deblock, fused."""
+    y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
+    l0 = tuple(p.astype(jnp.int32) for p in (l0_y, l0_u, l0_v))
+    l1 = tuple(p.astype(jnp.int32) for p in (l1_y, l1_u, l1_v))
+    out = inter.encode_b_body(mb_h, mb_w, me_range, y, u, v,
+                              *l0, *l1, qtab, lam, mvp_seed,
+                              subpel_steps)
+
+    vals, lens = edev.b_code_planes(out, mb_h, mb_w)
+    stop = jnp.ones((1,), I32)
+    all_v = jnp.concatenate([hdr_vals.astype(I32), vals, stop])
+    all_l = jnp.concatenate([hdr_lens.astype(I32), lens, stop])
+    words, nbits = edev.pack_codes(all_v, all_l,
+                                   capacity_words(mb_h * mb_w))
+
+    ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+    if deblock_on:
+        qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
+        ry, ru, rv = odeblock.deblock_frame(
+            mb_h, mb_w, ry, ru, rv, qp_mb, out["intra_mb"],
+            out["nnz4"], out["ref4"], out["mv4"],
+            out["ref4_l1"], out["mv4_l1"], True,
+            alpha_off, beta_off, chroma_qp_offset)
+
+    return dict(recon_y=ry, recon_u=ru, recon_v=rv,
+                words=words, nbits=nbits,
+                intra_mb=out["intra_mb"], bmode=out["bmode"])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def encode_b_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
+                   subpel_steps,
+                   y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
+                   qtab, lam, qp, qp_c,
+                   alpha_off, beta_off, chroma_qp_offset, mvp_seed):
+    """B frame with CABAC entropy: packed bin-op stream for the host
+    arithmetic coder."""
+    from ..entropy import cabac_planes
+
+    y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
+    l0 = tuple(p.astype(jnp.int32) for p in (l0_y, l0_u, l0_v))
+    l1 = tuple(p.astype(jnp.int32) for p in (l1_y, l1_u, l1_v))
+    out = inter.encode_b_body(mb_h, mb_w, me_range, y, u, v,
+                              *l0, *l1, qtab, lam, mvp_seed,
+                              subpel_steps)
+
+    ops = cabac_planes.b_slice_ops(out, mb_h, mb_w)
+    cops, n_ops = cabac_planes.compact_ops(ops, cabac_capacity(mb_h * mb_w))
+
+    ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+    if deblock_on:
+        qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
+        ry, ru, rv = odeblock.deblock_frame(
+            mb_h, mb_w, ry, ru, rv, qp_mb, out["intra_mb"],
+            out["nnz4"], out["ref4"], out["mv4"],
+            out["ref4_l1"], out["mv4_l1"], True,
+            alpha_off, beta_off, chroma_qp_offset)
+
+    return dict(recon_y=ry, recon_u=ru, recon_v=rv,
+                ops=cops, n_ops=n_ops,
+                intra_mb=out["intra_mb"], bmode=out["bmode"])

@@ -374,6 +374,16 @@ def p_slice_ops(out, mb_h: int, mb_w: int):
     mvd = out["mvd"].reshape(nmb, 2)
     mode16 = out["mode16"].reshape(nmb).astype(I32)
     modec = jnp.where(intra, out["modec"].reshape(mb_h, mb_w), 0).astype(I32)
+    ptype_g = out.get("ptype")
+    ptype_g = (jnp.zeros((mb_h, mb_w), I32) if ptype_g is None
+               else out["ptype"].astype(I32))
+    ptype_f = ptype_g.reshape(nmb)
+    mvd1 = out.get("mvd1")
+    mvd1 = (jnp.zeros((nmb, 2), I32) if mvd1 is None
+            else out["mvd1"].reshape(nmb, 2))
+    mvd4 = out.get("mvd4")
+    if mvd4 is None:
+        mvd4 = jnp.zeros((mb_h * 4, mb_w * 4, 2), I32)
 
     intra_f = intra.reshape(nmb)
     skip_f = skip.reshape(nmb)
@@ -390,11 +400,18 @@ def p_slice_ops(out, mb_h: int, mb_w: int):
     skip_ctx = (11 + a + b).reshape(nmb)
     slots.append(op(KIND_DECISION, skip_ctx, skip_f))
 
-    # ---- mb_type: P prefix 14/15/16; intra suffix ctx 17..20
+    # ---- mb_type: P_L0 prefix bins (x264_cabac_mb_type P branch,
+    # encoder/cabac.c:86-107): 16x16 = (14,0)(15,0)(16,0);
+    # 16x8 = (14,0)(15,1)(17,1); 8x16 = (14,0)(15,1)(17,0)
     slots.append(_sel(coded, op(KIND_DECISION, jnp.full(nmb, 14, I32),
                                 intra_f)))
-    slots.append(_sel(inter_f, op(KIND_DECISION, jnp.full(nmb, 15, I32), 0)))
-    slots.append(_sel(inter_f, op(KIND_DECISION, jnp.full(nmb, 16, I32), 0)))
+    slots.append(_sel(inter_f, op(KIND_DECISION, jnp.full(nmb, 15, I32),
+                                  ptype_f != 0)))
+    slots.append(_sel(inter_f & (ptype_f == 0),
+                      op(KIND_DECISION, jnp.full(nmb, 16, I32), 0)))
+    slots.append(_sel(inter_f & (ptype_f != 0),
+                      op(KIND_DECISION, jnp.full(nmb, 17, I32),
+                         ptype_f == 1)))
     slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 17, I32), 1)))
     slots.append(_sel(intra_f,
                       jnp.broadcast_to(op(KIND_TERMINAL, 0, 0), (nmb,))))
@@ -420,15 +437,27 @@ def p_slice_ops(out, mb_h: int, mb_w: int):
     slots.append(_sel(intra_f & (cm > 1),
                       op(KIND_DECISION, jnp.full(nmb, 67, I32), cm > 2)))
 
-    # ---- mvd (inter): ctx inc from neighbor |mvd| sums (mvd of
-    # intra/skip/unavailable MBs is 0 in the cache)
-    mvd_map = jnp.where((intra | skip)[..., None], 0,
-                        mvd.reshape(mb_h, mb_w, 2))
-    for comp, base in ((0, 40), (1, 47)):
-        am_l, am_t = _nbr_grids(jnp.abs(mvd_map[..., comp]), 0)
-        amvd = (am_l + am_t).reshape(nmb)
-        inc = (amvd > 2).astype(I32) + (amvd > 32).astype(I32)
-        slots.extend(_mvd_component_ops(mvd[:, comp], base, inc, inter_f))
+    # ---- mvd (inter): per partition in syntax order; ctx inc from the
+    # partition's left/top 4x4 neighbor |mvd| (x264_cabac_mb_mvd_cpn
+    # amvd, encoder/cabac.c:397-401, from the 4x4 mvd cache)
+    mvd4p = jnp.pad(mvd4, ((1, 1), (1, 1), (0, 0)))
+    gy4 = jnp.arange(mb_h, dtype=I32)[:, None] * 4 \
+        + jnp.zeros((1, mb_w), I32)
+    gx4 = jnp.arange(mb_w, dtype=I32)[None, :] * 4 \
+        + jnp.zeros((mb_h, 1), I32)
+    # first block of each partition: p0 at (4Y, 4X); p1 at (4Y+2, 4X)
+    # for 16x8, (4Y, 4X+2) for 8x16
+    pr1 = jnp.where(ptype_g == 1, gy4 + 2, gy4)
+    pc1 = jnp.where(ptype_g == 2, gx4 + 2, gx4)
+    part_list = ((mvd, inter_f, gy4, gx4),
+                 (mvd1, inter_f & (ptype_f != 0), pr1, pc1))
+    for mvdp, act, pr, pc in part_list:
+        for comp, base in ((0, 40), (1, 47)):
+            a_n = jnp.abs(mvd4p[pr + 1, pc, comp])        # (pr, pc-1)
+            b_n = jnp.abs(mvd4p[pr, pc + 1, comp])        # (pr-1, pc)
+            amvd = (a_n + b_n).reshape(nmb)
+            inc = (amvd > 2).astype(I32) + (amvd > 32).astype(I32)
+            slots.extend(_mvd_component_ops(mvdp[:, comp], base, inc, act))
 
     # ---- coded_block_pattern (inter only; x264_cabac_mb_cbp_luma/chroma)
     cbp_all = jnp.where(skip, 0, cbp_l)     # per-MB luma cbp
@@ -520,6 +549,210 @@ def p_slice_ops(out, mb_h: int, mb_w: int):
     cac_ops = residual_block_ops(
         chroma_ac[..., 1:].reshape(nmb * 8, 15), 4,
         ctx_cac.reshape(nmb * 8), jnp.repeat(coded & (cbp_cf == 2), 8))
+
+    is_last = jnp.arange(nmb) == nmb - 1
+    term = _sel(~is_last, jnp.broadcast_to(op(KIND_TERMINAL, 0, 0), (nmb,)))
+
+    allops = jnp.concatenate([
+        header,
+        dc_ops,
+        blk_ops,
+        cdc_ops.reshape(nmb, -1),
+        cac_ops.reshape(nmb, -1),
+        term[:, None]], axis=1)
+    return allops.ravel()
+
+
+def b_slice_ops(out, mb_h: int, mb_w: int):
+    """Packed op planes for a whole B CABAC slice
+    (x264_macroblock_write_cabac B branch + x264_cabac_mb_type B table,
+    encoder/cabac.c:123-190,300-306). Only D_16x16 L0/L1/BI + I16x16 are
+    emitted (no B_SKIP/B_DIRECT), so every MB codes mb_skip_flag=0."""
+    from .. import tables
+
+    nmb = mb_h * mb_w
+    R = jnp.asarray(tables.LUMA4x4_RASTER_OF_Z)
+    intra = out["intra_mb"].reshape(mb_h, mb_w)
+    cbp_l = out["cbp_luma_bits"].reshape(mb_h, mb_w).astype(I32)
+    cbp_c = out["cbp_chroma"].reshape(mb_h, mb_w).astype(I32)
+    luma_blocks = out["luma_blocks"].reshape(nmb, 16, 16)
+    luma_dc = out["luma_dc"].reshape(nmb, 16)
+    chroma_dc = out["chroma_dc"].reshape(nmb, 2, 4)
+    chroma_ac = out["chroma_ac"].reshape(nmb, 2, 4, 16)
+    mode16 = out["mode16"].reshape(nmb).astype(I32)
+    modec = jnp.where(intra, out["modec"].reshape(mb_h, mb_w), 0).astype(I32)
+    bmode = out["bmode"].reshape(nmb).astype(I32)
+    use_l0 = out["use_l0"].reshape(nmb)
+    use_l1 = out["use_l1"].reshape(nmb)
+    mvd_l0 = out["mvd_l0"].reshape(nmb, 2)
+    mvd_l1 = out["mvd_l1"].reshape(nmb, 2)
+
+    intra_f = intra.reshape(nmb)
+    inter_f = ~intra_f
+    cbp_lf = cbp_l.reshape(nmb)
+    cbp_cf = cbp_c.reshape(nmb)
+
+    ymb, xmb = jnp.mgrid[0:mb_h, 0:mb_w]
+    avail_l = (xmb > 0).reshape(nmb)
+    avail_t = (ymb > 0).reshape(nmb)
+
+    slots = []
+
+    # ---- mb_skip_flag: B ctx base 24 (x264_cabac_mb_skip); no skips
+    skip_ctx = 24 + avail_l.astype(I32) + avail_t.astype(I32)
+    slots.append(op(KIND_DECISION, skip_ctx, 0))
+
+    # ---- mb_type (D_16x16 rows of the i_mb_bits table):
+    # L0 {1,0,0}, L1 {1,0,1}, BI {1,1,0,0,0,0}; intra prefix
+    # {1,1,1,1,0,1} + I16 suffix at ctx 32..35. Neighbor ctx counts
+    # coded non-direct MBs — all our MBs qualify.
+    ctx0 = 27 + avail_l.astype(I32) + avail_t.astype(I32)
+    is_bi = inter_f & (bmode == 2)
+    slots.append(op(KIND_DECISION, ctx0, 1))                 # bin0: always 1
+    slots.append(op(KIND_DECISION, jnp.full(nmb, 30, I32),
+                    intra_f | is_bi))                        # bin1
+    # bin2: ctx 32 when bin1==0, else 31
+    slots.append(_sel(inter_f & ~is_bi,
+                      op(KIND_DECISION, jnp.full(nmb, 32, I32),
+                         bmode == 1)))
+    slots.append(_sel(is_bi, op(KIND_DECISION, jnp.full(nmb, 31, I32), 0)))
+    slots.append(_sel(is_bi, op(KIND_DECISION, jnp.full(nmb, 32, I32), 0)))
+    slots.append(_sel(is_bi, op(KIND_DECISION, jnp.full(nmb, 32, I32), 0)))
+    slots.append(_sel(is_bi, op(KIND_DECISION, jnp.full(nmb, 32, I32), 0)))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 31, I32), 1)))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 32, I32), 1)))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 32, I32), 0)))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 32, I32), 1)))
+    # intra I16 suffix (x264_cabac_mb_type_intra at 32+0..32+3)
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 32, I32), 1)))
+    slots.append(_sel(intra_f,
+                      jnp.broadcast_to(op(KIND_TERMINAL, 0, 0), (nmb,))))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 33, I32),
+                                  cbp_lf > 0)))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 34, I32),
+                                  cbp_cf > 0)))
+    slots.append(_sel(intra_f & (cbp_cf > 0),
+                      op(KIND_DECISION, jnp.full(nmb, 34, I32),
+                         cbp_cf == 2)))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 35, I32),
+                                  mode16 >> 1)))
+    slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 35, I32),
+                                  mode16 & 1)))
+
+    # ---- intra chroma pred mode
+    cm_l, cm_t = _nbr_grids(modec, 0)
+    cctx = (64 + (cm_l != 0).astype(I32) + (cm_t != 0).astype(I32)) \
+        .reshape(nmb)
+    cm = modec.reshape(nmb)
+    slots.append(_sel(intra_f, op(KIND_DECISION, cctx, cm > 0)))
+    slots.append(_sel(intra_f & (cm > 0),
+                      op(KIND_DECISION, jnp.full(nmb, 67, I32), cm > 1)))
+    slots.append(_sel(intra_f & (cm > 1),
+                      op(KIND_DECISION, jnp.full(nmb, 67, I32), cm > 2)))
+
+    # ---- mvd per list (l0 then l1); ctx from the same-list mvd cache
+    gy4 = jnp.arange(mb_h, dtype=I32)[:, None] * 4 \
+        + jnp.zeros((1, mb_w), I32)
+    gx4 = jnp.arange(mb_w, dtype=I32)[None, :] * 4 \
+        + jnp.zeros((mb_h, 1), I32)
+    for mvdp, act, mvd4 in ((mvd_l0, use_l0, out["mvd4_l0"]),
+                            (mvd_l1, use_l1, out["mvd4_l1"])):
+        mvd4p = jnp.pad(mvd4, ((1, 1), (1, 1), (0, 0)))
+        for comp, base in ((0, 40), (1, 47)):
+            a_n = jnp.abs(mvd4p[gy4 + 1, gx4, comp])
+            b_n = jnp.abs(mvd4p[gy4, gx4 + 1, comp])
+            amvd = (a_n + b_n).reshape(nmb)
+            inc = (amvd > 2).astype(I32) + (amvd > 32).astype(I32)
+            slots.extend(_mvd_component_ops(mvdp[:, comp], base, inc, act))
+
+    # ---- coded_block_pattern (inter only)
+    cbp_all = cbp_l
+    cbl_l, cbl_t = _nbr_grids(cbp_all, -1)
+    ctx0b = 76 - ((cbl_l >> 1) & 1) - ((cbl_t >> 1) & 2)
+    ctx1b = 76 - ((cbp_all >> 0) & 1) - ((cbl_t >> 2) & 2)
+    ctx2b = 76 - ((cbl_l >> 3) & 1) - ((cbp_all << 1) & 2)
+    ctx3b = 76 - ((cbp_all >> 2) & 1) - ((cbp_all >> 0) & 2)
+    for k, cx in enumerate((ctx0b, ctx1b, ctx2b, ctx3b)):
+        slots.append(_sel(inter_f, op(KIND_DECISION, cx.reshape(nmb),
+                                      (cbp_lf >> k) & 1)))
+    cbc_all = cbp_c
+    cbc_l, cbc_t = _nbr_grids(cbc_all, -1)
+    c0 = 77 + ((cbc_l > 0) & (cbc_l != -1)).astype(I32) \
+        + 2 * ((cbc_t > 0) & (cbc_t != -1)).astype(I32)
+    c1 = 77 + 4 + (cbc_l == 2).astype(I32) + 2 * (cbc_t == 2).astype(I32)
+    slots.append(_sel(inter_f, op(KIND_DECISION, c0.reshape(nmb),
+                                  cbp_cf > 0)))
+    slots.append(_sel(inter_f & (cbp_cf > 0),
+                      op(KIND_DECISION, c1.reshape(nmb), cbp_cf == 2)))
+
+    # ---- mb_qp_delta (0 under CQP)
+    has_dqp = intra_f | (cbp_lf > 0) | (cbp_cf > 0)
+    slots.append(_sel(has_dqp, op(KIND_DECISION, jnp.full(nmb, 60, I32), 0)))
+
+    header = jnp.stack(slots, axis=1)
+
+    # ---- residual CBF contexts (identical structure to p_slice_ops)
+    intra4 = jnp.repeat(jnp.repeat(intra.astype(I32), 4, 0), 4, 1)
+    intra2 = jnp.repeat(jnp.repeat(intra.astype(I32), 2, 0), 2, 1)
+
+    dcflag = jnp.where(intra, jnp.any(luma_dc != 0, axis=-1)
+                       .reshape(mb_h, mb_w), False).astype(I32)
+    a, b = _nbr_grids(dcflag, 1)
+    ctx_dc = (2 * b + a).reshape(nmb)
+
+    grp_bit = (cbp_lf[:, None] >> (jnp.arange(16, dtype=I32) // 4)) & 1
+    blk_coded = jnp.where(intra_f[:, None], (cbp_lf > 0)[:, None],
+                          grp_bit > 0)
+    counts_z = (jnp.count_nonzero(luma_blocks, axis=-1) > 0).astype(I32) \
+        * blk_coded
+    counts_raster = jnp.zeros_like(counts_z).at[:, R].set(counts_z)
+    lmap = counts_raster.reshape(mb_h, mb_w, 4, 4).swapaxes(1, 2) \
+        .reshape(mb_h * 4, mb_w * 4)
+    ctx_ac_raster = _cbf_ctx_from_grid(lmap, intra4)
+    ctx_ac = ctx_ac_raster.reshape(mb_h, 4, mb_w, 4).swapaxes(1, 2) \
+        .reshape(nmb, 16)[:, R]
+
+    ctx_cdc = []
+    ctx_cac = []
+    for ch in range(2):
+        dcm = jnp.where(cbp_c > 0,
+                        (chroma_dc[:, ch] != 0).any(-1).reshape(mb_h, mb_w),
+                        False).astype(I32)
+        a, b = _nbr_grids(dcm, 2)
+        ia = jnp.where(a == 2, intra.astype(I32), a)
+        ib = jnp.where(b == 2, intra.astype(I32), b)
+        ctx_cdc.append((2 * ib + ia).reshape(nmb))
+        acm = ((jnp.count_nonzero(chroma_ac[:, ch, :, 1:], axis=-1) > 0)
+               .astype(I32) * (cbp_cf == 2)[:, None]) \
+            .reshape(mb_h, mb_w, 2, 2).swapaxes(1, 2) \
+            .reshape(mb_h * 2, mb_w * 2)
+        ctx_cac.append(_cbf_ctx_from_grid(acm, intra2)
+                       .reshape(mb_h, 2, mb_w, 2)
+                       .swapaxes(1, 2).reshape(nmb, 4))
+    ctx_cdc = jnp.stack(ctx_cdc, axis=1)
+    ctx_cac = jnp.stack(ctx_cac, axis=1)
+
+    dc_ops = residual_block_ops(luma_dc, 0, ctx_dc, intra_f)
+    ac15 = residual_block_ops(
+        luma_blocks[:, :, 1:].reshape(nmb * 16, 15), 1,
+        ctx_ac.reshape(nmb * 16),
+        jnp.repeat(intra_f & (cbp_lf > 0), 16))
+    full16 = residual_block_ops(
+        luma_blocks.reshape(nmb * 16, 16), 2,
+        ctx_ac.reshape(nmb * 16),
+        jnp.repeat(inter_f, 16) & (grp_bit > 0).reshape(nmb * 16))
+    w15, w16 = ac15.shape[1], full16.shape[1]
+    ac15p = jnp.concatenate(
+        [ac15, jnp.full((nmb * 16, w16 - w15), PAD_OP)], axis=1)
+    blk_ops = jnp.where(jnp.repeat(intra_f, 16)[:, None], ac15p, full16) \
+        .reshape(nmb, -1)
+
+    cdc_ops = residual_block_ops(
+        chroma_dc.reshape(nmb * 2, 4), 3,
+        ctx_cdc.reshape(nmb * 2), jnp.repeat(cbp_cf > 0, 2))
+    cac_ops = residual_block_ops(
+        chroma_ac[..., 1:].reshape(nmb * 8, 15), 4,
+        ctx_cac.reshape(nmb * 8), jnp.repeat(cbp_cf == 2, 8))
 
     is_last = jnp.arange(nmb) == nmb - 1
     term = _sel(~is_last, jnp.broadcast_to(op(KIND_TERMINAL, 0, 0), (nmb,)))

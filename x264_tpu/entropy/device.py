@@ -399,6 +399,12 @@ def p_code_planes(out, mb_h: int, mb_w: int):
     mvd = out["mvd"].reshape(nmb, 2)
     mode16 = out["mode16"].reshape(nmb)
     modec = out["modec"].reshape(nmb)
+    ptype = out.get("ptype")
+    ptype = (jnp.zeros(nmb, I32) if ptype is None
+             else out["ptype"].reshape(nmb).astype(I32))
+    mvd1 = out.get("mvd1")
+    mvd1 = (jnp.zeros((nmb, 2), I32) if mvd1 is None
+            else out["mvd1"].reshape(nmb, 2))
 
     # per-4x4 coded-block flags (z-scan): intra AC all-or-nothing, inter
     # per 8x8 group
@@ -452,14 +458,16 @@ def p_code_planes(out, mb_h: int, mb_w: int):
         jax.lax.associative_scan(jnp.maximum, coded_idx)[:-1]])
     run = idx - prev_coded - 1
 
-    h_v = jnp.zeros((nmb, 7), dtype=I32)
-    h_l = jnp.zeros((nmb, 7), dtype=I32)
+    h_v = jnp.zeros((nmb, 9), dtype=I32)
+    h_l = jnp.zeros((nmb, 9), dtype=I32)
     rv, rl = ue_codes(run)
     h_v = h_v.at[:, 0].set(rv)
     h_l = h_l.at[:, 0].set(rl)
 
+    # mb_type: inter P_L0 ue(partition 0/1/2); intra I16 offset 5
+    # (x264_macroblock_write_cavlc, encoder/cavlc.c:379-430)
     i16_type = 5 + 1 + mode16 + 4 * cbp_c + 12 * (cbp_l > 0).astype(I32)
-    tv_, tl_ = ue_codes(jnp.where(intra, i16_type, 0))
+    tv_, tl_ = ue_codes(jnp.where(intra, i16_type, ptype))
     h_v = h_v.at[:, 1].set(tv_)
     h_l = h_l.at[:, 1].set(tl_)
 
@@ -471,16 +479,21 @@ def p_code_planes(out, mb_h: int, mb_w: int):
         mv_, ml_ = se_codes(mvd[:, k])
         h_v = h_v.at[:, 3 + k].set(mv_)
         h_l = h_l.at[:, 3 + k].set(jnp.where(intra, 0, ml_))
+    for k in range(2):     # second-partition mvd (16x8 / 8x16 only)
+        mv_, ml_ = se_codes(mvd1[:, k])
+        h_v = h_v.at[:, 5 + k].set(mv_)
+        h_l = h_l.at[:, 5 + k].set(
+            jnp.where((~intra) & (ptype > 0), ml_, 0))
 
     cbp_code = _t(CBP_TO_GOLOMB_INTER)[cbp_c * 16 + cbp_l]
     bv, bl = ue_codes(cbp_code)
-    h_v = h_v.at[:, 5].set(bv)
-    h_l = h_l.at[:, 5].set(jnp.where(intra, 0, bl))
+    h_v = h_v.at[:, 7].set(bv)
+    h_l = h_l.at[:, 7].set(jnp.where(intra, 0, bl))
 
     has_dqp = intra | (cbp_l > 0) | (cbp_c > 0)
     qv, ql = se_codes(jnp.zeros(nmb, dtype=I32))
-    h_v = h_v.at[:, 6].set(qv)
-    h_l = h_l.at[:, 6].set(jnp.where(has_dqp, ql, 0))
+    h_v = h_v.at[:, 8].set(qv)
+    h_l = h_l.at[:, 8].set(jnp.where(has_dqp, ql, 0))
 
     h_l = h_l * coded[:, None]
 
@@ -575,3 +588,120 @@ def header_slots(bitwriter) -> tuple[np.ndarray, np.ndarray]:
     out_v[:len(vals)] = vals
     out_l[:len(lens)] = lens
     return out_v, out_l
+
+
+def b_code_planes(out, mb_h: int, mb_w: int):
+    """Code-plane construction for a whole B slice (CAVLC) from the
+    encode_b_body outputs (x264_macroblock_write_cavlc B branch,
+    encoder/cavlc.c:485-560: mb_type golomb for D_16x16 L0/L1/BI, per-
+    list mvd; intra offset 23). No B_SKIP/B_DIRECT are emitted, so the
+    skip-run ue before every MB is 0."""
+    from .. import tables
+
+    nmb = mb_h * mb_w
+    R = _t(tables.LUMA4x4_RASTER_OF_Z)
+    intra = out["intra_mb"].reshape(nmb)
+    cbp_l = out["cbp_luma_bits"].reshape(nmb)
+    cbp_c = out["cbp_chroma"].reshape(nmb)
+    luma_blocks = out["luma_blocks"].reshape(nmb, 16, 16)
+    luma_dc = out["luma_dc"].reshape(nmb, 16)
+    chroma_dc = out["chroma_dc"].reshape(nmb, 2, 4)
+    chroma_ac = out["chroma_ac"].reshape(nmb, 2, 4, 16)
+    mode16 = out["mode16"].reshape(nmb)
+    modec = out["modec"].reshape(nmb)
+    bmode = out["bmode"].reshape(nmb).astype(I32)
+    use_l0 = out["use_l0"].reshape(nmb)
+    use_l1 = out["use_l1"].reshape(nmb)
+    mvd_l0 = out["mvd_l0"].reshape(nmb, 2)
+    mvd_l1 = out["mvd_l1"].reshape(nmb, 2)
+
+    grp_bit = (cbp_l[:, None] >> (jnp.arange(16, dtype=I32) // 4)) & 1
+    blk_coded = jnp.where(intra[:, None], (cbp_l > 0)[:, None], grp_bit > 0)
+
+    counts_z = jnp.count_nonzero(luma_blocks, axis=-1).astype(I32) \
+        * blk_coded
+    counts_raster = jnp.zeros_like(counts_z).at[:, R].set(counts_z)
+    lmap = counts_raster.reshape(mb_h, mb_w, 4, 4).swapaxes(1, 2) \
+        .reshape(mb_h * 4, mb_w * 4)
+    nc_l = nc_map(lmap).reshape(mb_h, 4, mb_w, 4).swapaxes(1, 2) \
+        .reshape(nmb, 16)[:, R]
+
+    ccounts = jnp.count_nonzero(chroma_ac, axis=-1).astype(I32) \
+        * (cbp_c == 2)[:, None, None]
+    nc_c = []
+    for ch in range(2):
+        cmap = ccounts[:, ch].reshape(mb_h, mb_w, 2, 2) \
+            .swapaxes(1, 2).reshape(mb_h * 2, mb_w * 2)
+        nc_c.append(nc_map(cmap).reshape(mb_h, 2, mb_w, 2)
+                    .swapaxes(1, 2).reshape(nmb, 4))
+    nc_c = jnp.stack(nc_c, axis=1)
+
+    ac_v, ac_l = residual_codes(luma_blocks[:, :, 1:].reshape(nmb * 16, 15),
+                                nc_l.reshape(nmb * 16))
+    f_v, f_l = residual_codes(luma_blocks.reshape(nmb * 16, 16),
+                              nc_l.reshape(nmb * 16))
+    sel = jnp.repeat(intra, 16)[:, None]
+    blk_v = jnp.where(sel, ac_v, f_v).reshape(nmb, 16, BLOCK_SLOTS)
+    blk_l = jnp.where(sel, ac_l, f_l).reshape(nmb, 16, BLOCK_SLOTS)
+    blk_l = blk_l * blk_coded[..., None]
+
+    dc_v, dc_l = residual_codes(luma_dc, nc_l[:, 0])
+    dc_l = dc_l * intra[:, None]
+
+    cdc_v, cdc_l = residual_codes(chroma_dc.reshape(nmb * 2, 4),
+                                  jnp.full((nmb * 2,), -1, dtype=I32))
+    cdc_l = cdc_l.reshape(nmb, 2, BLOCK_SLOTS) * (cbp_c > 0)[:, None, None]
+    cac_v, cac_l = residual_codes(chroma_ac[..., 1:].reshape(nmb * 8, 15),
+                                  nc_c.reshape(nmb * 8))
+    cac_l = cac_l.reshape(nmb, 8, BLOCK_SLOTS) * (cbp_c == 2)[:, None, None]
+
+    # ------------------------------------------------ MB header slots
+    h_v = jnp.zeros((nmb, 9), dtype=I32)
+    h_l = jnp.zeros((nmb, 9), dtype=I32)
+    rv, rl = ue_codes(jnp.zeros(nmb, I32))    # skip_run == 0
+    h_v = h_v.at[:, 0].set(rv)
+    h_l = h_l.at[:, 0].set(rl)
+
+    # mb_type: B_L0/L1/BI 16x16 -> ue(1/2/3); intra I16 offset 23
+    i16_type = 23 + 1 + mode16 + 4 * cbp_c + 12 * (cbp_l > 0).astype(I32)
+    b_type = jnp.clip(bmode, 0, 2) + 1
+    tv_, tl_ = ue_codes(jnp.where(intra, i16_type, b_type))
+    h_v = h_v.at[:, 1].set(tv_)
+    h_l = h_l.at[:, 1].set(tl_)
+
+    cv, cl = ue_codes(modec)
+    h_v = h_v.at[:, 2].set(cv)
+    h_l = h_l.at[:, 2].set(jnp.where(intra, cl, 0))
+
+    for k in range(2):
+        mv_, ml_ = se_codes(mvd_l0[:, k])
+        h_v = h_v.at[:, 3 + k].set(mv_)
+        h_l = h_l.at[:, 3 + k].set(jnp.where(use_l0, ml_, 0))
+    for k in range(2):
+        mv_, ml_ = se_codes(mvd_l1[:, k])
+        h_v = h_v.at[:, 5 + k].set(mv_)
+        h_l = h_l.at[:, 5 + k].set(jnp.where(use_l1, ml_, 0))
+
+    cbp_code = _t(CBP_TO_GOLOMB_INTER)[cbp_c * 16 + cbp_l]
+    bv, bl = ue_codes(cbp_code)
+    h_v = h_v.at[:, 7].set(bv)
+    h_l = h_l.at[:, 7].set(jnp.where(intra, 0, bl))
+
+    has_dqp = intra | (cbp_l > 0) | (cbp_c > 0)
+    qv, ql = se_codes(jnp.zeros(nmb, dtype=I32))
+    h_v = h_v.at[:, 8].set(qv)
+    h_l = h_l.at[:, 8].set(jnp.where(has_dqp, ql, 0))
+
+    vals = jnp.concatenate([
+        h_v,
+        dc_v.reshape(nmb, BLOCK_SLOTS),
+        blk_v.reshape(nmb, 16 * BLOCK_SLOTS),
+        cdc_v.reshape(nmb, 2 * BLOCK_SLOTS),
+        cac_v.reshape(nmb, 8 * BLOCK_SLOTS)], axis=1).ravel()
+    lens = jnp.concatenate([
+        h_l,
+        dc_l.reshape(nmb, BLOCK_SLOTS),
+        blk_l.reshape(nmb, 16 * BLOCK_SLOTS),
+        cdc_l.reshape(nmb, 2 * BLOCK_SLOTS),
+        cac_l.reshape(nmb, 8 * BLOCK_SLOTS)], axis=1).ravel()
+    return vals, lens

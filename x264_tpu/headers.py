@@ -202,6 +202,7 @@ class SliceHeader:
     idr_pic_id: int = -1      # >= 0 for IDR slices
     poc_lsb: int = 0
     num_ref_idx_l0: int = 1
+    num_ref_idx_l1: int = 1
     cabac_init_idc: int = 0
     qp: int = 26
     pic_init_qp: int = 26
@@ -221,12 +222,18 @@ class SliceHeader:
         if self.idr_pic_id >= 0:
             bs.ue(self.idr_pic_id)
         bs.put(self.poc_lsb, self.log2_max_poc_lsb)
-        if self.slice_type == SLICE_P:
+        if self.slice_type == SLICE_B:
+            bs.bit(1)  # direct_spatial_mv_pred_flag (spatial, x264 default)
+        if self.slice_type in (SLICE_P, SLICE_B):
             bs.bit(self.num_ref_idx_override)
             if self.num_ref_idx_override:
                 bs.ue(self.num_ref_idx_l0 - 1)
+                if self.slice_type == SLICE_B:
+                    bs.ue(self.num_ref_idx_l1 - 1)
         if self.slice_type != SLICE_I:
             bs.bit(0)  # ref_pic_list_reordering_l0
+        if self.slice_type == SLICE_B:
+            bs.bit(0)  # ref_pic_list_reordering_l1
         if nal_ref_idc != 0:
             if self.idr_pic_id >= 0:
                 bs.bit(0)  # no_output_of_prior_pics

@@ -87,37 +87,131 @@ def fullpel_search(cur, ref_pad, mb_h: int, mb_w: int, me_range: int,
     return mv, sad
 
 
-def subpel_refine(cur_tiles, planes, mv_qpel, lam, mvp_qpel,
-                  steps=(2, 1)):
-    """Batched sub-pel refinement (refine_subpel, encoder/me.c:680),
-    SATD-scored over the full qpel neighborhood of the full-pel optimum.
+def _half_plane(p):
+    """2x downsample by 2x2 mean (the lowres filter of
+    x264_frame_init_lowres, common/mc.c:306)."""
+    h, w = p.shape
+    h2, w2 = h // 2 * 2, w // 2 * 2
+    q = p[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2)
+    return (q.sum(axis=(1, 3)) + 2) >> 2
 
-    Because `mv_qpel` comes from the full-pel search, every candidate's
-    sub-pel phase is the *same for all MBs*: one (4, mb, 20, 20) window
-    gather around each MB's full-pel position suffices, and all
+
+def hier_search(cur, ref_pad, mb_h: int, mb_w: int, me_range: int,
+                lam, mvp_qpel, pad: int = omc.PAD):
+    """Hierarchical full-pel search: dense coarse search at quarter
+    resolution, then windowed full-res refinement around (a) the
+    upscaled coarse winner, (b) the MV predictor, (c) the zero MV.
+
+    This is the UMH insight (multi-stage: coarse grid then local
+    refinement, encoder/me.c:307-447) re-expressed densely: the coarse
+    stage is an exhaustive shifted-plane SAD at 1/4 the pixel count,
+    and each refinement window is ONE gather per MB followed by a
+    candidate-batched SAD — so the full-range (2R+1)^2 cost surface
+    collapses to ~83 full-res candidate evaluations.
+
+    Same signature/returns as fullpel_search: (mv_qpel, sad).
+    """
+    H, W = mb_h * 16, mb_w * 16
+    R = me_range
+    cur = cur.astype(I32)
+    cur_tiles = cur.reshape(mb_h, 16, mb_w, 16).swapaxes(1, 2)
+
+    # ---- stage 1: dense coarse search on half-res planes
+    ref_q = _half_plane(ref_pad[pad:pad + H, pad:pad + W].astype(I32))
+    cur_q = _half_plane(cur)
+    rq = min((R + 1) // 2 + 1, pad // 2)
+    Hq, Wq = H // 2, W // 2
+    ref_qp = jnp.pad(ref_q, rq, mode="edge")
+    dqs = jnp.arange(-rq, rq + 1, dtype=I32)
+
+    def sad_row(_, dy):
+        rows = jax.lax.dynamic_slice(ref_qp, (rq + dy, 0),
+                                     (Hq, Wq + 2 * rq))
+
+        def sad_dx(dx):
+            s = jax.lax.dynamic_slice(rows, (0, rq + dx), (Hq, Wq))
+            d = jnp.abs(cur_q - s)
+            return d.reshape(mb_h, 8, mb_w, 8).sum(axis=(1, 3))
+
+        return None, jax.vmap(sad_dx)(dqs)
+
+    _, sads_q = jax.lax.scan(sad_row, None, dqs)
+    cand_q = jnp.stack(jnp.meshgrid(dqs, dqs, indexing="xy"), axis=-1)
+    cand_q = cand_q.reshape(-1, 2)
+    # small bias toward the predictor keeps coarse ties stable
+    bits_q = mv_cost_bits(cand_q[:, None, None, :] * 8, mvp_qpel[None])
+    cost_q = sads_q.reshape(-1, mb_h, mb_w) * 4 + lam * bits_q
+    best_q = jnp.argmin(cost_q, axis=0)
+    mv_coarse = cand_q[best_q] * 2                  # (mb_h, mb_w, 2) fpel
+
+    # ---- stage 2: windowed full-res refinement
+    ys = jnp.arange(mb_h, dtype=I32)[:, None] * 16 \
+        + jnp.zeros((1, mb_w), I32)
+    xs = jnp.arange(mb_w, dtype=I32)[None, :] * 16 \
+        + jnp.zeros((mb_h, 1), I32)
+
+    def window_sads(center, m):
+        """SADs of all (2m+1)^2 candidates around per-MB centers via one
+        gather + a candidate-batched reduction (vectorized so the HLO
+        stays small). center: (mb_h, mb_w, 2) fullpel.
+        Returns (sads (NC, mb_h, mb_w), mvs (NC, mb_h, mb_w, 2))."""
+        c = jnp.clip(center, -min(R, pad - m - 1), min(R, pad - m - 1))
+        wn = 16 + 2 * m
+        by = ys + c[..., 1] - m + pad
+        bx = xs + c[..., 0] - m + pad
+        rows = by[..., None, None] + jnp.arange(wn, dtype=I32)[:, None]
+        cols = bx[..., None, None] + jnp.arange(wn, dtype=I32)[None, :]
+        win = ref_pad[rows, cols].astype(I32)   # (mb_h, mb_w, wn, wn)
+        sl = jnp.stack([win[..., oy:oy + 16, ox:ox + 16]
+                        for oy in range(2 * m + 1)
+                        for ox in range(2 * m + 1)])
+        sads = jnp.abs(cur_tiles[None] - sl).sum(axis=(-2, -1))
+        offs = jnp.asarray([(ox, oy)
+                            for oy in range(-m, m + 1)
+                            for ox in range(-m, m + 1)], dtype=I32)
+        mvs = c[None] + offs[:, None, None, :]
+        return sads, mvs
+
+    s1, m1 = window_sads(mv_coarse, 3)
+    s2, m2 = window_sads((mvp_qpel + 2) >> 2, 2)
+    s3, m3 = window_sads(jnp.zeros_like(mv_coarse), 1)
+    sads = jnp.concatenate([s1, s2, s3], axis=0)     # (NC, mb_h, mb_w)
+    mvq = jnp.concatenate([m1, m2, m3], axis=0) * 4
+    cost = sads + lam * mv_cost_bits(mvq, mvp_qpel[None])
+    best = jnp.argmin(cost, axis=0)
+    best_mv = jnp.take_along_axis(
+        mvq, best[None, ..., None], axis=0)[0]
+    best_sad = jnp.take_along_axis(sads, best[None], axis=0)[0]
+    return best_mv, best_sad
+
+
+def subpel_refine_blocks(cur_blocks, planes, mv_qpel, lam, mvp_qpel,
+                         ys, xs, bh: int = 16, bw: int = 16,
+                         steps=(2, 1)):
+    """Batched sub-pel refinement for arbitrary-size blocks
+    (refine_subpel, encoder/me.c:680), SATD-scored over the full qpel
+    neighborhood of the full-pel optimum.
+
+    Because `mv_qpel` comes from a full-pel search, every candidate's
+    sub-pel phase is the *same for all blocks*: one window gather per
+    hpel plane around each block's full-pel position suffices, and all
     candidate predictions become dense static slices of it (the
     hpel_ref0/1 plane-average scheme of mc_luma with static phases) —
     no per-candidate gathers.
 
-    cur_tiles: (mb_h, mb_w, 16, 16); planes: (4, Hp, Wp) hpel stack;
-    mv_qpel: (mb_h, mb_w, 2) full-pel MV in qpel units. steps selects
-    the ladder: (2,) = half-pel positions only (subme 2-3), (2, 1) =
-    all quarter-pel positions within +-3 (subme >= 4).
+    cur_blocks: (..., bh, bw); planes: (4, Hp, Wp) hpel stack; ys/xs:
+    (...) block top-left pixel coords; mv_qpel: (..., 2) full-pel MV in
+    qpel units. steps: (2,) = half-pel only (subme 2-3), (2, 1) = all
+    quarter-pel within +-3 (subme >= 4).
     Returns (mv, satd) at the refined position.
     """
-    mb_h, mb_w = cur_tiles.shape[:2]
     pad = omc.PAD
-    ys = (jnp.arange(mb_h, dtype=I32) * 16)[:, None] + jnp.zeros((mb_w,), I32)
-    xs = (jnp.arange(mb_w, dtype=I32) * 16)[None, :] + jnp.zeros((mb_h, 1), I32)
-
-    # one window per hpel plane around (fullpel - 1) .. (+17, +1 extra
-    # column/row for the fx==3 / fy==3 second-plane offset)
-    Wn = 19
+    Wy, Wx = bh + 3, bw + 3
     by = ys + (mv_qpel[..., 1] >> 2) - 1 + pad
     bx = xs + (mv_qpel[..., 0] >> 2) - 1 + pad
-    rows = by[..., None, None] + jnp.arange(Wn)[:, None]
-    cols = bx[..., None, None] + jnp.arange(Wn)[None, :]
-    win = planes[:, rows, cols]            # (4, mb_h, mb_w, Wn, Wn)
+    rows = by[..., None, None] + jnp.arange(Wy)[:, None]
+    cols = bx[..., None, None] + jnp.arange(Wx)[None, :]
+    win = planes[:, rows, cols]            # (4, ..., Wy, Wx)
 
     if steps == (2,):
         offs = [(dx, dy) for dy in (-2, 0, 2) for dx in (-2, 0, 2)]
@@ -126,24 +220,80 @@ def subpel_refine(cur_tiles, planes, mv_qpel, lam, mvp_qpel,
 
     ref0 = omc._HPEL_REF0
     ref1 = omc._HPEL_REF1
-    best_cost = best_mv = best_satd = None
+    preds, mvs = [], []
     for (ox, oy) in offs:
         fx, fy = ox & 3, oy & 3
         qidx = (fy << 2) | fx
         p0, p1 = int(ref0[qidx]), int(ref1[qidx])
         iy = 1 + (oy >> 2)
         ix = 1 + (ox >> 2)
-        a = win[p0, :, :, iy + (fy == 3):iy + (fy == 3) + 16, ix:ix + 16]
-        b = win[p1, :, :, iy:iy + 16, ix + (fx == 3):ix + (fx == 3) + 16]
-        pred = (a + b + 1) >> 1
-        satd = opix.satd(cur_tiles, pred)
-        mv = mv_qpel + jnp.asarray([ox, oy], I32)
-        cost = satd + lam * mv_cost_bits(mv, mvp_qpel)
-        if best_cost is None:
-            best_cost, best_mv, best_satd = cost, mv, satd
-        else:
-            upd = cost < best_cost
-            best_cost = jnp.where(upd, cost, best_cost)
-            best_satd = jnp.where(upd, satd, best_satd)
-            best_mv = jnp.where(upd[..., None], mv, best_mv)
+        a = win[p0, ..., iy + (fy == 3):iy + (fy == 3) + bh, ix:ix + bw]
+        b = win[p1, ..., iy:iy + bh, ix + (fx == 3):ix + (fx == 3) + bw]
+        preds.append((a + b + 1) >> 1)
+        mvs.append(mv_qpel + jnp.asarray([ox, oy], I32))
+    preds = jnp.stack(preds)               # (NC, ..., bh, bw)
+    mvs = jnp.stack(mvs)                   # (NC, ..., 2)
+    satd = opix.satd(cur_blocks[None], preds)
+    cost = satd + lam * mv_cost_bits(mvs, mvp_qpel[None])
+    best = jnp.argmin(cost, axis=0)
+    best_mv = jnp.take_along_axis(mvs, best[None, ..., None], axis=0)[0]
+    best_satd = jnp.take_along_axis(satd, best[None], axis=0)[0]
     return best_mv, best_satd
+
+
+def subpel_refine(cur_tiles, planes, mv_qpel, lam, mvp_qpel,
+                  steps=(2, 1)):
+    """16x16-MB wrapper around subpel_refine_blocks."""
+    mb_h, mb_w = cur_tiles.shape[:2]
+    ys = (jnp.arange(mb_h, dtype=I32) * 16)[:, None] \
+        + jnp.zeros((mb_w,), I32)
+    xs = (jnp.arange(mb_w, dtype=I32) * 16)[None, :] \
+        + jnp.zeros((mb_h, 1), I32)
+    return subpel_refine_blocks(cur_tiles, planes, mv_qpel, lam,
+                                mvp_qpel, ys, xs, 16, 16, steps)
+
+
+def partition_fullpel(cur_tiles, ref_pad, mv16_qpel, lam, mvp_qpel,
+                      me_range: int, m: int = 3, pad: int = omc.PAD):
+    """Best full-pel MVs for the 16x8 and 8x16 partitions of every MB,
+    searched in a (2m+1)^2 window around the 16x16 full-pel winner (the
+    reference seeds partition searches from the MB-level result too,
+    encoder/analyse.c:1274-1404).
+
+    cur_tiles: (mb_h, mb_w, 16, 16); mv16_qpel: (mb_h, mb_w, 2).
+    Returns dict of qpel full-pel MVs: t/b (16x8 top/bottom),
+    l/r (8x16 left/right), each (mb_h, mb_w, 2).
+    """
+    mb_h, mb_w = cur_tiles.shape[:2]
+    ys = (jnp.arange(mb_h, dtype=I32) * 16)[:, None] \
+        + jnp.zeros((mb_w,), I32)
+    xs = (jnp.arange(mb_w, dtype=I32) * 16)[None, :] \
+        + jnp.zeros((mb_h, 1), I32)
+    R = me_range
+    c = jnp.clip(mv16_qpel >> 2, -min(R, pad - m - 1), min(R, pad - m - 1))
+    wn = 16 + 2 * m
+    by = ys + c[..., 1] - m + pad
+    bx = xs + c[..., 0] - m + pad
+    rows = by[..., None, None] + jnp.arange(wn, dtype=I32)[:, None]
+    cols = bx[..., None, None] + jnp.arange(wn, dtype=I32)[None, :]
+    win = ref_pad[rows, cols].astype(I32)
+    sl = jnp.stack([win[..., oy:oy + 16, ox:ox + 16]
+                    for oy in range(2 * m + 1)
+                    for ox in range(2 * m + 1)])
+    diff = jnp.abs(cur_tiles[None] - sl)   # (NC, mb_h, mb_w, 16, 16)
+    offs = jnp.asarray([(ox, oy)
+                        for oy in range(-m, m + 1)
+                        for ox in range(-m, m + 1)], dtype=I32)
+    mvs = (c[None] + offs[:, None, None, :]) * 4       # qpel
+    bits = mv_cost_bits(mvs, mvp_qpel[None])
+
+    out = {}
+    for key, sad in (("t", diff[..., :8, :].sum(axis=(-2, -1))),
+                     ("b", diff[..., 8:, :].sum(axis=(-2, -1))),
+                     ("l", diff[..., :, :8].sum(axis=(-2, -1))),
+                     ("r", diff[..., :, 8:].sum(axis=(-2, -1)))):
+        cost = sad + lam * bits
+        best = jnp.argmin(cost, axis=0)
+        out[key] = jnp.take_along_axis(
+            mvs, best[None, ..., None], axis=0)[0]
+    return out

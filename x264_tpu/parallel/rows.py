@@ -19,9 +19,11 @@ modes at once:
   reconstruction, and the ME window (me_range <= 24 plus interpolation
   margin) never leaves it.
 
-Entropy coding also parallelizes: the per-slice CAVLC pack scan runs
-*per shard*, so the serial tail of the unsharded design becomes n
-concurrent scans (SURVEY.md §5 "one-slice-per-shard" note).
+Entropy coding also parallelizes: the per-slice CAVLC pack scan (or
+CABAC bin-op generation) runs *per shard*, so the serial tail of the
+unsharded design becomes n concurrent scans — CABAC contexts are
+re-initialized per slice (spec 9.3.1), so band streams are independent
+by construction (SURVEY.md §5 "one-slice-per-shard" note).
 """
 
 from __future__ import annotations
@@ -73,7 +75,8 @@ def _halo_extend(plane, halo: int, n: int):
 
 @functools.lru_cache(maxsize=32)
 def _p_rows_fn(mesh: Mesh, band: int, mb_w: int, me_range: int,
-               subpel_steps, deblock_on: bool, cap_words: int):
+               subpel_steps, deblock_on: bool, cap_words: int,
+               parts: bool = True):
     n = mesh.shape[AXIS]
 
     def body(y, u, v, ry, ru, rv, mvp, hdr_vals, hdr_lens,
@@ -89,7 +92,7 @@ def _p_rows_fn(mesh: Mesh, band: int, mb_w: int, me_range: int,
         out = einter.encode_p_body(
             band, mb_w, me_range, y.astype(I32), u.astype(I32),
             v.astype(I32), ry_ext, ru_ext, rv_ext, qtab, lam, mvp,
-            subpel_steps, ref_prepadded=True)
+            subpel_steps, ref_prepadded=True, parts=parts)
 
         vals, lens = edev.p_code_planes(out, band, mb_w)
         stop = jnp.ones((1,), I32)
@@ -146,6 +149,125 @@ def encode_p_rows(mesh: Mesh, mb_h: int, mb_w: int, me_range: int,
         jnp.asarray(cqp_off, I32))
     return dict(recon_y=ry, recon_u=ru, recon_v=rv, words=words,
                 nbits=nbits, mv=mv, intra_mb=intra_mb, skip=skip)
+
+
+@functools.lru_cache(maxsize=32)
+def _p_rows_cabac_fn(mesh: Mesh, band: int, mb_w: int, me_range: int,
+                     subpel_steps, deblock_on: bool, cap_ops: int,
+                     parts: bool = True):
+    n = mesh.shape[AXIS]
+    from ..entropy import cabac_planes
+
+    def body(y, u, v, ry, ru, rv, mvp, qtab, lam, qp,
+             alpha_off, beta_off, cqp_off):
+        ry_ext = _halo_extend(ry.astype(I32), omc.PAD, n)
+        ru_ext = _halo_extend(ru.astype(I32), omc.PAD // 2, n)
+        rv_ext = _halo_extend(rv.astype(I32), omc.PAD // 2, n)
+        ry_ext = jnp.pad(ry_ext, ((0, 0), (omc.PAD, omc.PAD)), mode="edge")
+        ru_ext = jnp.pad(ru_ext, ((0, 0), (omc.PAD // 2,) * 2), mode="edge")
+        rv_ext = jnp.pad(rv_ext, ((0, 0), (omc.PAD // 2,) * 2), mode="edge")
+
+        out = einter.encode_p_body(
+            band, mb_w, me_range, y.astype(I32), u.astype(I32),
+            v.astype(I32), ry_ext, ru_ext, rv_ext, qtab, lam, mvp,
+            subpel_steps, ref_prepadded=True, parts=parts)
+
+        ops = cabac_planes.p_slice_ops(out, band, mb_w)
+        cops, n_ops = cabac_planes.compact_ops(ops, cap_ops)
+
+        ryo, ruo, rvo = out["recon_y"], out["recon_u"], out["recon_v"]
+        if deblock_on:
+            qp_mb = jnp.broadcast_to(qp, (band, mb_w)).astype(I32)
+            zmv = jnp.zeros((band * 4, mb_w * 4, 2), I32)
+            z4 = jnp.zeros((band * 4, mb_w * 4), I32)
+            ryo, ruo, rvo = odeblock.deblock_frame(
+                band, mb_w, ryo, ruo, rvo, qp_mb, out["intra_mb"],
+                out["nnz4"], out["ref4"], out["mv4"], z4, zmv, False,
+                alpha_off, beta_off, cqp_off)
+        return (ryo, ruo, rvo, cops[None], n_ops[None], out["mv"],
+                out["intra_mb"], out["skip"])
+
+    row = P(AXIS)
+    rep = P()
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(row, row, row, row, row, row, row,
+                  rep, rep, rep, rep, rep, rep),
+        out_specs=(row, row, row, row, row, row, row, row),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def encode_p_rows_cabac(mesh: Mesh, mb_h: int, mb_w: int, me_range: int,
+                        subpel_steps, deblock_on: bool,
+                        y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp,
+                        alpha_off, beta_off, cqp_off,
+                        mvp_seed, cap_ops: int):
+    """P frame as n row-band CABAC slices: per-band compacted bin-op
+    streams (contexts are per-slice, so the n host FSM runs are
+    independent). Returns ops (n, cap_ops), n_ops (n,), recon, maps."""
+    n = mesh.shape[AXIS]
+    assert mb_h % n == 0, (mb_h, n)
+    band = mb_h // n
+    assert band * 16 >= omc.PAD, f"band too short for halo ({band} MB rows)"
+    fn = _p_rows_cabac_fn(mesh, band, mb_w, me_range, tuple(subpel_steps),
+                          deblock_on, cap_ops)
+    ry, ru, rv, ops, n_ops, mv, intra_mb, skip = fn(
+        y, u, v, ref_y, ref_u, ref_v, mvp_seed,
+        qtab, jnp.asarray(lam, I32), jnp.asarray(qp, I32),
+        jnp.asarray(alpha_off, I32), jnp.asarray(beta_off, I32),
+        jnp.asarray(cqp_off, I32))
+    return dict(recon_y=ry, recon_u=ru, recon_v=rv, ops=ops,
+                n_ops=n_ops, mv=mv, intra_mb=intra_mb, skip=skip)
+
+
+@functools.lru_cache(maxsize=32)
+def _i_rows_cabac_fn(mesh: Mesh, band: int, mb_w: int, i4x4: bool,
+                     deblock_on: bool, cap_ops: int):
+    from ..entropy import cabac_planes
+
+    def body(y, u, v, qtab, lam, qp, alpha_off, beta_off, cqp_off):
+        out = eintra.encode_i16_frame(band, mb_w, y.astype(I32),
+                                      u.astype(I32), v.astype(I32),
+                                      qtab, lam, i4x4)
+        ops = cabac_planes.i16_slice_ops(out, band, mb_w)
+        cops, n_ops = cabac_planes.compact_ops(ops, cap_ops)
+
+        ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+        if deblock_on:
+            qp_mb = jnp.broadcast_to(qp, (band, mb_w)).astype(I32)
+            intra_mb = jnp.ones((band, mb_w), bool)
+            z4 = jnp.zeros((band * 4, mb_w * 4), I32)
+            zmv = jnp.zeros((band * 4, mb_w * 4, 2), I32)
+            ry, ru, rv = odeblock.deblock_frame(
+                band, mb_w, ry, ru, rv, qp_mb, intra_mb,
+                z4, z4, zmv, z4, zmv, False,
+                alpha_off, beta_off, cqp_off)
+        return ry, ru, rv, cops[None], n_ops[None]
+
+    row = P(AXIS)
+    rep = P()
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(row, row, row, rep, rep, rep, rep, rep, rep),
+        out_specs=(row, row, row, row, row),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def encode_i_rows_cabac(mesh: Mesh, mb_h: int, mb_w: int, i4x4: bool,
+                        deblock_on: bool, y, u, v, qtab, lam, qp,
+                        alpha_off, beta_off, cqp_off, cap_ops: int):
+    """IDR frame as n row-band CABAC slices."""
+    n = mesh.shape[AXIS]
+    assert mb_h % n == 0, (mb_h, n)
+    band = mb_h // n
+    fn = _i_rows_cabac_fn(mesh, band, mb_w, i4x4, deblock_on, cap_ops)
+    ry, ru, rv, ops, n_ops = fn(
+        y, u, v, qtab, jnp.asarray(lam, I32), jnp.asarray(qp, I32),
+        jnp.asarray(alpha_off, I32), jnp.asarray(beta_off, I32),
+        jnp.asarray(cqp_off, I32))
+    return dict(recon_y=ry, recon_u=ru, recon_v=rv, ops=ops, n_ops=n_ops)
 
 
 @functools.lru_cache(maxsize=32)
