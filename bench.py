@@ -119,14 +119,14 @@ def stage_timings(w, h):
     t_intra = timed(lambda: intra.encode_i16_frame(
         mb_h, mb_w, y, u, v, qtab, lam, True)["recon_y"])
     t_i_full = timed(lambda: pipeline.encode_i16_idr(
-        mb_h, mb_w, True, True, y, u, v, qtab, lam, qp, qp_c,
+        mb_h, mb_w, True, True, False, y, u, v, qtab, lam, qp, qp_c,
         hdr_v, hdr_l, 0, 0, 0)["words"])
     me_jit = jax.jit(lambda yy, rr, mm: ome.fullpel_search(
         yy, jnp.pad(rr, 32, mode="edge"), mb_h, mb_w, 16, lam, mm))
     t_me = timed(lambda: me_jit(y, ry, mvp0)[0])
     t_p_full = timed(lambda: pipeline.encode_p_cabac(
-        mb_h, mb_w, 16, True, (2, 1), True, y, u, v, ry, u, v, qtab, lam,
-        qp, qp_c, 0, 0, 0, mvp0)["ops"])
+        mb_h, mb_w, 16, True, (2, 1), True, False, y, u, v, ry, u, v,
+        qtab, lam, qp, qp_c, 0, 0, 0, mvp0)["ops"])
     print(f"[bench] per-stage ms/frame @{w}x{h}: intra_scan={t_intra:.1f} "
           f"idr_fused={t_i_full:.1f} me_fullpel={t_me:.1f} "
           f"p_cabac_fused={t_p_full:.1f}", file=sys.stderr)

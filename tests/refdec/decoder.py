@@ -725,7 +725,11 @@ class Decoder:
                 nnz_l[gy, gx] = np.count_nonzero(z)
                 blk = np.zeros(16, dtype=np.int64)
                 blk[np.asarray(ZIG4)] = z
-                r = G.idct4x4(G.dequant(blk, dmf, qp, 4).reshape(4, 4))
+                if self._bypass(qp):
+                    r = blk.reshape(4, 4)
+                else:
+                    r = G.idct4x4(G.dequant(blk, dmf, qp, 4)
+                                  .reshape(4, 4))
                 b = mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
                 mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = b
             else:
@@ -736,8 +740,10 @@ class Decoder:
             cd, my, mx, cbp_chroma, nnz_c, cdcnz, 0)
         cdmf = qt.dequant4_mf[enc_tables.CQM_4PC, qpc % 6]
         for ch, (P, pred) in ((0, (U, pu)), (1, (V, pv))):
-            dc_rec = G.dequant_2x2_dc(
-                G.hadamard2x2(cdc[ch].reshape(2, 2)), int(cdmf[0]), qpc)
+            dc_rec = (cdc[ch].reshape(2, 2) if self._bypass(qp)
+                      else G.dequant_2x2_dc(
+                          G.hadamard2x2(cdc[ch].reshape(2, 2)),
+                          int(cdmf[0]), qpc))
             cmb = pred.astype(np.int64)
             for i in range(4):
                 bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
@@ -745,9 +751,16 @@ class Decoder:
                 if cbp_chroma & 2 and np.any(cac[ch, i]):
                     a = np.zeros(16, dtype=np.int64)
                     a[np.asarray(ZIG4)[1:]] = cac[ch, i]
-                    b = G.dequant(a, cdmf, qpc, 4).reshape(4, 4)
-                    b[0, 0] = dc_rec[by, bx]
-                    r = G.idct4x4(b)
+                    if self._bypass(qp):
+                        r = a.reshape(4, 4)
+                        r[0, 0] = dc_rec[by, bx]
+                    else:
+                        b = G.dequant(a, cdmf, qpc, 4).reshape(4, 4)
+                        b[0, 0] = dc_rec[by, bx]
+                        r = G.idct4x4(b)
+                elif cbp_chroma and self._bypass(qp):
+                    r = np.zeros((4, 4), dtype=np.int64)
+                    r[0, 0] = dc_rec[by, bx]
                 elif cbp_chroma:
                     r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
                                 dtype=np.int64)
@@ -924,7 +937,7 @@ class Decoder:
                 a[np.asarray(ZIG4)[1:]] = cac[ch, i]
                 cac2[ch, i] = a.reshape(4, 4)
         self._recon_chroma_intra(my, mx, cm, cbp_chroma, qpc, qt,
-                                 cdc2, cac2, U, V)
+                                 cdc2, cac2, U, V, qp)
 
     def _decode_mb_i16_cabac(self, cd, my, mx, qp, qt, Y, U, V,
                              nnz_l, nnz_c, dcnz, cdcnz, cm_map,
@@ -1048,20 +1061,29 @@ class Decoder:
         pred = G.predict_16x16(pred16, top, left, topleft, has_top, has_left)
         assert pred is not None
 
+        byp = self._bypass(qp)
         dc = np.zeros(16, dtype=np.int64)
         dc[np.asarray(ZIG4)] = dc_z
         dc = dc.reshape(4, 4)
         dmf = qt.dequant4_mf[enc_tables.CQM_4IY, qp % 6]
-        dc_rec = G.dequant_4x4_dc(G.hadamard4x4_inv(dc), int(dmf[0]), qp)
+        dc_rec = dc if byp else G.dequant_4x4_dc(
+            G.hadamard4x4_inv(dc), int(dmf[0]), qp)
         mb = pred.copy()
         for i in range(16):
             bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
             if cbp_luma:
                 ac = np.zeros(16, dtype=np.int64)
                 ac[np.asarray(ZIG4)[1:]] = blocks_z[i]
-                b = G.dequant(ac, dmf, qp, 4).reshape(4, 4)
-                b[0, 0] = dc_rec[by, bx]
-                r = G.idct4x4(b)
+                if byp:
+                    r = ac.reshape(4, 4).copy()
+                    r[0, 0] = dc_rec[by, bx]
+                else:
+                    b = G.dequant(ac, dmf, qp, 4).reshape(4, 4)
+                    b[0, 0] = dc_rec[by, bx]
+                    r = G.idct4x4(b)
+            elif byp:
+                r = np.zeros((4, 4), dtype=np.int64)
+                r[0, 0] = dc_rec[by, bx]
             else:
                 r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
                             dtype=np.int64)
@@ -1080,8 +1102,10 @@ class Decoder:
             cpred = G.predict_8x8c(chroma_pred, ctop, cleft, ctl,
                                    has_top, has_left)
             assert cpred is not None
-            dc_rec = G.dequant_2x2_dc(
-                G.hadamard2x2(cdc_scan[ch].reshape(2, 2)), int(cdmf[0]), qpc)
+            dc_rec = (cdc_scan[ch].reshape(2, 2) if byp
+                      else G.dequant_2x2_dc(
+                          G.hadamard2x2(cdc_scan[ch].reshape(2, 2)),
+                          int(cdmf[0]), qpc))
             cmb = cpred.copy()
             for i in range(4):
                 bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
@@ -1089,9 +1113,16 @@ class Decoder:
                 if cbp_chroma & 2 and np.any(cac_scan[ch, i]):
                     a = np.zeros(16, dtype=np.int64)
                     a[np.asarray(ZIG4)[1:]] = cac_scan[ch, i]
-                    b = G.dequant(a, cdmf, qpc, 4).reshape(4, 4)
-                    b[0, 0] = dc_rec[by, bx]
-                    r = G.idct4x4(b)
+                    if byp:
+                        r = a.reshape(4, 4).copy()
+                        r[0, 0] = dc_rec[by, bx]
+                    else:
+                        b = G.dequant(a, cdmf, qpc, 4).reshape(4, 4)
+                        b[0, 0] = dc_rec[by, bx]
+                        r = G.idct4x4(b)
+                elif cbp_chroma and byp:
+                    r = np.zeros((4, 4), dtype=np.int64)
+                    r[0, 0] = dc_rec[by, bx]
                 elif cbp_chroma:
                     r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
                                 dtype=np.int64)
@@ -1141,6 +1172,7 @@ class Decoder:
         """Sequential I4x4 luma reconstruction (z-scan; each block's
         prediction reads the already-reconstructed plane)."""
         dmf = qt.dequant4_mf[enc_tables.CQM_4IY, qp % 6]
+        byp = self._bypass(qp)
         for z in range(16):
             bx, by = int(BLOCK_XY[z][0]), int(BLOCK_XY[z][1])
             gy, gx = my * 16 + by * 4, mx * 16 + bx * 4
@@ -1151,7 +1183,11 @@ class Decoder:
             if (cbp_luma >> (z // 4)) & 1:
                 blk = np.zeros(16, np.int64)
                 blk[np.asarray(ZIG4)] = blocks_z[z]
-                r = G.idct4x4(G.dequant(blk, dmf, qp, 4).reshape(4, 4))
+                if byp:
+                    r = blk.reshape(4, 4)
+                else:
+                    r = G.idct4x4(G.dequant(blk, dmf, qp, 4)
+                                  .reshape(4, 4))
             else:
                 r = 0
             Y[gy:gy + 4, gx:gx + 4] = np.clip(pred + r, 0, 255)
@@ -1199,7 +1235,9 @@ class Decoder:
         return cdc, cac
 
     def _recon_chroma_intra(self, my, mx, chroma_pred, cbp_chroma, qpc, qt,
-                            cdc, cac, U, V):
+                            cdc, cac, U, V, qp=None):
+        if qp is None:
+            qp = qpc        # bypass gate rides the luma QP
         has_top, has_left = my > self._row0, mx > 0
         c0y, c0x = my * 8, mx * 8
         cdmf = qt.dequant4_mf[enc_tables.CQM_4IC, qpc % 6]
@@ -1212,17 +1250,25 @@ class Decoder:
             cpred = G.predict_8x8c(chroma_pred, ctop, cleft, ctl,
                                    has_top, has_left)
             assert cpred is not None
-            dc_rec = G.dequant_2x2_dc(G.hadamard2x2(cdc[ch]),
-                                      int(cdmf[0]), qpc)
+            dc_rec = (cdc[ch] if self._bypass(qp)
+                      else G.dequant_2x2_dc(G.hadamard2x2(cdc[ch]),
+                                            int(cdmf[0]), qpc))
             cmb = cpred.copy()
             for i in range(4):
                 bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
                     int(enc_tables.CHROMA_BLOCK_XY[i][1])
                 if cbp_chroma & 2 and np.any(cac[ch, i]):
-                    b = G.dequant(cac[ch, i].ravel(), cdmf, qpc, 4) \
-                        .reshape(4, 4)
-                    b[0, 0] = dc_rec[by, bx]
-                    r = G.idct4x4(b)
+                    if self._bypass(qp):
+                        r = cac[ch, i].copy()
+                        r[0, 0] = dc_rec[by, bx]
+                    else:
+                        b = G.dequant(cac[ch, i].ravel(), cdmf, qpc, 4) \
+                            .reshape(4, 4)
+                        b[0, 0] = dc_rec[by, bx]
+                        r = G.idct4x4(b)
+                elif cbp_chroma and self._bypass(qp):
+                    r = np.zeros((4, 4), dtype=np.int64)
+                    r[0, 0] = dc_rec[by, bx]
                 elif cbp_chroma:
                     r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
                                 dtype=np.int64)
@@ -1263,7 +1309,7 @@ class Decoder:
         cdc, cac = self._decode_chroma_cavlc(br, my, mx, cbp_chroma, qpc,
                                              qt, U, V, nnz_c)
         self._recon_chroma_intra(my, mx, chroma_pred, cbp_chroma, qpc, qt,
-                                 cdc, cac, U, V)
+                                 cdc, cac, U, V, qp)
         return qp
 
     # ----------------------------------------------------- MV prediction
@@ -1464,7 +1510,11 @@ class Decoder:
                 nnz_l[my * 4 + by, mx * 4 + bx] = np.count_nonzero(z)
                 blk = np.zeros(16, dtype=np.int64)
                 blk[np.asarray(ZIG4)] = z
-                r = G.idct4x4(G.dequant(blk, dmf, qp, 4).reshape(4, 4))
+                if self._bypass(qp):
+                    r = blk.reshape(4, 4)
+                else:
+                    r = G.idct4x4(G.dequant(blk, dmf, qp, 4)
+                                  .reshape(4, 4))
                 b = mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
                 mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = b
             else:
@@ -1495,17 +1545,25 @@ class Decoder:
             nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
 
         for ch, (P, pred) in ((0, (U, pu)), (1, (V, pv))):
-            dc_rec = G.dequant_2x2_dc(G.hadamard2x2(cdc[ch]),
-                                      int(cdmf[0]), qpc)
+            dc_rec = (cdc[ch] if self._bypass(qp)
+                      else G.dequant_2x2_dc(G.hadamard2x2(cdc[ch]),
+                                            int(cdmf[0]), qpc))
             cmb = pred.astype(np.int64)
             for i in range(4):
                 bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
                     int(enc_tables.CHROMA_BLOCK_XY[i][1])
                 if cbp_chroma & 2 and np.any(cac[ch, i]):
-                    b = G.dequant(cac[ch, i].ravel(), cdmf, qpc, 4) \
-                        .reshape(4, 4)
-                    b[0, 0] = dc_rec[by, bx]
-                    r = G.idct4x4(b)
+                    if self._bypass(qp):
+                        r = cac[ch, i].copy()
+                        r[0, 0] = dc_rec[by, bx]
+                    else:
+                        b = G.dequant(cac[ch, i].ravel(), cdmf, qpc, 4) \
+                            .reshape(4, 4)
+                        b[0, 0] = dc_rec[by, bx]
+                        r = G.idct4x4(b)
+                elif cbp_chroma and self._bypass(qp):
+                    r = np.zeros((4, 4), dtype=np.int64)
+                    r[0, 0] = dc_rec[by, bx]
                 elif cbp_chroma:
                     r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
                                 dtype=np.int64)
@@ -1707,7 +1765,11 @@ class Decoder:
                 nnz_l[gy, gx] = np.count_nonzero(z)
                 blk = np.zeros(16, dtype=np.int64)
                 blk[np.asarray(ZIG4)] = z
-                rres = G.idct4x4(G.dequant(blk, dmf, qp, 4).reshape(4, 4))
+                if self._bypass(qp):
+                    rres = blk.reshape(4, 4)
+                else:
+                    rres = G.idct4x4(G.dequant(blk, dmf, qp, 4)
+                                     .reshape(4, 4))
                 b = mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + rres
                 mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = b
             else:
@@ -1718,8 +1780,10 @@ class Decoder:
             cd, my, mx, cbp_chroma, nnz_c, cdcnz, 0)
         cdmf = qt.dequant4_mf[enc_tables.CQM_4PC, qpc % 6]
         for ch, (P, pred) in ((0, (U, pu)), (1, (V, pv))):
-            dc_rec = G.dequant_2x2_dc(
-                G.hadamard2x2(cdc[ch].reshape(2, 2)), int(cdmf[0]), qpc)
+            dc_rec = (cdc[ch].reshape(2, 2) if self._bypass(qp)
+                      else G.dequant_2x2_dc(
+                          G.hadamard2x2(cdc[ch].reshape(2, 2)),
+                          int(cdmf[0]), qpc))
             cmb = pred.astype(np.int64)
             for i in range(4):
                 bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
@@ -1727,9 +1791,16 @@ class Decoder:
                 if cbp_chroma & 2 and np.any(cac[ch, i]):
                     a = np.zeros(16, dtype=np.int64)
                     a[np.asarray(ZIG4)[1:]] = cac[ch, i]
-                    b = G.dequant(a, cdmf, qpc, 4).reshape(4, 4)
-                    b[0, 0] = dc_rec[by, bx]
-                    rres = G.idct4x4(b)
+                    if self._bypass(qp):
+                        rres = a.reshape(4, 4)
+                        rres[0, 0] = dc_rec[by, bx]
+                    else:
+                        b = G.dequant(a, cdmf, qpc, 4).reshape(4, 4)
+                        b[0, 0] = dc_rec[by, bx]
+                        rres = G.idct4x4(b)
+                elif cbp_chroma and self._bypass(qp):
+                    rres = np.zeros((4, 4), dtype=np.int64)
+                    rres[0, 0] = dc_rec[by, bx]
                 elif cbp_chroma:
                     rres = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
                                    dtype=np.int64)
@@ -1795,7 +1866,11 @@ class Decoder:
                 nnz_l[my * 4 + by, mx * 4 + bx] = np.count_nonzero(z)
                 blk = np.zeros(16, dtype=np.int64)
                 blk[np.asarray(ZIG4)] = z
-                r = G.idct4x4(G.dequant(blk, dmf, qp, 4).reshape(4, 4))
+                if self._bypass(qp):
+                    r = blk.reshape(4, 4)
+                else:
+                    r = G.idct4x4(G.dequant(blk, dmf, qp, 4)
+                                  .reshape(4, 4))
                 b = mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
                 mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = b
             else:
@@ -1825,17 +1900,25 @@ class Decoder:
             nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
 
         for ch, (P, pred) in ((0, (U, pu)), (1, (V, pv))):
-            dc_rec = G.dequant_2x2_dc(G.hadamard2x2(cdc[ch]),
-                                      int(cdmf[0]), qpc)
+            dc_rec = (cdc[ch] if self._bypass(qp)
+                      else G.dequant_2x2_dc(G.hadamard2x2(cdc[ch]),
+                                            int(cdmf[0]), qpc))
             cmb = pred.astype(np.int64)
             for i in range(4):
                 bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
                     int(enc_tables.CHROMA_BLOCK_XY[i][1])
                 if cbp_chroma & 2 and np.any(cac[ch, i]):
-                    b = G.dequant(cac[ch, i].ravel(), cdmf, qpc, 4) \
-                        .reshape(4, 4)
-                    b[0, 0] = dc_rec[by, bx]
-                    r = G.idct4x4(b)
+                    if self._bypass(qp):
+                        r = cac[ch, i].copy()
+                        r[0, 0] = dc_rec[by, bx]
+                    else:
+                        b = G.dequant(cac[ch, i].ravel(), cdmf, qpc, 4) \
+                            .reshape(4, 4)
+                        b[0, 0] = dc_rec[by, bx]
+                        r = G.idct4x4(b)
+                elif cbp_chroma and self._bypass(qp):
+                    r = np.zeros((4, 4), dtype=np.int64)
+                    r[0, 0] = dc_rec[by, bx]
                 elif cbp_chroma:
                     r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
                                 dtype=np.int64)
@@ -1875,6 +1958,11 @@ class Decoder:
                                           nnz_l, nnz_c, py, pu, pv)
 
     # ------------------------------------------------------------ macroblock
+    def _bypass(self, qp):
+        """Lossless transform bypass (sps qpprime flag && QP'Y == 0,
+        spec 8.5.15; x264 encoder/macroblock.c:415-474)."""
+        return bool(self.sps.qpprime_y_zero_transform_bypass) and qp == 0
+
     def _nc(self, m, gy, gx):
         a = m[gy, gx - 1] if gx > 0 else -1
         b = m[gy - 1, gx] if gy > 0 else -1
@@ -1942,14 +2030,22 @@ class Decoder:
 
         # luma reconstruction
         dmf = qt.dequant4_mf[enc_tables.CQM_4IY, qp % 6]
-        dc_rec = G.dequant_4x4_dc(G.hadamard4x4_inv(dc), int(dmf[0]), qp)
+        byp = self._bypass(qp)
+        dc_rec = dc if byp else G.dequant_4x4_dc(
+            G.hadamard4x4_inv(dc), int(dmf[0]), qp)
         mb = pred.copy()
         for i in range(16):
             bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
-            if cbp_luma:
+            if cbp_luma and byp:
+                r = blocks[i].copy()
+                r[0, 0] = dc_rec[by, bx]
+            elif cbp_luma:
                 b = G.dequant(blocks[i].ravel(), dmf, qp, 4).reshape(4, 4)
                 b[0, 0] = dc_rec[by, bx]
                 r = G.idct4x4(b)
+            elif byp:
+                r = np.zeros((4, 4), dtype=np.int64)
+                r[0, 0] = dc_rec[by, bx]
             else:
                 r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
                             dtype=np.int64)
@@ -1989,15 +2085,25 @@ class Decoder:
             cpred = G.predict_8x8c(chroma_pred, ctop, cleft, ctl,
                                    has_top, has_left)
             assert cpred is not None
-            dc_rec = G.dequant_2x2_dc(G.hadamard2x2(cdc[ch]), int(cdmf[0]), qpc)
+            dc_rec = (cdc[ch] if self._bypass(qp)
+                      else G.dequant_2x2_dc(G.hadamard2x2(cdc[ch]),
+                                            int(cdmf[0]), qpc))
             cmb = cpred.copy()
             for i in range(4):
                 bx, by = int(enc_tables.CHROMA_BLOCK_XY[i][0]), \
                     int(enc_tables.CHROMA_BLOCK_XY[i][1])
                 if cbp_chroma & 2 and np.any(cac[ch, i]):
-                    b = G.dequant(cac[ch, i].ravel(), cdmf, qpc, 4).reshape(4, 4)
-                    b[0, 0] = dc_rec[by, bx]
-                    r = G.idct4x4(b)
+                    if self._bypass(qp):
+                        r = cac[ch, i].copy()
+                        r[0, 0] = dc_rec[by, bx]
+                    else:
+                        b = G.dequant(cac[ch, i].ravel(), cdmf, qpc, 4) \
+                            .reshape(4, 4)
+                        b[0, 0] = dc_rec[by, bx]
+                        r = G.idct4x4(b)
+                elif cbp_chroma and self._bypass(qp):
+                    r = np.zeros((4, 4), dtype=np.int64)
+                    r[0, 0] = dc_rec[by, bx]
                 elif cbp_chroma:
                     r = np.full((4, 4), (int(dc_rec[by, bx]) + 32) >> 6,
                                 dtype=np.int64)

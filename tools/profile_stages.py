@@ -97,6 +97,7 @@ def main():
     ops = jax.block_until_ready(ops_jit())
     res["cabac_plane_gen"] = timed(ops_jit, name="cabac_plane_gen")
     cap = pipeline.cabac_capacity(mb_h * mb_w)
+
     comp_jit = jax.jit(lambda o: cabac_planes.compact_ops(o, cap))
     cops, n_ops = jax.block_until_ready(comp_jit(ops))
     res["cabac_compact"] = timed(lambda: comp_jit(ops), name="cabac_compact")
@@ -111,8 +112,8 @@ def main():
 
     # --- fused P + host tail
     fused_jit = lambda: pipeline.encode_p_cabac(
-        mb_h, mb_w, 16, True, (2, 1), True, y, u, v, ry, ru, rv, qtab,
-        lam, qp, qp_c, 0, 0, 0, mvp0)
+        mb_h, mb_w, 16, True, (2, 1), True, False, y, u, v, ry, ru, rv,
+        qtab, lam, qp, qp_c, 0, 0, 0, mvp0)
     o2 = fused_jit()
     jax.block_until_ready(o2["ops"])
     res["p_cabac_fused_total"] = timed(lambda: fused_jit()["ops"], name="p_cabac_fused_total")

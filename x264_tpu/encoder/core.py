@@ -89,8 +89,12 @@ class Encoder:
         # subme ladder -> sub-pel refinement stages (the subpel_iterations
         # table role, encoder/me.c:34-44): 1 = full-pel, 2-3 = half-pel,
         # >=4 = half+quarter
-        from ..params import ANALYSE_PSUB16x16
+        from ..params import ANALYSE_PSUB16x16, RC_CQP as _CQP
         self._parts = bool(p.analyse.inter & ANALYSE_PSUB16x16)
+        # lossless transform bypass (qpprime_y_zero_transform_bypass;
+        # encoder/macroblock.c:415-474)
+        self._lossless = (p.rc.i_rc_method == _CQP
+                          and p.rc.i_qp_constant == 0)
         sp = p.analyse.i_subpel_refine
         self._subpel = () if sp <= 1 else ((2,) if sp <= 3 else (2, 1))
         # MB-row sharding across devices: one slice per row band
@@ -548,6 +552,7 @@ class Encoder:
             hdr_bytes = self._cabac_header(qp, SLICE_I, 3)
             out = pipeline.encode_i16_idr_cabac(
                 mb_h, mb_w, bool(p.b_deblocking_filter), self._i4x4,
+                self._lossless,
                 y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
@@ -562,6 +567,7 @@ class Encoder:
 
             out = pipeline.encode_i16_idr(
                 mb_h, mb_w, bool(p.b_deblocking_filter), self._i4x4,
+                self._lossless,
                 y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
                 hdr_vals, hdr_lens,
                 2 * p.i_deblocking_filter_alphac0,
@@ -576,6 +582,7 @@ class Encoder:
                 if nbits > cap_words * 32 and self._i4x4:
                     out = pipeline.encode_i16_idr(
                         mb_h, mb_w, bool(p.b_deblocking_filter), False,
+                        self._lossless,
                         y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
                         hdr_vals, hdr_lens,
                         2 * p.i_deblocking_filter_alphac0,
@@ -622,7 +629,7 @@ class Encoder:
             hdr_bytes = self._cabac_header(qp, SLICE_P, 2)
             out = pipeline.encode_p_cabac(
                 mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
-                self._subpel, self._parts,
+                self._subpel, self._parts, self._lossless,
                 y, u, v, ry, ru, rv,
                 self._qtab_p(qp, qp_c), lam, qp, qp_c,
                 2 * p.i_deblocking_filter_alphac0,
@@ -639,7 +646,7 @@ class Encoder:
 
             out = pipeline.encode_p(
                 mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
-                self._subpel, self._parts,
+                self._subpel, self._parts, self._lossless,
                 y, u, v, ry, ru, rv,
                 self._qtab_p(qp, qp_c), lam, qp, qp_c,
                 hdr_vals, hdr_lens,
@@ -753,7 +760,9 @@ class Encoder:
 
         out = pend["out"]
         n_ops = int(out["n_ops"])
-        if n_ops > pipeline.cabac_capacity(pend["nmb"]):
+        cap = pipeline.cabac_capacity(
+            pend["nmb"], self._lossless or pend["slice_is_i"])
+        if n_ops > cap:
             raise RuntimeError(
                 f"CABAC op stream overflowed device buffer ({n_ops} ops)")
         ops = np.asarray(out["ops"][:n_ops])

@@ -75,7 +75,8 @@ def median3(a, b, c):
         - jnp.maximum(a, jnp.maximum(b, c))
 
 
-def inter_luma_residual(fenc_tiles, pred_tiles, qtab):
+def inter_luma_residual(fenc_tiles, pred_tiles, qtab,
+                        lossless: bool = False):
     """Inter 16x16 luma residual: 16 full 4x4 DCT blocks, P-matrix quant
     (x264_macroblock_encode P path, encoder/macroblock.c:538-616).
 
@@ -84,6 +85,18 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab):
     lead = fenc_tiles.shape[:-2]
     diff = fenc_tiles - pred_tiles
     blocks = _blocks4_raster(diff, 4)                   # (*,4,4,4,4)
+    if lossless:
+        # transform bypass: residual samples coded directly
+        lv = blocks.reshape(*lead, 16, 16)
+        nz_blk = jnp.any(lv != 0, axis=-1).reshape(*lead, 4, 4)
+        grp = nz_blk.reshape(*lead, 2, 2, 2, 2).any(axis=(-3, -1))
+        cbp_bits = (grp[..., 0, 0] * 1 + grp[..., 0, 1] * 2
+                    + grp[..., 1, 0] * 4 + grp[..., 1, 1] * 8).astype(I32)
+        recon = jnp.clip(fenc_tiles, 0, 255)
+        zorder = jnp.asarray(tables.LUMA4x4_RASTER_OF_Z)
+        zig = jnp.asarray(tables.ZIGZAG4)
+        blocks_z = lv[..., zorder, :][..., zig]
+        return recon, blocks_z, cbp_bits
     coef = odct.dct4x4(blocks)
     lv = oquant.quant(coef.reshape(*lead, 16, 16),
                       qtab["py_mf"], qtab["py_bias"])
@@ -105,7 +118,7 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab):
 def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                   y, u, v, ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
                   subpel_steps=(2, 1), ref_prepadded: bool = False,
-                  parts: bool = True):
+                  parts: bool = True, lossless: bool = False):
     """Encode one P frame (pre-deblock). All planes int32, MB-aligned;
     ref_* are the deblocked reference reconstruction. mvp_seed:
     (mb_h, mb_w, 2) qpel MV predictors for ME cost (previous frame's
@@ -229,11 +242,11 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         pred_y, pred_u, pred_v = pred16, pred_u16, pred_v16
 
     recon_inter_y, inter_blocks_z, inter_cbp = inter_luma_residual(
-        y_tiles, pred_y, qtab)
+        y_tiles, pred_y, qtab, lossless)
     iru, idcu, iacu, inzau, inzdu = eintra.chroma_residual(
-        u_tiles, pred_u, qtab, "pc")
+        u_tiles, pred_u, qtab, "pc", lossless)
     irv, idcv, iacv, inzav, inzdv = eintra.chroma_residual(
-        v_tiles, pred_v, qtab, "pc")
+        v_tiles, pred_v, qtab, "pc", lossless)
 
     # ------------------- stage 3: intra-in-P by bounded-depth sweeps
     # The reference decides intra-vs-inter per MB inside the sequential
@@ -273,7 +286,7 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         left = lf(ty)[:, :, :, 15].reshape(nK, 16)
         topleft = lf(up(ty))[:, :, 15, 15].reshape(nK)
         lp = eintra.luma_i16_path(fenc_flat, top, left, topleft,
-                                  ht_g, hl_g, qtab, lam)
+                                  ht_g, hl_g, qtab, lam, lossless)
         pu = opred.predict_8x8c(up(tu)[:, :, 7, :].reshape(nK, 8),
                                 lf(tu)[:, :, :, 7].reshape(nK, 8),
                                 lf(up(tu))[:, :, 7, 7].reshape(nK),
@@ -288,8 +301,10 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         cmode = jnp.argmin(ccost, axis=-1).astype(I32)
         cpu = jnp.take_along_axis(pu, cmode[:, None, None, None], 1)[:, 0]
         cpv = jnp.take_along_axis(pv, cmode[:, None, None, None], 1)[:, 0]
-        ru, dcu, acu, _, _ = eintra.chroma_residual(fu_flat, cpu, qtab, "c")
-        rv, dcv, acv, _, _ = eintra.chroma_residual(fv_flat, cpv, qtab, "c")
+        ru, dcu, acu, _, _ = eintra.chroma_residual(fu_flat, cpu, qtab,
+                                                    "c", lossless)
+        rv, dcv, acv, _, _ = eintra.chroma_residual(fv_flat, cpv, qtab,
+                                                    "c", lossless)
         return lp, cmode, ru, rv, dcu, dcv, acu, acv
 
     recon_u_tiles = iru
@@ -421,7 +436,8 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
 
 def encode_b_body(mb_h: int, mb_w: int, me_range: int,
                   y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
-                  qtab, lam, mvp_seed, subpel_steps=(2, 1)):
+                  qtab, lam, mvp_seed, subpel_steps=(2, 1),
+                  lossless: bool = False):
     """Encode one B frame (pre-deblock): 16x16 L0 / L1 / BI modes plus
     intra — the B_16x16 ladder of x264_mb_analyse_b (encoder/analyse.c
     b16x16:1549) without direct/skip (never choosing B_DIRECT/B_SKIP is
@@ -486,11 +502,11 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
 
     # -------------------------------------------- stage 2: residuals
     recon_inter_y, inter_blocks_z, inter_cbp = inter_luma_residual(
-        y_tiles, pred_y, qtab)
+        y_tiles, pred_y, qtab, lossless)
     iru, idcu, iacu, _, _ = eintra.chroma_residual(u_tiles, pred_u,
-                                                   qtab, "pc")
+                                                   qtab, "pc", lossless)
     irv, idcv, iacv, _, _ = eintra.chroma_residual(v_tiles, pred_v,
-                                                   qtab, "pc")
+                                                   qtab, "pc", lossless)
 
     # ------------------- stage 3: intra-in-B by bounded-depth sweeps
     # (same machinery as encode_p_body stage 3)
@@ -517,7 +533,7 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
         left = lf(ty)[:, :, :, 15].reshape(nK, 16)
         topleft = lf(up(ty))[:, :, 15, 15].reshape(nK)
         lp = eintra.luma_i16_path(fenc_flat, top, left, topleft,
-                                  ht_g, hl_g, qtab, lam)
+                                  ht_g, hl_g, qtab, lam, lossless)
         pu = opred.predict_8x8c(up(tu)[:, :, 7, :].reshape(nK, 8),
                                 lf(tu)[:, :, :, 7].reshape(nK, 8),
                                 lf(up(tu))[:, :, 7, 7].reshape(nK),
@@ -532,8 +548,10 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
         cmode = jnp.argmin(ccost, axis=-1).astype(I32)
         cpu = jnp.take_along_axis(pu, cmode[:, None, None, None], 1)[:, 0]
         cpv = jnp.take_along_axis(pv, cmode[:, None, None, None], 1)[:, 0]
-        ru, dcu, acu, _, _ = eintra.chroma_residual(fu_flat, cpu, qtab, "c")
-        rv, dcv, acv, _, _ = eintra.chroma_residual(fv_flat, cpv, qtab, "c")
+        ru, dcu, acu, _, _ = eintra.chroma_residual(fu_flat, cpu, qtab,
+                                                    "c", lossless)
+        rv, dcv, acv, _, _ = eintra.chroma_residual(fv_flat, cpv, qtab,
+                                                    "c", lossless)
         return lp, cmode, ru, rv, dcu, dcv, acu, acv
 
     ty, tu, tv = recon_inter_y, iru, irv

@@ -61,7 +61,8 @@ def _unblocks4(blocks, n):
     return jnp.swapaxes(blocks, -3, -2).reshape(*s, n * 4, n * 4)
 
 
-def luma_i16_path(fenc, top, left, topleft, has_top, has_left, qtab, lam):
+def luma_i16_path(fenc, top, left, topleft, has_top, has_left, qtab, lam,
+                  lossless: bool = False):
     """I16x16 luma: mode decision + residual + reconstruction for a batch
     of MBs (x264_mb_analyse_intra, encoder/analyse.c:612 +
     x264_mb_encode_i16x16, encoder/macroblock.c:184).
@@ -86,6 +87,21 @@ def luma_i16_path(fenc, top, left, topleft, has_top, has_left, qtab, lam):
     # i16x16 residual path (x264_mb_encode_i16x16,
     # encoder/macroblock.c:117)
     diff = fenc - pred
+    if lossless:
+        # transform bypass (x264_mb_encode_i16x16 lossless branch,
+        # encoder/macroblock.c:186-200): coefficients ARE the residual
+        # samples; sample 0 of each 4x4 rides the DC list
+        blocks = _blocks4_raster(diff, 4)            # (K,4,4,4,4)
+        dc_raster = blocks[..., 0, 0]                # (K,4,4)
+        ac = blocks.at[..., 0, 0].set(0)
+        blk_nz = jnp.any(ac != 0, axis=(-2, -1))
+        cbp_luma = jnp.any(blk_nz, axis=(-2, -1))
+        recon = jnp.clip(pred + _unblocks4(blocks, 4), 0, 255)
+        zorder = jnp.asarray(tables.LUMA4x4_RASTER_OF_Z)
+        ac_z = ac.reshape(K, 16, 16)[:, zorder][:, :, zig]
+        dc_z = dc_raster.reshape(K, 16)[:, zig]
+        return dict(cost=best_cost, mode=mode, recon=recon,
+                    dc_z=dc_z, ac_z=ac_z, cbp=cbp_luma)
     blocks = _blocks4_raster(diff, 4)            # (K,4,4,4,4) raster
     coef = odct.dct4x4(blocks)
     dc_raster = coef[..., 0, 0]                  # (K,4,4)
@@ -120,7 +136,7 @@ def luma_i16_path(fenc, top, left, topleft, has_top, has_left, qtab, lam):
                 dc_z=dc_z, ac_z=ac_z, cbp=cbp_luma)
 
 
-def chroma_residual(fencc, cpred, qtab, pfx="c"):
+def chroma_residual(fencc, cpred, qtab, pfx="c", lossless: bool = False):
     """Chroma 8x8 residual path for one channel, arbitrary leading dims
     (x264_mb_encode_8x8_chroma, encoder/macroblock.c:272).
 
@@ -131,6 +147,16 @@ def chroma_residual(fencc, cpred, qtab, pfx="c"):
     lead = fencc.shape[:-2]
     cdiff = fencc - cpred
     cblocks = _blocks4_raster(cdiff, 2)       # (*,2,2,4,4)
+    if lossless:
+        # bypass (x264_mb_encode_8x8_chroma lossless branch)
+        cdc = cblocks[..., 0, 0]
+        cac = cblocks.at[..., 0, 0].set(0)
+        cnz_ac = jnp.any(cac != 0, axis=(-4, -3, -2, -1))
+        cnz_dc = jnp.any(cdc != 0, axis=(-2, -1))
+        crecon = jnp.clip(cpred + _unblocks4(cblocks, 2), 0, 255)
+        cdc_out = cdc.reshape(*lead, 4)
+        cac_out = cac.reshape(*lead, 4, 16)[..., zig]
+        return crecon, cdc_out, cac_out, cnz_ac, cnz_dc
     ccoef = odct.dct4x4(cblocks)
     cdc = ccoef[..., 0, 0]                    # (*,2,2)
     cac = ccoef.at[..., 0, 0].set(0)
@@ -160,9 +186,9 @@ def chroma_residual(fencc, cpred, qtab, pfx="c"):
     return crecon, cdc_out, cac_out, cnz_ac, cnz_dc
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 7))
+@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8))
 def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
-                     i4x4: bool = False):
+                     i4x4: bool = False, lossless: bool = False):
     """Encode one intra frame (I16x16, optionally with the I4x4 ladder).
 
     y: (mb_h*16, mb_w*16) int32; u, v: (mb_h*8, mb_w*8) int32.
@@ -219,7 +245,7 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
         topleft = ty[ym, xm, 15, 15]
 
         lp = luma_i16_path(fenc, top, left, topleft, has_top, has_left,
-                           qtab, lam)
+                           qtab, lam, lossless)
         mode, recon = lp["mode"], lp["recon"]
         dc_z, ac_z = lp["dc_z"], lp["ac_z"]
         cbp_bits = jnp.where(lp["cbp"], 15, 0).astype(I32)
@@ -232,7 +258,7 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
             nml = jnp.where(has_left[:, None],
                             state["i4_modes"][yc, xm, :, 3], 2)
             lp4 = luma_i4_path(fenc, top, topleft, left, nmt, nml,
-                               has_top, has_left, qtab, lam)
+                               has_top, has_left, qtab, lam, lossless)
             use_i4 = valid & (lp4["cost"] < lp["cost"])
             sel = use_i4[:, None, None]
             recon = jnp.where(sel, lp4["recon"], recon)
@@ -260,7 +286,7 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
         def chroma_encode(fencc, cpreds):
             cpred = jnp.take_along_axis(
                 cpreds, cmode[:, None, None, None], axis=1)[:, 0]
-            return chroma_residual(fencc, cpred, qtab, "c")
+            return chroma_residual(fencc, cpred, qtab, "c", lossless)
 
         ru, dcu, acu, nzau, nzdu = chroma_encode(fu, pu)
         rv, dcv, acv, nzav, nzdv = chroma_encode(fv, pv)
@@ -349,7 +375,7 @@ _I4_COST_BITS = 24   # mb-level signalling cost (x264_mb_analyse_intra)
 
 def luma_i4_path(fenc, top_row, topleft_px, left_col,
                  nbr_modes_top, nbr_modes_left, has_top, has_left,
-                 qtab, lam):
+                 qtab, lam, lossless: bool = False):
     """I4x4 luma: 16 blocks in z-scan order, sequential (each reads the
     reconstruction of its decoded neighbors), vectorized over a batch of
     MBs (x264_mb_analyse_intra i4x4 ladder, encoder/analyse.c:707-843 +
@@ -412,11 +438,18 @@ def luma_i4_path(fenc, top_row, topleft_px, left_col,
         pred = jnp.take_along_axis(
             preds, mode[:, None, None, None], axis=1)[:, 0]
 
-        coef = odct.dct4x4(fb - pred)
-        lv = oquant.quant(coef.reshape(K, 16), qtab["y_mf"], qtab["y_bias"])
-        nnz = jnp.count_nonzero(lv, axis=-1).astype(I32)
-        deq = oquant.dequant(lv, qtab["y_dmf"], qtab["y_qpdiv6"], 4)
-        rec = jnp.clip(pred + odct.idct4x4(deq.reshape(K, 4, 4)), 0, 255)
+        if lossless:
+            lv = (fb - pred).reshape(K, 16)
+            nnz = jnp.count_nonzero(lv, axis=-1).astype(I32)
+            rec = jnp.clip(fb, 0, 255)
+        else:
+            coef = odct.dct4x4(fb - pred)
+            lv = oquant.quant(coef.reshape(K, 16), qtab["y_mf"],
+                              qtab["y_bias"])
+            nnz = jnp.count_nonzero(lv, axis=-1).astype(I32)
+            deq = oquant.dequant(lv, qtab["y_dmf"], qtab["y_qpdiv6"], 4)
+            rec = jnp.clip(pred + odct.idct4x4(deq.reshape(K, 4, 4)),
+                           0, 255)
 
         ext = ext.at[:, 1 + 4 * by:5 + 4 * by, 1 + 4 * bx:5 + 4 * bx] \
             .set(rec)

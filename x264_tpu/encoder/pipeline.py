@@ -32,8 +32,9 @@ def capacity_words(nmb: int) -> int:
     return (nmb * CAP_BITS_PER_MB + edev.HDR_SLOTS * 32 + 4096) // 32
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
+                   lossless: bool,
                    y, u, v, qtab, lam, qp, qp_c,
                    hdr_vals, hdr_lens,
                    alpha_off, beta_off, chroma_qp_offset):
@@ -46,7 +47,8 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
     `nbits` (including the rbsp stop bit).
     """
     y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
-    out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam, i4x4)
+    out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam, i4x4,
+                                 lossless)
 
     vals, lens = edev.i16_code_planes(out, mb_h, mb_w)
     stop_v = jnp.ones((1,), I32)         # rbsp_trailing stop bit
@@ -72,9 +74,9 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
                 mode16=out["mode16"], modec=out["modec"])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
 def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
-             subpel_steps, parts,
+             subpel_steps, parts, lossless,
              y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
              hdr_vals, hdr_lens, alpha_off, beta_off, chroma_qp_offset,
              mvp_seed):
@@ -89,7 +91,8 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                            for p in (ref_y, ref_u, ref_v))
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
                               ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
-                              subpel_steps, parts=parts)
+                              subpel_steps, parts=parts,
+                              lossless=lossless)
 
     vals, lens = edev.p_code_planes(out, mb_h, mb_w)
     stop = jnp.ones((1,), I32)
@@ -115,18 +118,18 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
 
 
 # op-stream capacity per MB for the CABAC path: the slot layout is
-# bounded (header ~40 + 27 residual blocks <= ~2750 slots), so this
-# covers the true worst case; the host still checks n_ops
+# bounded (header + 27 residual blocks), so this covers the worst case
+# (intra-heavy P slices reach ~1500 ops/MB); the host still checks n_ops
 CABAC_OPS_PER_MB = 2950
 
 
-def cabac_capacity(nmb: int) -> int:
-    return nmb * CABAC_OPS_PER_MB + 1024
+def cabac_capacity(nmb: int, intra_or_lossless: bool = True) -> int:
+    return nmb * CABAC_OPS_PER_MB + 4096
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
-                         i4x4: bool,
+                         i4x4: bool, lossless: bool,
                          y, u, v, qtab, lam, qp, qp_c,
                          alpha_off, beta_off, chroma_qp_offset):
     """All-I16x16 IDR frame, CABAC entropy: the wavefront encode runs as
@@ -135,10 +138,12 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
     from ..entropy import cabac_planes
 
     y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
-    out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam, i4x4)
+    out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam, i4x4,
+                                 lossless)
 
     ops = cabac_planes.i16_slice_ops(out, mb_h, mb_w)
-    cops, n_ops = cabac_planes.compact_ops(ops, cabac_capacity(mb_h * mb_w))
+    cops, n_ops = cabac_planes.compact_ops(
+        ops, cabac_capacity(mb_h * mb_w))
 
     ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
     if deblock_on:
@@ -156,9 +161,9 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
                 mode16=out["mode16"], modec=out["modec"])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
 def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
-                   subpel_steps, parts,
+                   subpel_steps, parts, lossless,
                    y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
                    alpha_off, beta_off, chroma_qp_offset, mvp_seed):
     """P frame with CABAC entropy: same encode as encode_p, emitting the
@@ -170,10 +175,12 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                            for p in (ref_y, ref_u, ref_v))
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
                               ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
-                              subpel_steps, parts=parts)
+                              subpel_steps, parts=parts,
+                              lossless=lossless)
 
     ops = cabac_planes.p_slice_ops(out, mb_h, mb_w)
-    cops, n_ops = cabac_planes.compact_ops(ops, cabac_capacity(mb_h * mb_w))
+    cops, n_ops = cabac_planes.compact_ops(
+        ops, cabac_capacity(mb_h * mb_w))
 
     ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
     if deblock_on:

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 @functools.partial(jax.jit, static_argnums=(6, 7))
 def frame_metrics(oy, ou, ov, ry, ru, rv, w: int, h: int):
     """Device-side SSD (per plane, over the w x h output crop) + the
-    x264 SSIM sum over the (2,2)-offset luma region."""
+    x264 SSIM sum over the (2,2)-offset luma region. Jitted: unjitted
+    eager dispatch of the SSIM graph cost ~0.5 s/frame at 1080p."""
     from ..ops import pixel as opix
 
     def ssd(a, b, ww, hh):

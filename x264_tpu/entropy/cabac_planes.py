@@ -312,7 +312,10 @@ def i16_slice_ops(out, mb_h: int, mb_w: int):
 
 
 def compact_ops(ops_flat, cap: int):
-    """Drop pad ops, keeping order. Returns (ops[:cap], count)."""
+    """Drop pad ops, keeping order. Returns (ops[:cap], count).
+    (A searchsorted/gather formulation was tried and measured SLOWER
+    than this scatter at 23M-op planes; a hierarchical compaction is
+    the open optimization here.)"""
     keep = (ops_flat >> 29) != KIND_PAD
     pos = jnp.cumsum(keep.astype(I32)) - 1
     dst = jnp.where(keep, pos, cap)

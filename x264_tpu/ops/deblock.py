@@ -208,10 +208,12 @@ def deblock_frame(mb_h: int, mb_w: int, y, u, v, qp_mb, intra_mb,
         def eg(arr, idx):
             return arr[idx[0], idx[1]]
 
-        # luma patch (K, 20, 20); local coords -4..15 relative to the MB
-        rows = (yc * 16)[:, None, None] + r20[None, :, None]
-        cols = (xc * 16)[:, None, None] + r20[None, None, :]
-        patch = yp[rows, cols]
+        # luma patch (K, 20, 20); local coords -4..15 relative to the
+        # MB — fetched as vmapped dynamic_slice (batched block DMA)
+        def sl20(y0, x0):
+            return jax.lax.dynamic_slice(yp, (y0, x0), (20, 20))
+
+        patch = jax.vmap(sl20)(yc * 16, xc * 16)
 
         def run_edges(patch, bs_e, tc_e, a_e, b_e, first_ok):
             for e in range(4):
@@ -255,7 +257,10 @@ def deblock_frame(mb_h: int, mb_w: int, y, u, v, qp_mb, intra_mb,
             return cpatch
 
         def chroma_plane(pl):
-            cpatch = pl[crows, ccols]
+            def sl12(y0, x0):
+                return jax.lax.dynamic_slice(pl, (y0, x0), (12, 12))
+
+            cpatch = jax.vmap(sl12)(yc * 8, xc * 8)
             cpatch = run_chroma(cpatch, eg(bs_v, idx_v), eg(tvc, idx_v),
                                 eg(avc, idx_v)[:, :, 0],
                                 eg(bvc, idx_v)[:, :, 0], xs > 0)

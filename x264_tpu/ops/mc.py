@@ -86,16 +86,18 @@ def mc_luma(planes, ys, xs, mvs, bh: int, bw: int):
     p1 = jnp.asarray(_HPEL_REF1)[qidx]
     r0 = iy + (fy == 3)
     c1 = ix + (fx == 3)
-
-    dy = jnp.arange(bh)
-    dx = jnp.arange(bw)
-    shape = qidx.shape + (bh, bw)
+    shape = qidx.shape
 
     def fetch(pl, base_y, base_x):
-        rows = base_y[..., None, None] + dy[:, None]
-        cols = base_x[..., None, None] + dx[None, :]
-        return planes[jnp.broadcast_to(pl[..., None, None], shape),
-                      rows, cols]
+        # vmapped dynamic_slice = batched block DMA (much faster than an
+        # element gather on TPU)
+        def one(p, y0, x0):
+            return jax.lax.dynamic_slice(planes, (p, y0, x0),
+                                         (1, bh, bw))[0]
+
+        out = jax.vmap(one)(pl.reshape(-1), base_y.reshape(-1),
+                            base_x.reshape(-1))
+        return out.reshape(*shape, bh, bw)
 
     a = fetch(p0, r0, ix)
     b = fetch(p1, iy, c1)
@@ -118,12 +120,17 @@ def mc_chroma(padded, ys, xs, mvs, bh: int, bw: int):
     cc = ((8 - d8x) * d8y)[..., None, None]
     cd = (d8x * d8y)[..., None, None]
 
-    rows = iy[..., None, None] + jnp.arange(bh)[:, None]
-    cols = ix[..., None, None] + jnp.arange(bw)[None, :]
-    s00 = padded[rows, cols]
-    s01 = padded[rows, cols + 1]
-    s10 = padded[rows + 1, cols]
-    s11 = padded[rows + 1, cols + 1]
+    shape = iy.shape
+
+    def one(y0, x0):
+        return jax.lax.dynamic_slice(padded, (y0, x0), (bh + 1, bw + 1))
+
+    s = jax.vmap(one)(iy.reshape(-1), ix.reshape(-1))
+    s = s.reshape(*shape, bh + 1, bw + 1)
+    s00 = s[..., :bh, :bw]
+    s01 = s[..., :bh, 1:]
+    s10 = s[..., 1:, :bw]
+    s11 = s[..., 1:, 1:]
     return (ca * s00 + cb * s01 + cc * s10 + cd * s11 + 32) >> 6
 
 

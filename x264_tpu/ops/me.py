@@ -87,6 +87,34 @@ def fullpel_search(cur, ref_pad, mb_h: int, mb_w: int, me_range: int,
     return mv, sad
 
 
+
+def _win_slices(arr2d, by, bx, wy: int, wx: int):
+    """Per-MB window extraction via vmapped dynamic_slice (lowered to
+    batched block DMA — measured ~7x faster than an advanced-indexing
+    element gather on TPU). by/bx: (...,) start coords (clamped by
+    dynamic_slice semantics). Returns (..., wy, wx)."""
+    shape = by.shape
+
+    def one(y0, x0):
+        return jax.lax.dynamic_slice(arr2d, (y0, x0), (wy, wx))
+
+    out = jax.vmap(one)(by.reshape(-1), bx.reshape(-1))
+    return out.reshape(*shape, wy, wx)
+
+
+def _win_slices_planes(planes, pl, by, bx, wy: int, wx: int):
+    """Like _win_slices but with a per-window plane index into a
+    (P, H, W) stack."""
+    shape = by.shape
+
+    def one(p0, y0, x0):
+        return jax.lax.dynamic_slice(planes, (p0, y0, x0),
+                                     (1, wy, wx))[0]
+
+    out = jax.vmap(one)(pl.reshape(-1), by.reshape(-1), bx.reshape(-1))
+    return out.reshape(*shape, wy, wx)
+
+
 def _half_plane(p):
     """2x downsample by 2x2 mean (the lowres filter of
     x264_frame_init_lowres, common/mc.c:306)."""
@@ -159,13 +187,14 @@ def hier_search(cur, ref_pad, mb_h: int, mb_w: int, me_range: int,
         wn = 16 + 2 * m
         by = ys + c[..., 1] - m + pad
         bx = xs + c[..., 0] - m + pad
-        rows = by[..., None, None] + jnp.arange(wn, dtype=I32)[:, None]
-        cols = bx[..., None, None] + jnp.arange(wn, dtype=I32)[None, :]
-        win = ref_pad[rows, cols].astype(I32)   # (mb_h, mb_w, wn, wn)
-        sl = jnp.stack([win[..., oy:oy + 16, ox:ox + 16]
-                        for oy in range(2 * m + 1)
-                        for ox in range(2 * m + 1)])
-        sads = jnp.abs(cur_tiles[None] - sl).sum(axis=(-2, -1))
+        win = _win_slices(ref_pad, by, bx, wn, wn).astype(I32)
+        # per-candidate slice + immediate reduction: nothing the size of
+        # a candidate stack is ever materialized (a stacked formulation
+        # costs ~NC x frame of HBM traffic and dominated the search)
+        sads = jnp.stack(
+            [jnp.abs(cur_tiles - win[..., oy:oy + 16, ox:ox + 16])
+             .sum(axis=(-2, -1))
+             for oy in range(2 * m + 1) for ox in range(2 * m + 1)])
         offs = jnp.asarray([(ox, oy)
                             for oy in range(-m, m + 1)
                             for ox in range(-m, m + 1)], dtype=I32)
@@ -209,9 +238,14 @@ def subpel_refine_blocks(cur_blocks, planes, mv_qpel, lam, mvp_qpel,
     Wy, Wx = bh + 3, bw + 3
     by = ys + (mv_qpel[..., 1] >> 2) - 1 + pad
     bx = xs + (mv_qpel[..., 0] >> 2) - 1 + pad
-    rows = by[..., None, None] + jnp.arange(Wy)[:, None]
-    cols = bx[..., None, None] + jnp.arange(Wx)[None, :]
-    win = planes[:, rows, cols]            # (4, ..., Wy, Wx)
+    shape = by.shape
+
+    def one(y0, x0):      # all 4 hpel planes in one block DMA
+        return jax.lax.dynamic_slice(planes, (0, y0, x0), (4, Wy, Wx))
+
+    win = jax.vmap(one)(by.reshape(-1), bx.reshape(-1)) \
+        .reshape(*shape, 4, Wy, Wx)
+    win = jnp.moveaxis(win, -3, 0)         # (4, ..., Wy, Wx)
 
     if steps == (2,):
         offs = [(dx, dy) for dy in (-2, 0, 2) for dx in (-2, 0, 2)]
@@ -220,7 +254,7 @@ def subpel_refine_blocks(cur_blocks, planes, mv_qpel, lam, mvp_qpel,
 
     ref0 = omc._HPEL_REF0
     ref1 = omc._HPEL_REF1
-    preds, mvs = [], []
+    satds, mvs = [], []
     for (ox, oy) in offs:
         fx, fy = ox & 3, oy & 3
         qidx = (fy << 2) | fx
@@ -229,11 +263,12 @@ def subpel_refine_blocks(cur_blocks, planes, mv_qpel, lam, mvp_qpel,
         ix = 1 + (ox >> 2)
         a = win[p0, ..., iy + (fy == 3):iy + (fy == 3) + bh, ix:ix + bw]
         b = win[p1, ..., iy:iy + bh, ix + (fx == 3):ix + (fx == 3) + bw]
-        preds.append((a + b + 1) >> 1)
+        # reduce immediately: the (NC, ..., bh, bw) prediction stack is
+        # never materialized
+        satds.append(opix.satd(cur_blocks, (a + b + 1) >> 1))
         mvs.append(mv_qpel + jnp.asarray([ox, oy], I32))
-    preds = jnp.stack(preds)               # (NC, ..., bh, bw)
+    satd = jnp.stack(satds)                # (NC, ...)
     mvs = jnp.stack(mvs)                   # (NC, ..., 2)
-    satd = opix.satd(cur_blocks[None], preds)
     cost = satd + lam * mv_cost_bits(mvs, mvp_qpel[None])
     best = jnp.argmin(cost, axis=0)
     best_mv = jnp.take_along_axis(mvs, best[None, ..., None], axis=0)[0]
@@ -274,13 +309,19 @@ def partition_fullpel(cur_tiles, ref_pad, mv16_qpel, lam, mvp_qpel,
     wn = 16 + 2 * m
     by = ys + c[..., 1] - m + pad
     bx = xs + c[..., 0] - m + pad
-    rows = by[..., None, None] + jnp.arange(wn, dtype=I32)[:, None]
-    cols = bx[..., None, None] + jnp.arange(wn, dtype=I32)[None, :]
-    win = ref_pad[rows, cols].astype(I32)
-    sl = jnp.stack([win[..., oy:oy + 16, ox:ox + 16]
-                    for oy in range(2 * m + 1)
-                    for ox in range(2 * m + 1)])
-    diff = jnp.abs(cur_tiles[None] - sl)   # (NC, mb_h, mb_w, 16, 16)
+    win = _win_slices(ref_pad, by, bx, wn, wn).astype(I32)
+    # per-candidate diff reduced immediately into the four partition
+    # half-sums (top/bottom rows, left/right cols) — no candidate stack
+    part_sads = {"t": [], "b": [], "l": [], "r": []}
+    for oy in range(2 * m + 1):
+        for ox in range(2 * m + 1):
+            d = jnp.abs(cur_tiles - win[..., oy:oy + 16, ox:ox + 16])
+            rows_s = d.sum(axis=-1)        # (mb_h, mb_w, 16)
+            cols_s = d.sum(axis=-2)
+            part_sads["t"].append(rows_s[..., :8].sum(-1))
+            part_sads["b"].append(rows_s[..., 8:].sum(-1))
+            part_sads["l"].append(cols_s[..., :8].sum(-1))
+            part_sads["r"].append(cols_s[..., 8:].sum(-1))
     offs = jnp.asarray([(ox, oy)
                         for oy in range(-m, m + 1)
                         for ox in range(-m, m + 1)], dtype=I32)
@@ -288,11 +329,8 @@ def partition_fullpel(cur_tiles, ref_pad, mv16_qpel, lam, mvp_qpel,
     bits = mv_cost_bits(mvs, mvp_qpel[None])
 
     out = {}
-    for key, sad in (("t", diff[..., :8, :].sum(axis=(-2, -1))),
-                     ("b", diff[..., 8:, :].sum(axis=(-2, -1))),
-                     ("l", diff[..., :, :8].sum(axis=(-2, -1))),
-                     ("r", diff[..., :, 8:].sum(axis=(-2, -1)))):
-        cost = sad + lam * bits
+    for key, sads in part_sads.items():
+        cost = jnp.stack(sads) + lam * bits
         best = jnp.argmin(cost, axis=0)
         out[key] = jnp.take_along_axis(
             mvs, best[None, ..., None], axis=0)[0]

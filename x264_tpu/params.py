@@ -37,6 +37,7 @@ B_ADAPT_NONE, B_ADAPT_FAST, B_ADAPT_TRELLIS = 0, 1, 2
 TYPE_AUTO, TYPE_IDR, TYPE_I, TYPE_P, TYPE_BREF, TYPE_B = 0, 1, 2, 3, 4, 5
 
 PROFILE_BASELINE, PROFILE_MAIN, PROFILE_HIGH = 66, 77, 100
+PROFILE_HIGH444 = 144     # lossless transform bypass lives here
 
 
 @dataclass
@@ -167,6 +168,14 @@ class EncoderParams:
                 # lossless: transform bypass (encoder/encoder.c:392-406)
                 self.analyse.b_transform_8x8 = False
                 self.analyse.i_trellis = 0
+                if self.i_bframe > 0:
+                    self._log("lossless with B-frames not yet supported; "
+                              "using --bframes 0")
+                    self.i_bframe = 0
+                if self.i_mb_row_shards > 1:
+                    self._log("lossless with MB-row sharding not yet "
+                              "supported; encoding unsharded")
+                    self.i_mb_row_shards = 1
 
         a = self.analyse
         if a.b_transform_8x8:
@@ -248,6 +257,8 @@ class EncoderParams:
     def profile(self) -> int:
         """Minimum profile for the enabled feature set
         (x264_sps_init logic, encoder/set.c:77-110)."""
+        if self.rc.i_rc_method == RC_CQP and self.rc.i_qp_constant == 0:
+            return PROFILE_HIGH444    # qpprime_y_zero_transform_bypass
         if self.analyse.b_transform_8x8 or self.analyse.i_trellis:
             return PROFILE_HIGH
         if self.b_cabac or self.i_bframe > 0:
