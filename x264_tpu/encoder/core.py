@@ -289,9 +289,11 @@ class Encoder:
 
         out = pend.get("out")
         if ftype in ("P", "B") and out is not None and "intra_mb" in out:
-            n_intra = int(np.asarray(out["intra_mb"]).sum())
-            n_skip = (int(np.asarray(out["skip"]).sum())
-                      if "skip" in out else 0)
+            # .sum() reduces on device; only int32 scalars cross the
+            # link (bool-array d2h is pathologically slow on the
+            # tunneled-TPU dev environment)
+            n_intra = int(out["intra_mb"].sum())
+            n_skip = int(out["skip"].sum()) if "skip" in out else 0
             nmb = p.mb_width * p.mb_height
             counts = (n_intra, nmb - n_intra - n_skip, n_skip)
         elif ftype in ("P", "B"):
