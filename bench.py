@@ -139,8 +139,14 @@ def main():
 
     fps, bpf = run_encoder(frames, w, h, cabac=True, deblock=True,
                            keyint=250)
+    nmb = ((w + 15) // 16) * ((h + 15) // 16)
+    # utilization context: MB throughput vs the level-4.0 decoder
+    # ceiling (encoder/set.c:520) — makes the perf gap visible as a
+    # single ratio, per the round-2 review ask
     print(f"[bench] 1080p IPPP CABAC+deblock: {fps:.2f} fps "
-          f"({bpf / 8:.0f} B/frame)", file=sys.stderr)
+          f"({bpf / 8:.0f} B/frame); {fps * nmb:.0f} MB/s "
+          f"(= {100 * fps * nmb / 245760:.1f}% of the L4.0 245760 MB/s "
+          f"rate)", file=sys.stderr)
 
     try:
         fps_ai, _ = run_encoder(frames[:5], w, h, cabac=False, deblock=True,
