@@ -185,12 +185,14 @@ def main(argv=None):
             if ef is None:      # frame delayed in the pipeline
                 return
             if mkv is not None:
-                mkv.write_frame(ef.payload, ef.frame_type == "IDR")
+                mkv.write_frame(ef.payload, ef.frame_type == "IDR",
+                                ef.display_idx)
             else:
                 out.write(ef.payload)
             total_bits += ef.bits
             if args.dump_yuv:
-                recons.append((ef.recon.y, ef.recon.u, ef.recon.v))
+                recons.append((ef.display_idx,
+                               (ef.recon.y, ef.recon.u, ef.recon.v)))
 
         for (y, u, v) in reader:
             ftype, fqp = qpfile.get(n, (None, None))
@@ -214,7 +216,10 @@ def main(argv=None):
               f"{kbps:.2f} kb/s", file=sys.stderr)
     enc.close()   # prints the PSNR/SSIM/frame-type report (x264_print_stats)
     if args.dump_yuv:
-        write_y4m(args.dump_yuv, recons, width, height, (fps_num, fps_den))
+        # display order (B-frames are delivered in decode order)
+        ordered = [r for _, r in sorted(recons, key=lambda t: t[0])]
+        write_y4m(args.dump_yuv, ordered, width, height,
+                  (fps_num, fps_den))
     reader.close()
     return 0
 

@@ -50,11 +50,14 @@ class Frame:
 
 class EncodedFrame:
     def __init__(self, payload: bytes, frame_type: str, recon: Frame,
-                 bits: int):
+                 bits: int, display_idx: int = -1):
         self.payload = payload
         self.frame_type = frame_type
         self.recon = recon
         self.bits = bits
+        # display (input) order index: with B-frames the encode/decode
+        # order differs; muxers and --dump-yuv key on this
+        self.display_idx = display_idx
 
 
 class Encoder:
@@ -137,6 +140,7 @@ class Encoder:
         self._bbuf = None
         self._prev_ref = None
         self._disp_since_idr = 0
+        self._disp_abs = 0       # absolute display (input) counter
         # rate control (x264_ratecontrol_new, encoder/ratecontrol.c:267)
         self.rc = rcmod.RateControl(p)
         self._since_idr = 0
@@ -181,38 +185,43 @@ class Encoder:
                       or (scenecut and self._since_idr >= p.i_keyint_min))
 
         disp_poc = 2 * self._disp_since_idr
+        disp_abs = self._disp_abs
+        self._disp_abs += 1
         if self._bframes > 0:
             # IbP orchestration: a non-sync frame waits in _bbuf until
             # its future reference is encoded (x264 frames.next delay +
             # reorder, encoder/encoder.c:1423-1457); an IDR closes the
             # GOP by promoting the buffered frame to P first
             if self._bbuf is not None:
-                g, g_qp, g_poc = self._bbuf
+                g, g_qp, g_poc, g_disp = self._bbuf
                 self._bbuf = None
                 if is_idr:
-                    self._submit_ip(g, False, g_qp, g_poc)
+                    self._submit_ip(g, False, g_qp, g_poc, g_disp)
                     self._advance_gop(True)
-                    self._submit_ip(frame, True, forced_qp, 0)
+                    self._submit_ip(frame, True, forced_qp, 0, disp_abs)
                 else:
-                    self._submit_ip(frame, False, forced_qp, disp_poc)
+                    self._submit_ip(frame, False, forced_qp, disp_poc,
+                                    disp_abs)
                     self._advance_gop(False)
-                    self._submit_b_disp(g, g_qp, g_poc)
+                    self._submit_b_disp(g, g_qp, g_poc, g_disp)
             elif is_idr:
                 self._advance_gop(True)
-                self._submit_ip(frame, True, forced_qp, 0)
+                self._submit_ip(frame, True, forced_qp, 0, disp_abs)
             elif forced_type == "P":
                 self._advance_gop(False)
-                self._submit_ip(frame, False, forced_qp, disp_poc)
+                self._submit_ip(frame, False, forced_qp, disp_poc,
+                                disp_abs)
             else:
-                self._bbuf = (frame, forced_qp, disp_poc)
+                self._bbuf = (frame, forced_qp, disp_poc, disp_abs)
                 self._advance_gop(False)
         else:
             if is_idr:
                 self._advance_gop(True)
-                self._submit_ip(frame, True, forced_qp, 0)
+                self._submit_ip(frame, True, forced_qp, 0, disp_abs)
             else:
                 self._advance_gop(False)
-                self._submit_ip(frame, False, forced_qp, disp_poc)
+                self._submit_ip(frame, False, forced_qp, disp_poc,
+                                disp_abs)
 
         if len(self._pending) > self._delay:
             return self._finalize(self._pending.pop(0))
@@ -229,7 +238,8 @@ class Encoder:
         self._since_idr += 1
         self._disp_since_idr += 1
 
-    def _submit_ip(self, frame: Frame, is_idr: bool, forced_qp, poc: int):
+    def _submit_ip(self, frame: Frame, is_idr: bool, forced_qp, poc: int,
+                   disp: int = -1):
         """Submit one reference frame (IDR or P) in encode order."""
         qp = self.rc.start("I" if is_idr else "P",
                            frame_idx=self.frame_count)
@@ -243,12 +253,13 @@ class Encoder:
         else:
             pend = self._submit_p(frame, qp)
             pend["ftype"] = "P"
-        pend.update(frame=frame, qp=qp,
+        pend.update(frame=frame, qp=qp, disp=disp,
                     rc_rceq=self.rc.last_rceq, rc_satd=self.rc.last_satd)
         self.frame_count += 1
         self._pending.append(pend)
 
-    def _submit_b_disp(self, frame: Frame, forced_qp, poc: int):
+    def _submit_b_disp(self, frame: Frame, forced_qp, poc: int,
+                       disp: int = -1):
         qp = self.rc.start("B", frame_idx=self.frame_count)
         if forced_qp is not None:
             qp = max(0, min(51, int(forced_qp)))
@@ -256,7 +267,7 @@ class Encoder:
         self.poc = poc
         pend = self._submit_b(frame, qp)
         pend["ftype"] = "B"
-        pend.update(frame=frame, qp=qp,
+        pend.update(frame=frame, qp=qp, disp=disp,
                     rc_rceq=self.rc.last_rceq, rc_satd=self.rc.last_satd)
         self.frame_count += 1
         self._pending.append(pend)
@@ -265,9 +276,9 @@ class Encoder:
         """Drain delayed frames (the pic_in=NULL flush loop contract,
         x264.c:870-873). A trailing buffered B candidate becomes a P."""
         if self._bbuf is not None:
-            g, g_qp, g_poc = self._bbuf
+            g, g_qp, g_poc, g_disp = self._bbuf
             self._bbuf = None
-            self._submit_ip(g, self._ref is None, g_qp, g_poc)
+            self._submit_ip(g, self._ref is None, g_qp, g_poc, g_disp)
         out = []
         while self._pending:
             out.append(self._finalize(self._pending.pop(0)))
@@ -313,7 +324,8 @@ class Encoder:
                 np.asarray(frame.v), recon.y, recon.u, recon.v,
                 p.i_width, p.i_height)
         self.stats.add_frame(ftype, bits, qp, metrics, counts)
-        return EncodedFrame(payload, ftype, recon, bits)
+        return EncodedFrame(payload, ftype, recon, bits,
+                            pend.get("disp", -1))
 
     def _qtab(self, qp_y: int, qp_c: int):
         key = (qp_y, qp_c)

@@ -123,10 +123,15 @@ class MKVWriter:
             raise ValueError("SPS/PPS not found in header blob")
         self.headers = (sps, pps)
 
-    def write_frame(self, annexb: bytes, keyframe: bool):
+    def write_frame(self, annexb: bytes, keyframe: bool,
+                    display_idx: int | None = None):
+        """display_idx: presentation position (B-frames arrive in decode
+        order; the SimpleBlock timecode must be presentation time)."""
         nals = [n for n in split_nals(annexb)
                 if (n[0] & 0x1F) not in (7, 8)]   # headers live in avcC
-        tc = int(round(self.n * self.frame_dur_ms))
+        d = self.n if display_idx is None or display_idx < 0 \
+            else display_idx
+        tc = int(round(d * self.frame_dur_ms))
         self.frames.append((tc, keyframe, to_length_prefixed(nals)))
         self.n += 1
 
