@@ -125,7 +125,7 @@ def stage_timings(w, h):
         yy, jnp.pad(rr, 32, mode="edge"), mb_h, mb_w, 16, lam, mm))
     t_me = timed(lambda: me_jit(y, ry, mvp0)[0])
     t_p_full = timed(lambda: pipeline.encode_p_cabac(
-        mb_h, mb_w, 16, True, (2, 1), True, False, y, u, v, ry, u, v,
+        mb_h, mb_w, 16, True, (2, 1), True, False, 1, y, u, v, ry, u, v,
         qtab, lam, qp, qp_c, 0, 0, 0, mvp0)["ops"])
     print(f"[bench] per-stage ms/frame @{w}x{h}: intra_scan={t_intra:.1f} "
           f"idr_fused={t_i_full:.1f} me_fullpel={t_me:.1f} "

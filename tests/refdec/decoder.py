@@ -242,8 +242,10 @@ class Decoder:
         self.sps = None
         self.pps = None
         self.frames = []
-        self.ref = None   # most recent reference planes (P list0)
+        self.ref = None   # most recent reference planes (P list0[0])
         self.dpb = []     # [(poc, (Y, U, V))] reference frames, poc order
+        self.list0 = []   # per-P-slice L0 list (PicNum descending)
+        self._nref0 = 1   # num_ref_idx_l0_active of the current slice
         self._pic = None  # in-progress picture (multi-slice)
         self._row0 = 0    # top MB row of the slice being decoded
 
@@ -288,8 +290,10 @@ class Decoder:
             assert br.bit() == 0, "ref list reordering unsupported"
             if is_b:
                 assert br.bit() == 0, "L1 reordering unsupported"
-        assert num_ref == 1 and num_ref_l1 == 1, \
-            "multi-ref decode not yet supported"
+        assert num_ref <= 2 and num_ref_l1 == 1, \
+            "at most 2 L0 refs supported"
+        assert not (is_b and num_ref > 1), "multi-ref B unsupported"
+        self._nref0 = num_ref
         if nal_ref_idc != 0:
             if is_idr:
                 br.bit()
@@ -361,6 +365,16 @@ class Decoder:
         qt = enc_tables.DEFAULT_QUANT
 
         mv_f1, ref_f1 = pic["mv_f1"], pic["ref_f1"]
+        if is_p:
+            # P list0: default order = PicNum descending (spec 8.2.4.2.1)
+            # — most recent reference first; coding order == poc order
+            # for the reference frames of a closed GOP
+            self.list0 = [e[1] for e in
+                          sorted(self.dpb, key=lambda e: -e[0])][:num_ref]
+            if not self.list0 and self.ref is not None:
+                self.list0 = [self.ref]
+            assert len(self.list0) >= num_ref, \
+                "DPB smaller than num_ref_idx_active"
         if is_b:
             # reference lists by POC (x264_reference_build_list):
             # L0 = closest past, L1 = closest future
@@ -462,6 +476,7 @@ class Decoder:
                 alpha_off=2 * a2, beta_off=2 * b2,
                 chroma_qp_offset=pps.chroma_qp_offset, **kw)
 
+        self.last_pic = pic      # retained for test introspection
         self._pic = None
         if is_idr:
             self.dpb = []
@@ -645,6 +660,31 @@ class Decoder:
             assert cd.decision(16) == 0, "P_8x8 unsupported"
             ptype = 0
 
+        # ---- ref_idx_l0 per partition (x264_cabac_mb_ref ctx 54+:
+        # (refA>0) + 2*(refB>0); continuation ctx 58). Partition 0's
+        # ref enters the cache before partition 1's ctx reads it.
+        ref_idx = 0
+        r0, c0 = my * 4, mx * 4
+        if self._nref0 > 1:
+            def ref_ctx(r, c):
+                ra = (c - 1 >= 0 and r >= row0 * 4
+                      and int(ref_f[r, c - 1]) > 0)
+                rb = (r - 1 >= row0 * 4 and c >= 0
+                      and int(ref_f[r - 1, c]) > 0)
+                return 54 + (1 if ra else 0) + 2 * (1 if rb else 0)
+
+            if cd.decision(ref_ctx(r0, c0)):
+                assert cd.decision(58) == 0, ">2 refs unsupported"
+                ref_idx = 1
+            if ptype:
+                ref_f[r0:r0 + 4, c0:c0 + 4] = ref_idx
+                r1c, c1c = (r0 + 2, c0) if ptype == 1 else (r0, c0 + 2)
+                v = 1 if cd.decision(ref_ctx(r1c, c1c)) else 0
+                if v:
+                    assert cd.decision(58) == 0, ">2 refs unsupported"
+                assert v == ref_idx, \
+                    "partitions with distinct refs unsupported"
+
         def amvd_at(r, c, comp):
             a = abs(int(mvd_map[r, c - 1, comp])) \
                 if (c - 1 >= 0 and r >= row0 * 4) else 0
@@ -660,13 +700,13 @@ class Decoder:
                 out[comp] = self._decode_mvd_cabac(cd, base, inc)
             return out
 
-        r0, c0 = my * 4, mx * 4
         if ptype == 0:
             mvd0 = read_mvd(r0, c0)
             mvd_map[r0:r0 + 4, c0:c0 + 4] = mvd0
-            mv0 = self._mvp_16x16(ref_f, mv_f, my, mx) + mvd0
+            mv0 = self._mvp_16x16(ref_f, mv_f, my, mx, ref_idx) + mvd0
             mv1 = mv0
-            self._set_part_field(mv_f, ref_f, my, mx, 0, mv0, mv0)
+            self._set_part_field(mv_f, ref_f, my, mx, 0, mv0, mv0,
+                                 ref_idx)
         else:
             r1, c1 = (r0 + 2, c0) if ptype == 1 else (r0, c0 + 2)
             mvd0 = read_mvd(r0, c0)
@@ -680,10 +720,14 @@ class Decoder:
                 mvd_map[r0 + 2:r0 + 4, c0:c0 + 4] = mvd1
             else:
                 mvd_map[r0:r0 + 4, c0 + 2:c0 + 4] = mvd1
-            mv0 = self._mvp_part(ref_f, mv_f, my, mx, ptype, 0) + mvd0
-            self._set_part_field(mv_f, ref_f, my, mx, ptype, mv0, mv0)
-            mv1 = self._mvp_part(ref_f, mv_f, my, mx, ptype, 1) + mvd1
-            self._set_part_field(mv_f, ref_f, my, mx, ptype, mv0, mv1)
+            mv0 = self._mvp_part(ref_f, mv_f, my, mx, ptype, 0,
+                                 ref_idx) + mvd0
+            self._set_part_field(mv_f, ref_f, my, mx, ptype, mv0, mv0,
+                                 ref_idx)
+            mv1 = self._mvp_part(ref_f, mv_f, my, mx, ptype, 1,
+                                 ref_idx) + mvd1
+            self._set_part_field(mv_f, ref_f, my, mx, ptype, mv0, mv1,
+                                 ref_idx)
 
         def cbp_nbr(m, gy, gx):
             if gy < 0 or gx < 0:
@@ -712,7 +756,8 @@ class Decoder:
             assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
-        py, pu, pv = self._inter_pred_mb(my, mx, ptype, mv0, mv1)
+        py, pu, pv = self._inter_pred_mb(my, mx, ptype, mv0, mv1,
+                                         ref_idx)
         dmf = qt.dequant4_mf[enc_tables.CQM_4PY, qp % 6]
         mb = py.astype(np.int64)
         for i in range(16):
@@ -1321,20 +1366,21 @@ class Decoder:
         return int(ref_f[by, bx]), mv_f[by, bx]
 
     @staticmethod
-    def _mvp_rule(ra, mva, rb, mvb, rc, mvc):
+    def _mvp_rule(ra, mva, rb, mvb, rc, mvc, i_ref=0):
         """The common count/median tail of x264_mb_predict_mv*."""
-        cnt = (ra == 0) + (rb == 0) + (rc == 0)
+        cnt = (ra == i_ref) + (rb == i_ref) + (rc == i_ref)
         if cnt > 1:
             return np.array([_median3(mva[0], mvb[0], mvc[0]),
                              _median3(mva[1], mvb[1], mvc[1])], np.int64)
         if cnt == 1:
-            return (mva if ra == 0 else (mvb if rb == 0 else mvc)).copy()
+            return (mva if ra == i_ref
+                    else (mvb if rb == i_ref else mvc)).copy()
         if rb == -2 and rc == -2 and ra != -2:
             return mva.copy()
         return np.array([_median3(mva[0], mvb[0], mvc[0]),
                          _median3(mva[1], mvb[1], mvc[1])], np.int64)
 
-    def _mvp_16x16(self, ref_f, mv_f, my, mx):
+    def _mvp_16x16(self, ref_f, mv_f, my, mx, i_ref=0):
         """Spec 8.4.1.3 median prediction for a 16x16 partition
         (x264_mb_predict_mv_16x16, common/macroblock.c:96)."""
         r, c = my * 4, mx * 4
@@ -1343,9 +1389,9 @@ class Decoder:
         rc, mvc = self._nbr(ref_f, mv_f, r - 1, c + 4)
         if rc == -2:
             rc, mvc = self._nbr(ref_f, mv_f, r - 1, c - 1)
-        return self._mvp_rule(ra, mva, rb, mvb, rc, mvc)
+        return self._mvp_rule(ra, mva, rb, mvb, rc, mvc, i_ref)
 
-    def _mvp_part(self, ref_f, mv_f, my, mx, ptype, part):
+    def _mvp_part(self, ref_f, mv_f, my, mx, ptype, part, i_ref=0):
         """x264_mb_predict_mv for D_16x8 / D_8x16 partitions
         (common/macroblock.c:28-94: directional early-outs, then the
         median rule; C falls back to D when its cache slot is
@@ -1357,14 +1403,14 @@ class Decoder:
             rc, mvc = self._nbr(ref_f, mv_f, r - 1, c + 4)
             if rc == -2:
                 rc, mvc = self._nbr(ref_f, mv_f, r - 1, c - 1)
-            if rb == 0:
+            if rb == i_ref:
                 return mvb.copy()
         elif ptype == 1:                   # 16x8 bottom
             ra, mva = self._nbr(ref_f, mv_f, r + 2, c - 1)
             rb, mvb = self._nbr(ref_f, mv_f, r + 1, c)
             # the C cache slot is never written in raster order -> D
             rc, mvc = self._nbr(ref_f, mv_f, r + 1, c - 1)
-            if ra == 0:
+            if ra == i_ref:
                 return mva.copy()
         elif part == 0:                    # 8x16 left
             ra, mva = self._nbr(ref_f, mv_f, r, c - 1)
@@ -1372,7 +1418,7 @@ class Decoder:
             rc, mvc = self._nbr(ref_f, mv_f, r - 1, c + 2)
             if rc == -2:
                 rc, mvc = self._nbr(ref_f, mv_f, r - 1, c - 1)
-            if ra == 0:
+            if ra == i_ref:
                 return mva.copy()
         else:                              # 8x16 right
             ra, mva = self._nbr(ref_f, mv_f, r, c + 1)
@@ -1380,9 +1426,9 @@ class Decoder:
             rc, mvc = self._nbr(ref_f, mv_f, r - 1, c + 4)
             if rc == -2:
                 rc, mvc = self._nbr(ref_f, mv_f, r - 1, c + 1)
-            if rc == 0:
+            if rc == i_ref:
                 return mvc.copy()
-        return self._mvp_rule(ra, mva, rb, mvb, rc, mvc)
+        return self._mvp_rule(ra, mva, rb, mvb, rc, mvc, i_ref)
 
     def _mv_pskip(self, ref_f, mv_f, my, mx):
         """x264_mb_predict_mv_pskip (common/macroblock.c:133)."""
@@ -1396,11 +1442,19 @@ class Decoder:
         return self._mvp_16x16(ref_f, mv_f, my, mx)
 
     # ----------------------------------------------------- P macroblocks
-    def _inter_pred_mb(self, my, mx, ptype, mv0, mv1):
+    def _l0(self, ref_idx):
+        """L0 reference planes by ref_idx. Index 0 is self.ref — which
+        the B bipred path temporarily rebinds per list — so only
+        ref_idx > 0 (P slices) consults the per-slice list0."""
+        if ref_idx == 0:
+            return self.ref
+        return self.list0[ref_idx]
+
+    def _inter_pred_mb(self, my, mx, ptype, mv0, mv1, ref_idx=0):
         """Whole-MB prediction for P_L0 16x16 / 16x8 / 8x16."""
         if ptype == 0:
-            return self._inter_pred(my, mx, mv0)
-        refY, refU, refV = self.ref
+            return self._inter_pred(my, mx, mv0, ref_idx)
+        refY, refU, refV = self._l0(ref_idx)
         py = np.zeros((16, 16), np.int64)
         pu = np.zeros((8, 8), np.int64)
         pv = np.zeros((8, 8), np.int64)
@@ -1432,10 +1486,11 @@ class Decoder:
                                             int(mv1[0]), int(mv1[1]), 8, 4)
         return py, pu, pv
 
-    def _set_part_field(self, mv_f, ref_f, my, mx, ptype, mv0, mv1):
+    def _set_part_field(self, mv_f, ref_f, my, mx, ptype, mv0, mv1,
+                        ref_idx=0):
         """Write the per-4x4 mv/ref cache for a decoded inter MB."""
         r, c = my * 4, mx * 4
-        ref_f[r:r + 4, c:c + 4] = 0
+        ref_f[r:r + 4, c:c + 4] = ref_idx
         if ptype == 0:
             mv_f[r:r + 4, c:c + 4] = mv0
         elif ptype == 1:
@@ -1445,8 +1500,8 @@ class Decoder:
             mv_f[r:r + 4, c:c + 2] = mv0
             mv_f[r:r + 4, c + 2:c + 4] = mv1
 
-    def _inter_pred(self, my, mx, mv):
-        refY, refU, refV = self.ref
+    def _inter_pred(self, my, mx, mv, ref_idx=0):
+        refY, refU, refV = self._l0(ref_idx)
         py = golden_mc.mc_luma(refY, my * 16, mx * 16,
                                int(mv[0]), int(mv[1]), 16, 16)
         pu = golden_mc.mc_chroma(refU, my * 8, mx * 8,
@@ -1476,20 +1531,33 @@ class Decoder:
         assert mb_type in (0, 1, 2), \
             f"P_8x8 / sub-partitions unsupported, got {mb_type}"
         ptype = mb_type
-        # single ref -> no ref_idx coded; mvds in partition order
+        # ref_idx te(v) per partition when >1 active ref (7.3.5.1: all
+        # ref_idx precede all mvd); with 2 refs te is one bit !ref
+        ref_idx = 0
+        if self._nref0 > 1:
+            ref_idx = 1 - br.bit()
+            if ptype:
+                ref1 = 1 - br.bit()
+                assert ref1 == ref_idx, \
+                    "partitions with distinct refs unsupported"
         mvd0 = np.array([br.se(), br.se()], np.int64)
         if ptype:
             mvd1 = np.array([br.se(), br.se()], np.int64)
         if ptype == 0:
-            mv0 = self._mvp_16x16(ref_f, mv_f, my, mx) + mvd0
+            mv0 = self._mvp_16x16(ref_f, mv_f, my, mx, ref_idx) + mvd0
             mv1 = mv0
-            self._set_part_field(mv_f, ref_f, my, mx, 0, mv0, mv0)
+            self._set_part_field(mv_f, ref_f, my, mx, 0, mv0, mv0,
+                                 ref_idx)
         else:
-            mv0 = self._mvp_part(ref_f, mv_f, my, mx, ptype, 0) + mvd0
+            mv0 = self._mvp_part(ref_f, mv_f, my, mx, ptype, 0,
+                                 ref_idx) + mvd0
             # part 0 must land in the cache before part 1 predicts
-            self._set_part_field(mv_f, ref_f, my, mx, ptype, mv0, mv0)
-            mv1 = self._mvp_part(ref_f, mv_f, my, mx, ptype, 1) + mvd1
-            self._set_part_field(mv_f, ref_f, my, mx, ptype, mv0, mv1)
+            self._set_part_field(mv_f, ref_f, my, mx, ptype, mv0, mv0,
+                                 ref_idx)
+            mv1 = self._mvp_part(ref_f, mv_f, my, mx, ptype, 1,
+                                 ref_idx) + mvd1
+            self._set_part_field(mv_f, ref_f, my, mx, ptype, mv0, mv1,
+                                 ref_idx)
 
         cbp = int(_GOLOMB_TO_CBP_INTER[br.ue()])
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
@@ -1497,7 +1565,8 @@ class Decoder:
             qp = qp + br.se()
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
-        py, pu, pv = self._inter_pred_mb(my, mx, ptype, mv0, mv1)
+        py, pu, pv = self._inter_pred_mb(my, mx, ptype, mv0, mv1,
+                                         ref_idx)
 
         # luma residual: full 4x4 blocks per coded 8x8 group
         dmf = qt.dequant4_mf[enc_tables.CQM_4PY, qp % 6]

@@ -112,7 +112,7 @@ def main():
 
     # --- fused P + host tail
     fused_jit = lambda: pipeline.encode_p_cabac(
-        mb_h, mb_w, 16, True, (2, 1), True, False, y, u, v, ry, ru, rv,
+        mb_h, mb_w, 16, True, (2, 1), True, False, 1, y, u, v, ry, ru, rv,
         qtab, lam, qp, qp_c, 0, 0, 0, mvp0)
     o2 = fused_jit()
     jax.block_until_ready(o2["ops"])

@@ -339,8 +339,15 @@ class Encoder:
             self._qtab_p_cache[key] = inter.make_qtab_p(qp_y, qp_c, self.qt)
         return self._qtab_p_cache[key]
 
-    def _slice_header(self, qp: int, slice_type: int = SLICE_I) -> SliceHeader:
+    def _slice_header(self, qp: int, slice_type: int = SLICE_I,
+                      n_ref_l0: int = 1) -> SliceHeader:
+        """n_ref_l0: refs actually usable for THIS slice (< the PPS
+        count right after an IDR, when the DPB holds fewer frames) —
+        signalled via num_ref_idx_active_override
+        (x264_slice_header_init, encoder/encoder.c:721-727)."""
         p = self.params
+        override = (slice_type != SLICE_I
+                    and n_ref_l0 != self.pps.num_ref_idx_l0)
         return SliceHeader(
             slice_type=slice_type, frame_num=self.frame_num,
             idr_pic_id=self.idr_pic_id if slice_type == SLICE_I else -1,
@@ -350,6 +357,8 @@ class Encoder:
             alpha_c0_offset=p.i_deblocking_filter_alphac0,
             beta_offset=p.i_deblocking_filter_beta,
             cabac=p.b_cabac,
+            num_ref_idx_l0=n_ref_l0, num_ref_idx_l1=1,
+            num_ref_idx_override=override,
             log2_max_frame_num=self.sps.log2_max_frame_num,
             log2_max_poc_lsb=self.sps.log2_max_poc_lsb,
         )
@@ -618,12 +627,18 @@ class Encoder:
                             nal_type=NAL_SLICE_IDR, nal_ref_idc=3)
 
         pend["recon"] = self._finish_frame(out, frame)
+        # IDR empties the DPB (no_output_of_prior_pics / spec 8.2.5.1):
+        # the pre-IDR reference must never appear as L0[1]
+        self._prev_ref = None
         self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         return pend
 
     def _submit_p(self, frame: Frame, qp: int) -> dict:
-        """One P frame against the single-entry DPB
-        (x264_encoder_encode P path; ME/MC per SURVEY §7 step 4)."""
+        """One P frame against the DPB (x264_encoder_encode P path;
+        ME/MC per SURVEY §7 step 4). With --ref 2, L0 = [_ref,
+        _prev_ref] (PicNum-descending default order) once two
+        references exist; the first P after an IDR runs single-ref with
+        the slice-header override."""
         import jax.numpy as jnp
         p = self.params
         if self._rows_mesh is not None:
@@ -639,35 +654,40 @@ class Encoder:
         mvp_seed = (self._prev_mv if self._prev_mv is not None
                     else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
         ry, ru, rv = self._ref
+        n_refs = (2 if p.i_frame_reference >= 2
+                  and self._prev_ref is not None else 1)
+        r2y, r2u, r2v = (self._prev_ref if n_refs == 2
+                         else (None, None, None))
         if p.b_cabac:
-            hdr_bytes = self._cabac_header(qp, SLICE_P, 2)
+            hdr_bytes = self._cabac_header(qp, SLICE_P, 2, n_refs)
             out = pipeline.encode_p_cabac(
                 mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
-                self._subpel, self._parts, self._lossless,
+                self._subpel, self._parts, self._lossless, n_refs,
                 y, u, v, ry, ru, rv,
                 self._qtab_p(qp, qp_c), lam, qp, qp_c,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset,
-                mvp_seed)
+                mvp_seed, r2y, r2u, r2v)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=False, nal_type=NAL_SLICE,
                         nal_ref_idc=2, nmb=mb_h * mb_w)
         else:
             hdr = BitWriter()
-            self._slice_header(qp, SLICE_P).write_rbsp(hdr, nal_ref_idc=2)
+            self._slice_header(qp, SLICE_P, n_refs).write_rbsp(
+                hdr, nal_ref_idc=2)
             hdr_vals, hdr_lens = edev.header_slots(hdr)
 
             out = pipeline.encode_p(
                 mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
-                self._subpel, self._parts, self._lossless,
+                self._subpel, self._parts, self._lossless, n_refs,
                 y, u, v, ry, ru, rv,
                 self._qtab_p(qp, qp_c), lam, qp, qp_c,
                 hdr_vals, hdr_lens,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset,
-                mvp_seed)
+                mvp_seed, r2y, r2u, r2v)
             pend = dict(kind="cavlc", out=out,
                         cap_words=pipeline.capacity_words(mb_h * mb_w),
                         nal_type=NAL_SLICE, nal_ref_idc=2)
@@ -752,12 +772,12 @@ class Encoder:
         return np.asarray(ry), np.asarray(ru), np.asarray(rv)
 
     def _cabac_header(self, qp: int, slice_type: int,
-                      nal_ref_idc: int) -> bytearray:
+                      nal_ref_idc: int, n_ref_l0: int = 1) -> bytearray:
         """Slice header bytes + cabac_alignment_one_bit (spec 7.3.4),
         built at submit time while frame_num/POC/idr_pic_id still hold
         this frame's values."""
         hdr = BitWriter()
-        self._slice_header(qp, slice_type).write_rbsp(
+        self._slice_header(qp, slice_type, n_ref_l0).write_rbsp(
             hdr, nal_ref_idc=nal_ref_idc)
         pad = (-hdr.bit_pos) % 8
         if pad:

@@ -118,7 +118,9 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab,
 def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                   y, u, v, ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
                   subpel_steps=(2, 1), ref_prepadded: bool = False,
-                  parts: bool = True, lossless: bool = False):
+                  parts: bool = True, lossless: bool = False,
+                  ref2_y=None, ref2_u=None, ref2_v=None,
+                  n_refs: int = 1):
     """Encode one P frame (pre-deblock). All planes int32, MB-aligned;
     ref_* are the deblocked reference reconstruction. mvp_seed:
     (mb_h, mb_w, 2) qpel MV predictors for ME cost (previous frame's
@@ -128,7 +130,14 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     edge rows/cols around each ref plane — used by the MB-row-sharded
     path (parallel/rows.py), where the vertical pad of interior bands is
     *real halo pixels* from neighbor shards rather than edge replication
-    (the i_mv_range_thread contract, encoder/encoder.c:557-578)."""
+    (the i_mv_range_thread contract, encoder/encoder.c:557-578).
+
+    n_refs=2: ref2_* is L0[1] (the older reference). ME runs per
+    reference; the reference is chosen per MB at the full-pel stage
+    (the i_ref loop of x264_mb_analyse_inter_p16x16,
+    encoder/analyse.c:1100-1140) and all later fetches (sub-pel refine,
+    partition search, MC) index the chosen reference's plane stack.
+    Both partitions of a 16x8/8x16 MB share the MB's reference."""
     y = y.astype(I32)
     y_tiles = _tile16(y, mb_h, mb_w)
     u_tiles = u.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
@@ -140,12 +149,34 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     planes = omc.hpel_planes(ref_pad)
     mv_fp, sad_fp = ome.hier_search(y, ref_pad, mb_h, mb_w, me_range,
                                     lam, mvp_seed)
+    if n_refs == 2:
+        ref2_pad = (ref2_y.astype(I32) if ref_prepadded
+                    else omc.pad_plane(ref2_y.astype(I32)))
+        mv_fp2, sad_fp2 = ome.hier_search(y, ref2_pad, mb_h, mb_w,
+                                          me_range, lam, mvp_seed)
+        # per-MB reference choice at full-pel: SAD + MV bits + one bit
+        # of ref_idx cost biasing toward L0[0] (REF_COST semantics,
+        # encoder/analyse.c:1107)
+        c_r0 = sad_fp + lam * ome.mv_cost_bits(mv_fp, mvp_seed)
+        c_r1 = sad_fp2 + lam * (ome.mv_cost_bits(mv_fp2, mvp_seed) + 1)
+        sel = (c_r1 < c_r0).astype(I32)          # (mb_h, mb_w)
+        mv_fp = jnp.where((sel == 1)[..., None], mv_fp2, mv_fp)
+        sad_fp = jnp.where(sel == 1, sad_fp2, sad_fp)
+        planes = jnp.concatenate([planes, omc.hpel_planes(ref2_pad)], 0)
+        refs_pad = jnp.stack([ref_pad, ref2_pad])
+        ref_bits = sel
+    else:
+        sel = None
+        refs_pad = ref_pad
+        ref_bits = 0
     if subpel_steps:
         mv, satd_inter = ome.subpel_refine(y_tiles, planes, mv_fp, lam,
-                                           mvp_seed, steps=subpel_steps)
+                                           mvp_seed, steps=subpel_steps,
+                                           ref_sel=sel)
     else:      # subme 1: full-pel only (cost stays SAD-comparable)
         mv, satd_inter = mv_fp, sad_fp
-    cost16 = satd_inter + lam * (ome.mv_cost_bits(mv, mvp_seed) + 1)
+    cost16 = satd_inter + lam * (ome.mv_cost_bits(mv, mvp_seed) + 1
+                                 + ref_bits)
 
     ys = jnp.arange(mb_h, dtype=I32)[:, None] * 16 \
         + jnp.zeros((1, mb_w), I32)
@@ -157,26 +188,26 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     # seeded by the MB winner, then sub-pel SATD refine per partition)
     parts = parts and bool(subpel_steps)
     if parts:
-        pf = ome.partition_fullpel(y_tiles, ref_pad, mv_fp, lam,
-                                   mvp_seed, me_range)
+        pf = ome.partition_fullpel(y_tiles, refs_pad, mv_fp, lam,
+                                   mvp_seed, me_range, ref_sel=sel)
         mv_t, satd_t = ome.subpel_refine_blocks(
             y_tiles[..., :8, :], planes, pf["t"], lam, mvp_seed,
-            ys, xs, 8, 16, subpel_steps)
+            ys, xs, 8, 16, subpel_steps, ref_sel=sel)
         mv_b, satd_b = ome.subpel_refine_blocks(
             y_tiles[..., 8:, :], planes, pf["b"], lam, mvp_seed,
-            ys + 8, xs, 8, 16, subpel_steps)
+            ys + 8, xs, 8, 16, subpel_steps, ref_sel=sel)
         mv_l, satd_l = ome.subpel_refine_blocks(
             y_tiles[..., :, :8], planes, pf["l"], lam, mvp_seed,
-            ys, xs, 16, 8, subpel_steps)
+            ys, xs, 16, 8, subpel_steps, ref_sel=sel)
         mv_r, satd_r = ome.subpel_refine_blocks(
             y_tiles[..., :, 8:], planes, pf["r"], lam, mvp_seed,
-            ys, xs + 8, 16, 8, subpel_steps)
+            ys, xs + 8, 16, 8, subpel_steps, ref_sel=sel)
         cost_168 = satd_t + satd_b + lam * (
             ome.mv_cost_bits(mv_t, mvp_seed)
-            + ome.mv_cost_bits(mv_b, mvp_seed) + 3)
+            + ome.mv_cost_bits(mv_b, mvp_seed) + 3 + 2 * ref_bits)
         cost_816 = satd_l + satd_r + lam * (
             ome.mv_cost_bits(mv_l, mvp_seed)
-            + ome.mv_cost_bits(mv_r, mvp_seed) + 3)
+            + ome.mv_cost_bits(mv_r, mvp_seed) + 3 + 2 * ref_bits)
         costs = jnp.stack([cost16, cost_168, cost_816])
         ptype = jnp.argmin(costs, axis=0).astype(I32)
         cost_inter = jnp.min(costs, axis=0)
@@ -203,38 +234,52 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                        mv_p0[:, :, None, None, :])   # (mbh,mbw,4,4,2)
 
     # ------------------------------------------------- stage 2: inter path
-    pred16 = omc.mc_luma(planes, ys, xs, mv, 16, 16)
     ref_u_pad = (ref_u.astype(I32) if ref_prepadded
                  else omc.pad_plane(ref_u.astype(I32), omc.PAD // 2))
     ref_v_pad = (ref_v.astype(I32) if ref_prepadded
                  else omc.pad_plane(ref_v.astype(I32), omc.PAD // 2))
-    pred_u16 = omc.mc_chroma(ref_u_pad, ys >> 1, xs >> 1, mv, 8, 8)
-    pred_v16 = omc.mc_chroma(ref_v_pad, ys >> 1, xs >> 1, mv, 8, 8)
+    if n_refs == 2:
+        ref_u_pad = jnp.stack([
+            ref_u_pad, ref2_u.astype(I32) if ref_prepadded
+            else omc.pad_plane(ref2_u.astype(I32), omc.PAD // 2)])
+        ref_v_pad = jnp.stack([
+            ref_v_pad, ref2_v.astype(I32) if ref_prepadded
+            else omc.pad_plane(ref2_v.astype(I32), omc.PAD // 2)])
+
+    def mcl(ys_, xs_, mv_, bh_, bw_):
+        return omc.mc_luma(planes, ys_, xs_, mv_, bh_, bw_, ref_sel=sel)
+
+    def mcc(cpad, ys_, xs_, mv_, bh_, bw_):
+        return omc.mc_chroma(cpad, ys_, xs_, mv_, bh_, bw_, ref_sel=sel)
+
+    pred16 = mcl(ys, xs, mv, 16, 16)
+    pred_u16 = mcc(ref_u_pad, ys >> 1, xs >> 1, mv, 8, 8)
+    pred_v16 = mcc(ref_v_pad, ys >> 1, xs >> 1, mv, 8, 8)
     if parts:
         p168 = jnp.concatenate([
-            omc.mc_luma(planes, ys, xs, mv_t, 8, 16),
-            omc.mc_luma(planes, ys + 8, xs, mv_b, 8, 16)], axis=-2)
+            mcl(ys, xs, mv_t, 8, 16),
+            mcl(ys + 8, xs, mv_b, 8, 16)], axis=-2)
         p816 = jnp.concatenate([
-            omc.mc_luma(planes, ys, xs, mv_l, 16, 8),
-            omc.mc_luma(planes, ys, xs + 8, mv_r, 16, 8)], axis=-1)
+            mcl(ys, xs, mv_l, 16, 8),
+            mcl(ys, xs + 8, mv_r, 16, 8)], axis=-1)
         sel1 = (ptype == 1)[..., None, None]
         sel2 = (ptype == 2)[..., None, None]
         pred_y = jnp.where(sel1, p168, jnp.where(sel2, p816, pred16))
         pu168 = jnp.concatenate([
-            omc.mc_chroma(ref_u_pad, ys >> 1, xs >> 1, mv_t, 4, 8),
-            omc.mc_chroma(ref_u_pad, (ys >> 1) + 4, xs >> 1, mv_b, 4, 8)],
+            mcc(ref_u_pad, ys >> 1, xs >> 1, mv_t, 4, 8),
+            mcc(ref_u_pad, (ys >> 1) + 4, xs >> 1, mv_b, 4, 8)],
             axis=-2)
         pv168 = jnp.concatenate([
-            omc.mc_chroma(ref_v_pad, ys >> 1, xs >> 1, mv_t, 4, 8),
-            omc.mc_chroma(ref_v_pad, (ys >> 1) + 4, xs >> 1, mv_b, 4, 8)],
+            mcc(ref_v_pad, ys >> 1, xs >> 1, mv_t, 4, 8),
+            mcc(ref_v_pad, (ys >> 1) + 4, xs >> 1, mv_b, 4, 8)],
             axis=-2)
         pu816 = jnp.concatenate([
-            omc.mc_chroma(ref_u_pad, ys >> 1, xs >> 1, mv_l, 8, 4),
-            omc.mc_chroma(ref_u_pad, ys >> 1, (xs >> 1) + 4, mv_r, 8, 4)],
+            mcc(ref_u_pad, ys >> 1, xs >> 1, mv_l, 8, 4),
+            mcc(ref_u_pad, ys >> 1, (xs >> 1) + 4, mv_r, 8, 4)],
             axis=-1)
         pv816 = jnp.concatenate([
-            omc.mc_chroma(ref_v_pad, ys >> 1, xs >> 1, mv_l, 8, 4),
-            omc.mc_chroma(ref_v_pad, ys >> 1, (xs >> 1) + 4, mv_r, 8, 4)],
+            mcc(ref_v_pad, ys >> 1, xs >> 1, mv_l, 8, 4),
+            mcc(ref_v_pad, ys >> 1, (xs >> 1) + 4, mv_r, 8, 4)],
             axis=-1)
         pred_u = jnp.where(sel1, pu168, jnp.where(sel2, pu816, pred_u16))
         pred_v = jnp.where(sel1, pv168, jnp.where(sel2, pv816, pred_v16))
@@ -369,21 +414,27 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     from . import mvpred
     im1 = intra_mb[..., None]
     mv_blk_final = jnp.where(intra_mb[..., None, None, None], 0, mv_blk)
-    ref_map = jnp.where(intra_mb, -1, 0).astype(I32)
+    ref_sel_map = (jnp.zeros((mb_h, mb_w), I32) if sel is None
+                   else jnp.where(intra_mb, 0, sel))
+    ref_map = jnp.where(intra_mb, -1, ref_sel_map).astype(I32)
     ref4 = jnp.repeat(jnp.repeat(ref_map, 4, 0), 4, 1)
     mv4 = mv_blk_final.swapaxes(1, 2).reshape(mb_h * 4, mb_w * 4, 2)
 
     # exact per-partition MV prediction on the final maps
-    # (x264_mb_predict_mv / _pskip, common/macroblock.c:28-153)
-    mvp16 = mvpred.predict_16x16(ref4, mv4)
+    # (x264_mb_predict_mv / _pskip, common/macroblock.c:28-153);
+    # i_ref is the MB's own chosen reference — neighbor ref matching
+    # works on actual ref_idx values
+    mvp16 = mvpred.predict_16x16(ref4, mv4, i_ref=ref_sel_map)
     mv_skip = mvpred.predict_pskip(ref4, mv4)
     ptype_f = jnp.where(intra_mb, 0, ptype)
     mv16_final = jnp.where(im1, 0, mv)
     mv_p0f = jnp.where(im1, 0, mv_p0)
     mv_p1f = jnp.where(im1, 0, mv_p1)
     if parts:
-        mvp_t_, mvp_b_ = mvpred.predict_16x8(ref4, mv4)
-        mvp_l_, mvp_r_ = mvpred.predict_8x16(ref4, mv4)
+        mvp_t_, mvp_b_ = mvpred.predict_16x8(ref4, mv4,
+                                             i_ref=ref_sel_map)
+        mvp_l_, mvp_r_ = mvpred.predict_8x16(ref4, mv4,
+                                             i_ref=ref_sel_map)
         mvd0 = jnp.where((ptype_f == 1)[..., None], mv_p0f - mvp_t_,
                          jnp.where((ptype_f == 2)[..., None],
                                    mv_p0f - mvp_l_, mv16_final - mvp16))
@@ -394,8 +445,10 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         mvd0 = mv16_final - mvp16
         mvd1 = jnp.zeros_like(mvd0)
     mvd0 = jnp.where(im1, 0, mvd0)
+    # P_SKIP implies ref_idx 0 (spec 8.4.1.1) — a ref-1 MB cannot skip
     skip = (~intra_mb) & (ptype_f == 0) & (cbp_luma_bits == 0) \
-        & (cbp_chroma == 0) & jnp.all(mv16_final == mv_skip, axis=-1)
+        & (cbp_chroma == 0) & (ref_sel_map == 0) \
+        & jnp.all(mv16_final == mv_skip, axis=-1)
 
     # per-4x4 mvd map for the CABAC context derivation
     # (x264_cabac_mb_mvd_cpn amvd, encoder/cabac.c:397-401); skip MBs
@@ -430,7 +483,7 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         cbp_luma_bits=cbp_luma_bits, cbp_chroma=cbp_chroma,
         mv=mv16_final, mvd=mvd0, mvd1=mvd1, ptype=ptype_f,
         mvd4=mvd4, skip=skip,
-        nnz4=nnz4, ref4=ref4, mv4=mv4,
+        nnz4=nnz4, ref4=ref4, mv4=mv4, ref_idx=ref_sel_map,
     )
 
 

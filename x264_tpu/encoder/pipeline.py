@@ -74,15 +74,16 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
                 mode16=out["mode16"], modec=out["modec"])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
-             subpel_steps, parts, lossless,
+             subpel_steps, parts, lossless, n_refs,
              y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
              hdr_vals, hdr_lens, alpha_off, beta_off, chroma_qp_offset,
-             mvp_seed):
+             mvp_seed, ref2_y=None, ref2_u=None, ref2_v=None):
     """P frame: ME + inter/intra decision + entropy + pack + deblock,
     fused. ref_* is the deblocked reconstruction of the reference frame
-    (int32, MB-aligned). mvp_seed: (mb_h, mb_w, 2) qpel MV predictors
+    (int32, MB-aligned); with n_refs=2, ref2_* is L0[1] (the older
+    reference). mvp_seed: (mb_h, mb_w, 2) qpel MV predictors
     (previous frame's MV field). Returns recon planes, packed words,
     nbits, and the MV/intra maps (the caller feeds `mv` back as the next
     frame's seed)."""
@@ -92,9 +93,11 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
                               ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
                               subpel_steps, parts=parts,
-                              lossless=lossless)
+                              lossless=lossless,
+                              ref2_y=ref2_y, ref2_u=ref2_u,
+                              ref2_v=ref2_v, n_refs=n_refs)
 
-    vals, lens = edev.p_code_planes(out, mb_h, mb_w)
+    vals, lens = edev.p_code_planes(out, mb_h, mb_w, n_refs)
     stop = jnp.ones((1,), I32)
     all_v = jnp.concatenate([hdr_vals.astype(I32), vals, stop])
     all_l = jnp.concatenate([hdr_lens.astype(I32), lens, stop])
@@ -161,13 +164,15 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
                 mode16=out["mode16"], modec=out["modec"])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
-                   subpel_steps, parts, lossless,
+                   subpel_steps, parts, lossless, n_refs,
                    y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
-                   alpha_off, beta_off, chroma_qp_offset, mvp_seed):
+                   alpha_off, beta_off, chroma_qp_offset, mvp_seed,
+                   ref2_y=None, ref2_u=None, ref2_v=None):
     """P frame with CABAC entropy: same encode as encode_p, emitting the
-    packed bin-op stream for the host arithmetic coder."""
+    packed bin-op stream for the host arithmetic coder. n_refs=2 takes
+    ref2_* as L0[1]."""
     from ..entropy import cabac_planes
 
     y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
@@ -176,9 +181,11 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
                               ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
                               subpel_steps, parts=parts,
-                              lossless=lossless)
+                              lossless=lossless,
+                              ref2_y=ref2_y, ref2_u=ref2_u,
+                              ref2_v=ref2_v, n_refs=n_refs)
 
-    ops = cabac_planes.p_slice_ops(out, mb_h, mb_w)
+    ops = cabac_planes.p_slice_ops(out, mb_h, mb_w, n_refs)
     cops, n_ops = cabac_planes.compact_ops(
         ops, cabac_capacity(mb_h * mb_w))
 

@@ -358,10 +358,11 @@ def _cbf_ctx_from_grid(grid, intra_cur_grid):
     return 2 * ib + ia
 
 
-def p_slice_ops(out, mb_h: int, mb_w: int):
+def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1):
     """Packed op planes for a whole P CABAC slice
     (x264_macroblock_write_cabac P branch + x264_cabac_mb_skip,
-    encoder/cabac.c:300-306,781-1025)."""
+    encoder/cabac.c:300-306,781-1025). n_refs=2 adds the per-partition
+    ref_idx_l0 unary bins (x264_cabac_mb_ref, encoder/cabac.c:228)."""
     from .. import tables
 
     nmb = mb_h * mb_w
@@ -440,10 +441,6 @@ def p_slice_ops(out, mb_h: int, mb_w: int):
     slots.append(_sel(intra_f & (cm > 1),
                       op(KIND_DECISION, jnp.full(nmb, 67, I32), cm > 2)))
 
-    # ---- mvd (inter): per partition in syntax order; ctx inc from the
-    # partition's left/top 4x4 neighbor |mvd| (x264_cabac_mb_mvd_cpn
-    # amvd, encoder/cabac.c:397-401, from the 4x4 mvd cache)
-    mvd4p = jnp.pad(mvd4, ((1, 1), (1, 1), (0, 0)))
     gy4 = jnp.arange(mb_h, dtype=I32)[:, None] * 4 \
         + jnp.zeros((1, mb_w), I32)
     gx4 = jnp.arange(mb_w, dtype=I32)[None, :] * 4 \
@@ -452,6 +449,32 @@ def p_slice_ops(out, mb_h: int, mb_w: int):
     # for 16x8, (4Y, 4X+2) for 8x16
     pr1 = jnp.where(ptype_g == 1, gy4 + 2, gy4)
     pc1 = jnp.where(ptype_g == 2, gx4 + 2, gx4)
+
+    if n_refs > 1:
+        # ---- ref_idx_l0 per partition (x264_cabac_mb_ref,
+        # encoder/cabac.c:228-246): ctx = (refA>0) + 2*(refB>0) from
+        # the partition's left/top 4x4 cache slots; unary bins at
+        # 54+ctx, continuation ctx (ctx>>2)+4 = 4 for ctx<4 -> 58.
+        # Skip/intra neighbors cache ref 0 / -1, so ref>0 covers the
+        # !skip test of the reference for P slices.
+        ref_idx = out["ref_idx"].reshape(nmb).astype(I32)
+        ref4 = out["ref4"]
+        ref4p = jnp.pad(ref4, ((1, 1), (1, 1)), constant_values=-1)
+        for act, pr, pc in ((inter_f, gy4, gx4),
+                            (inter_f & (ptype_f != 0), pr1, pc1)):
+            ra = ref4p[pr + 1, pc] > 0           # (pr, pc-1)
+            rb = ref4p[pr, pc + 1] > 0           # (pr-1, pc)
+            rctx = (54 + ra.astype(I32)
+                    + 2 * rb.astype(I32)).reshape(nmb)
+            slots.append(_sel(act, op(KIND_DECISION, rctx, ref_idx > 0)))
+            slots.append(_sel(act & (ref_idx > 0),
+                              op(KIND_DECISION, jnp.full(nmb, 58, I32),
+                                 0)))
+
+    # ---- mvd (inter): per partition in syntax order; ctx inc from the
+    # partition's left/top 4x4 neighbor |mvd| (x264_cabac_mb_mvd_cpn
+    # amvd, encoder/cabac.c:397-401, from the 4x4 mvd cache)
+    mvd4p = jnp.pad(mvd4, ((1, 1), (1, 1), (0, 0)))
     part_list = ((mvd, inter_f, gy4, gx4),
                  (mvd1, inter_f & (ptype_f != 0), pr1, pc1))
     for mvdp, act, pr, pc in part_list:

@@ -373,7 +373,7 @@ CBP_TO_GOLOMB_INTER = np.array([
     dtype=np.int32)
 
 
-def p_code_planes(out, mb_h: int, mb_w: int):
+def p_code_planes(out, mb_h: int, mb_w: int, n_refs: int = 1):
     """Code-plane construction for a whole P slice (CAVLC) from the
     inter pipeline outputs (x264_macroblock_write_cavlc P branch,
     encoder/cavlc.c:288-430 + the skip-run ue of x264_slice_write,
@@ -382,6 +382,11 @@ def p_code_planes(out, mb_h: int, mb_w: int):
     `out` keys (all (mb_h, mb_w, ...)): intra_mb, mode16, modec,
     luma_dc (16), luma_blocks (16,16 z-scan/zig-zag), chroma_dc (2,4),
     chroma_ac (2,4,16), cbp_luma_bits, cbp_chroma, mvd (2), skip.
+
+    n_refs=2 adds the per-partition ref_idx_l0 te(v) fields (spec
+    7.3.5.1 mb_pred: all ref_idx before all mvd; encoder/cavlc.c:330:
+    bs_write_te) from out["ref_idx"] — with 2 active refs te(v) is a
+    single bit !ref_idx. Both partitions carry the MB's reference.
     """
     from .. import tables
 
@@ -458,8 +463,8 @@ def p_code_planes(out, mb_h: int, mb_w: int):
         jax.lax.associative_scan(jnp.maximum, coded_idx)[:-1]])
     run = idx - prev_coded - 1
 
-    h_v = jnp.zeros((nmb, 9), dtype=I32)
-    h_l = jnp.zeros((nmb, 9), dtype=I32)
+    h_v = jnp.zeros((nmb, 11), dtype=I32)
+    h_l = jnp.zeros((nmb, 11), dtype=I32)
     rv, rl = ue_codes(run)
     h_v = h_v.at[:, 0].set(rv)
     h_l = h_l.at[:, 0].set(rl)
@@ -475,25 +480,34 @@ def p_code_planes(out, mb_h: int, mb_w: int):
     h_v = h_v.at[:, 2].set(cv)
     h_l = h_l.at[:, 2].set(jnp.where(intra, cl, 0))
 
+    if n_refs > 1:
+        # ref_idx_l0 per partition, te(v) with cMax=1: one bit !ref
+        ref_idx = out["ref_idx"].reshape(nmb).astype(I32)
+        h_v = h_v.at[:, 3].set(1 - ref_idx)
+        h_l = h_l.at[:, 3].set(jnp.where(intra, 0, 1))
+        h_v = h_v.at[:, 4].set(1 - ref_idx)
+        h_l = h_l.at[:, 4].set(
+            jnp.where((~intra) & (ptype > 0), 1, 0))
+
     for k in range(2):
         mv_, ml_ = se_codes(mvd[:, k])
-        h_v = h_v.at[:, 3 + k].set(mv_)
-        h_l = h_l.at[:, 3 + k].set(jnp.where(intra, 0, ml_))
+        h_v = h_v.at[:, 5 + k].set(mv_)
+        h_l = h_l.at[:, 5 + k].set(jnp.where(intra, 0, ml_))
     for k in range(2):     # second-partition mvd (16x8 / 8x16 only)
         mv_, ml_ = se_codes(mvd1[:, k])
-        h_v = h_v.at[:, 5 + k].set(mv_)
-        h_l = h_l.at[:, 5 + k].set(
+        h_v = h_v.at[:, 7 + k].set(mv_)
+        h_l = h_l.at[:, 7 + k].set(
             jnp.where((~intra) & (ptype > 0), ml_, 0))
 
     cbp_code = _t(CBP_TO_GOLOMB_INTER)[cbp_c * 16 + cbp_l]
     bv, bl = ue_codes(cbp_code)
-    h_v = h_v.at[:, 7].set(bv)
-    h_l = h_l.at[:, 7].set(jnp.where(intra, 0, bl))
+    h_v = h_v.at[:, 9].set(bv)
+    h_l = h_l.at[:, 9].set(jnp.where(intra, 0, bl))
 
     has_dqp = intra | (cbp_l > 0) | (cbp_c > 0)
     qv, ql = se_codes(jnp.zeros(nmb, dtype=I32))
-    h_v = h_v.at[:, 8].set(qv)
-    h_l = h_l.at[:, 8].set(jnp.where(has_dqp, ql, 0))
+    h_v = h_v.at[:, 10].set(qv)
+    h_l = h_l.at[:, 10].set(jnp.where(has_dqp, ql, 0))
 
     h_l = h_l * coded[:, None]
 

@@ -71,11 +71,15 @@ def hpel_planes(padded):
     return jnp.stack([padded.astype(I32), h, v, c])
 
 
-def mc_luma(planes, ys, xs, mvs, bh: int, bw: int):
+def mc_luma(planes, ys, xs, mvs, bh: int, bw: int, ref_sel=None):
     """Batched quarter-pel luma fetch (mc_luma, common/mc.c:160).
 
-    planes: (4, Hp, Wp) from hpel_planes. ys/xs: (...,) block top-left in
-    unpadded frame coords. mvs: (..., 2) quarter-pel (x, y). Returns
+    planes: (4, Hp, Wp) from hpel_planes — or, with `ref_sel`, a
+    (4*n_refs, Hp, Wp) concatenation of per-reference hpel stacks and
+    ref_sel a (...,) per-block reference index (the multi-ref fetch of
+    x264_mb_mc, common/macroblock.c:1122: the plane set is chosen per
+    partition by ref_idx). ys/xs: (...,) block top-left in unpadded
+    frame coords. mvs: (..., 2) quarter-pel (x, y). Returns
     (..., bh, bw) int32 prediction."""
     mvx, mvy = mvs[..., 0], mvs[..., 1]
     fx, fy = mvx & 3, mvy & 3
@@ -84,6 +88,9 @@ def mc_luma(planes, ys, xs, mvs, bh: int, bw: int):
     ix = xs + (mvx >> 2) + PAD
     p0 = jnp.asarray(_HPEL_REF0)[qidx]
     p1 = jnp.asarray(_HPEL_REF1)[qidx]
+    if ref_sel is not None:
+        p0 = p0 + 4 * ref_sel
+        p1 = p1 + 4 * ref_sel
     r0 = iy + (fy == 3)
     c1 = ix + (fx == 3)
     shape = qidx.shape
@@ -104,11 +111,13 @@ def mc_luma(planes, ys, xs, mvs, bh: int, bw: int):
     return (a + b + 1) >> 1
 
 
-def mc_chroma(padded, ys, xs, mvs, bh: int, bw: int):
+def mc_chroma(padded, ys, xs, mvs, bh: int, bw: int, ref_sel=None):
     """Batched 1/8-pel bilinear chroma fetch (mc_chroma,
-    common/mc.c:205). padded: chroma plane padded by PAD//2; ys/xs block
-    top-left in unpadded chroma coords; mvs: (..., 2) — the luma
-    quarter-pel MV reinterpreted as chroma eighth-pel."""
+    common/mc.c:205). padded: chroma plane padded by PAD//2 — or, with
+    `ref_sel`, a (n_refs, Hc, Wc) stack of padded planes with ref_sel a
+    (...,) per-block reference index; ys/xs block top-left in unpadded
+    chroma coords; mvs: (..., 2) — the luma quarter-pel MV
+    reinterpreted as chroma eighth-pel."""
     cpad = PAD // 2
     mvx, mvy = mvs[..., 0], mvs[..., 1]
     d8x, d8y = mvx & 7, mvy & 7
@@ -122,10 +131,19 @@ def mc_chroma(padded, ys, xs, mvs, bh: int, bw: int):
 
     shape = iy.shape
 
-    def one(y0, x0):
-        return jax.lax.dynamic_slice(padded, (y0, x0), (bh + 1, bw + 1))
+    if ref_sel is None:
+        def one(y0, x0):
+            return jax.lax.dynamic_slice(padded, (y0, x0),
+                                         (bh + 1, bw + 1))
 
-    s = jax.vmap(one)(iy.reshape(-1), ix.reshape(-1))
+        s = jax.vmap(one)(iy.reshape(-1), ix.reshape(-1))
+    else:
+        def one_r(r0, y0, x0):
+            return jax.lax.dynamic_slice(padded, (r0, y0, x0),
+                                         (1, bh + 1, bw + 1))[0]
+
+        s = jax.vmap(one_r)(ref_sel.reshape(-1), iy.reshape(-1),
+                            ix.reshape(-1))
     s = s.reshape(*shape, bh + 1, bw + 1)
     s00 = s[..., :bh, :bw]
     s01 = s[..., :bh, 1:]

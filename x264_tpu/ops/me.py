@@ -216,7 +216,7 @@ def hier_search(cur, ref_pad, mb_h: int, mb_w: int, me_range: int,
 
 def subpel_refine_blocks(cur_blocks, planes, mv_qpel, lam, mvp_qpel,
                          ys, xs, bh: int = 16, bw: int = 16,
-                         steps=(2, 1)):
+                         steps=(2, 1), ref_sel=None):
     """Batched sub-pel refinement for arbitrary-size blocks
     (refine_subpel, encoder/me.c:680), SATD-scored over the full qpel
     neighborhood of the full-pel optimum.
@@ -228,10 +228,12 @@ def subpel_refine_blocks(cur_blocks, planes, mv_qpel, lam, mvp_qpel,
     hpel_ref0/1 plane-average scheme of mc_luma with static phases) —
     no per-candidate gathers.
 
-    cur_blocks: (..., bh, bw); planes: (4, Hp, Wp) hpel stack; ys/xs:
-    (...) block top-left pixel coords; mv_qpel: (..., 2) full-pel MV in
-    qpel units. steps: (2,) = half-pel only (subme 2-3), (2, 1) = all
-    quarter-pel within +-3 (subme >= 4).
+    cur_blocks: (..., bh, bw); planes: (4, Hp, Wp) hpel stack — or,
+    with `ref_sel` (a (...,) per-block reference index), a
+    (4*n_refs, Hp, Wp) concatenation of per-reference hpel stacks;
+    ys/xs: (...) block top-left pixel coords; mv_qpel: (..., 2)
+    full-pel MV in qpel units. steps: (2,) = half-pel only (subme 2-3),
+    (2, 1) = all quarter-pel within +-3 (subme >= 4).
     Returns (mv, satd) at the refined position.
     """
     pad = omc.PAD
@@ -240,11 +242,21 @@ def subpel_refine_blocks(cur_blocks, planes, mv_qpel, lam, mvp_qpel,
     bx = xs + (mv_qpel[..., 0] >> 2) - 1 + pad
     shape = by.shape
 
-    def one(y0, x0):      # all 4 hpel planes in one block DMA
-        return jax.lax.dynamic_slice(planes, (0, y0, x0), (4, Wy, Wx))
+    if ref_sel is None:
+        def one(y0, x0):      # all 4 hpel planes in one block DMA
+            return jax.lax.dynamic_slice(planes, (0, y0, x0),
+                                         (4, Wy, Wx))
 
-    win = jax.vmap(one)(by.reshape(-1), bx.reshape(-1)) \
-        .reshape(*shape, 4, Wy, Wx)
+        win = jax.vmap(one)(by.reshape(-1), bx.reshape(-1)) \
+            .reshape(*shape, 4, Wy, Wx)
+    else:
+        def one_r(s0, y0, x0):  # the chosen reference's 4-plane group
+            return jax.lax.dynamic_slice(planes, (s0, y0, x0),
+                                         (4, Wy, Wx))
+
+        win = jax.vmap(one_r)(4 * ref_sel.reshape(-1), by.reshape(-1),
+                              bx.reshape(-1)) \
+            .reshape(*shape, 4, Wy, Wx)
     win = jnp.moveaxis(win, -3, 0)         # (4, ..., Wy, Wx)
 
     if steps == (2,):
@@ -277,7 +289,7 @@ def subpel_refine_blocks(cur_blocks, planes, mv_qpel, lam, mvp_qpel,
 
 
 def subpel_refine(cur_tiles, planes, mv_qpel, lam, mvp_qpel,
-                  steps=(2, 1)):
+                  steps=(2, 1), ref_sel=None):
     """16x16-MB wrapper around subpel_refine_blocks."""
     mb_h, mb_w = cur_tiles.shape[:2]
     ys = (jnp.arange(mb_h, dtype=I32) * 16)[:, None] \
@@ -285,17 +297,21 @@ def subpel_refine(cur_tiles, planes, mv_qpel, lam, mvp_qpel,
     xs = (jnp.arange(mb_w, dtype=I32) * 16)[None, :] \
         + jnp.zeros((mb_h, 1), I32)
     return subpel_refine_blocks(cur_tiles, planes, mv_qpel, lam,
-                                mvp_qpel, ys, xs, 16, 16, steps)
+                                mvp_qpel, ys, xs, 16, 16, steps,
+                                ref_sel)
 
 
 def partition_fullpel(cur_tiles, ref_pad, mv16_qpel, lam, mvp_qpel,
-                      me_range: int, m: int = 3, pad: int = omc.PAD):
+                      me_range: int, m: int = 3, pad: int = omc.PAD,
+                      ref_sel=None):
     """Best full-pel MVs for the 16x8 and 8x16 partitions of every MB,
     searched in a (2m+1)^2 window around the 16x16 full-pel winner (the
     reference seeds partition searches from the MB-level result too,
     encoder/analyse.c:1274-1404).
 
     cur_tiles: (mb_h, mb_w, 16, 16); mv16_qpel: (mb_h, mb_w, 2).
+    ref_pad: edge-padded fpel reference plane — or, with `ref_sel`
+    (a (mb_h, mb_w) per-MB reference index), an (n_refs, Hp, Wp) stack.
     Returns dict of qpel full-pel MVs: t/b (16x8 top/bottom),
     l/r (8x16 left/right), each (mb_h, mb_w, 2).
     """
@@ -309,7 +325,11 @@ def partition_fullpel(cur_tiles, ref_pad, mv16_qpel, lam, mvp_qpel,
     wn = 16 + 2 * m
     by = ys + c[..., 1] - m + pad
     bx = xs + c[..., 0] - m + pad
-    win = _win_slices(ref_pad, by, bx, wn, wn).astype(I32)
+    if ref_sel is None:
+        win = _win_slices(ref_pad, by, bx, wn, wn).astype(I32)
+    else:
+        win = _win_slices_planes(ref_pad, ref_sel, by, bx, wn, wn) \
+            .astype(I32)
     # per-candidate diff reduced immediately into the four partition
     # half-sums (top/bottom rows, left/right cols) — no candidate stack
     part_sads = {"t": [], "b": [], "l": [], "r": []}

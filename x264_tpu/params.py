@@ -198,12 +198,15 @@ class EncoderParams:
             a.i_trellis = 0
 
         self.i_frame_reference = _clip(self.i_frame_reference, 1, 16)
-        if self.i_frame_reference > 1:
-            # multi-ref needs ref_idx_l0 syntax in the entropy writers;
-            # advertising N refs in the PPS without coding ref_idx emits
-            # a spec-corrupt stream — clamp until multi-ref lands
+        if self.i_frame_reference > 2:
+            # 2 L0 references supported (per-MB ref choice + ref_idx
+            # syntax); deeper DPBs not yet
             # (x264_validate_parameters clamp contract, encoder.c:335)
-            self._log("multiple reference frames not yet implemented, "
+            self._log("using --ref 2 (deeper reference lists not yet "
+                      "implemented)")
+            self.i_frame_reference = 2
+        if self.i_frame_reference > 1 and self.i_mb_row_shards > 1:
+            self._log("multi-ref with MB-row sharding not yet supported; "
                       "using --ref 1")
             self.i_frame_reference = 1
         self.i_bframe = _clip(self.i_bframe, 0, 16)
