@@ -382,7 +382,9 @@ class Decoder:
             futr = [e for e in self.dpb if e[0] > poc_lsb]
             assert past and futr, "B slice without past+future refs"
             self._ref_l0 = max(past, key=lambda e: e[0])[1]
-            self._ref_l1 = min(futr, key=lambda e: e[0])[1]
+            l1e = min(futr, key=lambda e: e[0])
+            self._ref_l1 = l1e[1]
+            self._col = l1e[2]      # colocated (ref_f, mv_f) maps
 
         if pps.cabac and is_b:
             assert first_mb == 0, "sharded B CABAC not supported"
@@ -395,7 +397,21 @@ class Decoder:
             mb_i = first_mb
             while mb_i < nmb and br.more_rbsp_data():
                 skip_run = br.ue()
-                assert skip_run == 0, "B_SKIP unsupported"
+                for _ in range(skip_run):        # B_SKIP run
+                    my, mx = divmod(mb_i, mb_w)
+                    use0, use1, mv0q, mv1q = self._decode_direct_fields(
+                        my, mx, mv_f, ref_f, mv_f1, ref_f1)
+                    py, pu, pv = self._direct_pred(my, mx, use0, mv0q,
+                                                   use1, mv1q)
+                    Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = py
+                    U[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pu
+                    V[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pv
+                    nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                    nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+                    qp_mb[my, mx] = qp
+                    mb_i += 1
+                if mb_i >= nmb:
+                    break
                 my, mx = divmod(mb_i, mb_w)
                 qp = self._decode_mb_b(br, my, mx, qp, qt, Y, U, V,
                                        nnz_l, nnz_c, mv_f, ref_f,
@@ -483,7 +499,10 @@ class Decoder:
         if pic["ref_idc"] != 0:
             planes = (Y.copy(), U.copy(), V.copy())
             self.ref = planes
-            self.dpb.append((pic["poc"], planes))
+            # keep the L0 motion field with the reference: B spatial
+            # direct reads the colocated maps of RefPicList1[0]
+            self.dpb.append((pic["poc"], planes,
+                             (ref_f.copy(), mv_f.copy())))
             max_refs = max(2, self.sps.num_ref_frames)
             if len(self.dpb) > max_refs:
                 self.dpb.sort(key=lambda e: e[0])
@@ -1667,15 +1686,37 @@ class Decoder:
         mvd_map1 = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
         cbp_l_map = np.zeros((mb_h, mb_w), np.int64)
         cbp_c_map = np.zeros((mb_h, mb_w), np.int64)
+        skip_map = np.zeros((mb_h, mb_w), bool)
+        nds_map = np.zeros((mb_h, mb_w), bool)    # skip-or-direct
 
         for my in range(mb_h):
             for mx in range(mb_w):
-                inc = 24 + (1 if mx > 0 else 0) + (1 if my > 0 else 0)
-                assert cd.decision(inc) == 0, "B_SKIP unsupported"
-                self._decode_mb_b_cabac(
-                    cd, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
-                    mv_f0, ref_f0, mv_f1, ref_f1, intra_mb, dcnz, cdcnz,
-                    cm_map, mvd_map0, mvd_map1, cbp_l_map, cbp_c_map)
+                inc = 24 \
+                    + (1 if (mx > 0 and not skip_map[my, mx - 1])
+                       else 0) \
+                    + (1 if (my > 0 and not skip_map[my - 1, mx])
+                       else 0)
+                if cd.decision(inc):              # B_SKIP
+                    skip_map[my, mx] = True
+                    nds_map[my, mx] = True
+                    use0, use1, mv0q, mv1q = self._decode_direct_fields(
+                        my, mx, mv_f0, ref_f0, mv_f1, ref_f1)
+                    py, pu, pv = self._direct_pred(my, mx, use0, mv0q,
+                                                   use1, mv1q)
+                    Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = py
+                    U[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pu
+                    V[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = pv
+                    nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                    nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+                    dcnz[my, mx] = 0
+                    cbp_l_map[my, mx] = 0
+                    cbp_c_map[my, mx] = 0
+                else:
+                    self._decode_mb_b_cabac(
+                        cd, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
+                        mv_f0, ref_f0, mv_f1, ref_f1, intra_mb, dcnz,
+                        cdcnz, cm_map, mvd_map0, mvd_map1, cbp_l_map,
+                        cbp_c_map, nds_map)
                 qp_mb[my, mx] = qp
                 eos = cd.terminal()
                 is_last = (my == mb_h - 1) and (mx == mb_w - 1)
@@ -1685,7 +1726,7 @@ class Decoder:
     def _decode_mb_b_cabac(self, cd, my, mx, qp, qt, Y, U, V, nnz_l,
                            nnz_c, mv_f0, ref_f0, mv_f1, ref_f1, intra_mb,
                            dcnz, cdcnz, cm_map, mvd_map0, mvd_map1,
-                           cbp_l_map, cbp_c_map):
+                           cbp_l_map, cbp_c_map, nds_map=None):
         pps = self.pps
         avail_l, avail_t = mx > 0, my > 0
         r0b, c0b = my * 4, mx * 4
@@ -1695,23 +1736,35 @@ class Decoder:
                 return unavail
             return 1 if m[gy, gx] else 0
 
-        # ---- mb_type (x264_cabac_mb_type B table, D_16x16 subset)
-        ctx = 27 + (1 if avail_l else 0) + (1 if avail_t else 0)
-        assert cd.decision(ctx) == 1, "B_DIRECT unsupported"
-        b1 = cd.decision(30)
+        # ---- mb_type (x264_cabac_mb_type B table): bin0 ctx counts
+        # available neighbors that are not B_SKIP/B_DIRECT
+        def nds(yy, xx):
+            return bool(nds_map[yy, xx]) if nds_map is not None else False
+
+        ctx = 27 + (1 if (avail_l and not nds(my, mx - 1)) else 0) \
+            + (1 if (avail_t and not nds(my - 1, mx)) else 0)
+        is_direct = cd.decision(ctx) == 0
         is_intra = False
-        if not b1:
-            bmode = 1 if cd.decision(32) else 0     # L0 / L1
+        if is_direct:
+            if nds_map is not None:
+                nds_map[my, mx] = True
+            bmode = -2
         else:
-            b2 = cd.decision(31)
-            if not b2:
-                bits = [cd.decision(32) for _ in range(3)]
-                assert bits == [0, 0, 0], f"B type bins {bits} unsupported"
-                bmode = 2                            # BI 16x16
+            b1 = cd.decision(30)
+            if not b1:
+                bmode = 1 if cd.decision(32) else 0     # L0 / L1
             else:
-                bits = [cd.decision(32) for _ in range(3)]
-                assert bits == [1, 0, 1], f"B type bins {bits} unsupported"
-                is_intra = True
+                b2 = cd.decision(31)
+                if not b2:
+                    bits = [cd.decision(32) for _ in range(3)]
+                    assert bits == [0, 0, 0], \
+                        f"B type bins {bits} unsupported"
+                    bmode = 2                            # BI 16x16
+                else:
+                    bits = [cd.decision(32) for _ in range(3)]
+                    assert bits == [1, 0, 1], \
+                        f"B type bins {bits} unsupported"
+                    is_intra = True
 
         if is_intra:
             # ---- I16x16 suffix at ctx 32..35
@@ -1767,32 +1820,41 @@ class Decoder:
                             Y, U, V)
             return
 
-        use0 = bmode in (0, 2)
-        use1 = bmode in (1, 2)
+        direct_pred = None
+        if is_direct:
+            use0, use1, mv0q, mv1q = self._decode_direct_fields(
+                my, mx, mv_f0, ref_f0, mv_f1, ref_f1)
+            mvd_map0[r0b:r0b + 4, c0b:c0b + 4] = 0
+            mvd_map1[r0b:r0b + 4, c0b:c0b + 4] = 0
+            direct_pred = self._direct_pred(my, mx, use0, mv0q,
+                                            use1, mv1q)
+        else:
+            use0 = bmode in (0, 2)
+            use1 = bmode in (1, 2)
 
-        def read_mvd(mvd_map):
-            out = np.zeros(2, np.int64)
-            for comp, base in ((0, 40), (1, 47)):
-                a = abs(int(mvd_map[r0b, c0b - 1, comp])) \
-                    if c0b - 1 >= 0 else 0
-                b = abs(int(mvd_map[r0b - 1, c0b, comp])) \
-                    if r0b - 1 >= 0 else 0
-                am = a + b
-                inc = (1 if am > 2 else 0) + (1 if am > 32 else 0)
-                out[comp] = self._decode_mvd_cabac(cd, base, inc)
-            return out
+            def read_mvd(mvd_map):
+                out = np.zeros(2, np.int64)
+                for comp, base in ((0, 40), (1, 47)):
+                    a = abs(int(mvd_map[r0b, c0b - 1, comp])) \
+                        if c0b - 1 >= 0 else 0
+                    b = abs(int(mvd_map[r0b - 1, c0b, comp])) \
+                        if r0b - 1 >= 0 else 0
+                    am = a + b
+                    inc = (1 if am > 2 else 0) + (1 if am > 32 else 0)
+                    out[comp] = self._decode_mvd_cabac(cd, base, inc)
+                return out
 
-        mv0 = mv1 = None
-        if use0:
-            mvd0 = read_mvd(mvd_map0)
-            mvd_map0[r0b:r0b + 4, c0b:c0b + 4] = mvd0
-            mv0 = self._mvp_16x16(ref_f0, mv_f0, my, mx) + mvd0
-        if use1:
-            mvd1 = read_mvd(mvd_map1)
-            mvd_map1[r0b:r0b + 4, c0b:c0b + 4] = mvd1
-            mv1 = self._mvp_16x16(ref_f1, mv_f1, my, mx) + mvd1
-        self._b_set_fields(mv_f0, ref_f0, mv_f1, ref_f1, my, mx,
-                           use0, mv0, use1, mv1)
+            mv0 = mv1 = None
+            if use0:
+                mvd0 = read_mvd(mvd_map0)
+                mvd_map0[r0b:r0b + 4, c0b:c0b + 4] = mvd0
+                mv0 = self._mvp_16x16(ref_f0, mv_f0, my, mx) + mvd0
+            if use1:
+                mvd1 = read_mvd(mvd_map1)
+                mvd_map1[r0b:r0b + 4, c0b:c0b + 4] = mvd1
+                mv1 = self._mvp_16x16(ref_f1, mv_f1, my, mx) + mvd1
+            self._b_set_fields(mv_f0, ref_f0, mv_f1, ref_f1, my, mx,
+                               use0, mv0, use1, mv1)
 
         def cbp_nbr(m, gy, gx):
             if gy < 0 or gx < 0:
@@ -1821,7 +1883,8 @@ class Decoder:
             assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
-        py, pu, pv = self._bipred(my, mx, use0, mv0, use1, mv1)
+        py, pu, pv = (direct_pred if direct_pred is not None
+                      else self._bipred(my, mx, use0, mv0, use1, mv1))
         dmf = qt.dequant4_mf[enc_tables.CQM_4PY, qp % 6]
         mb = py.astype(np.int64)
         for i in range(16):
@@ -1881,6 +1944,94 @@ class Decoder:
             P[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = cmb
 
     # ----------------------------------------------------- B macroblocks
+    def _spatial_direct(self, my, mx, mv_f0, ref_f0, mv_f1, ref_f1):
+        """Spatial direct derivation (spec 8.4.1.2.2 with
+        direct_8x8_inference; x264_mb_predict_mv_direct16x16_spatial).
+        Returns (ref0, ref1, mv0q, mv1q): refs per list (-1 = unused)
+        and per-8x8-quadrant MVs, shape (2, 2, 2)."""
+        big = 1 << 20
+
+        def list_ref_mv(ref_f, mv_f):
+            r, c = my * 4, mx * 4
+            ra, mva = self._nbr(ref_f, mv_f, r, c - 1)
+            rb, mvb = self._nbr(ref_f, mv_f, r - 1, c)
+            rc_, mvc = self._nbr(ref_f, mv_f, r - 1, c + 4)
+            if rc_ == -2:
+                rc_, mvc = self._nbr(ref_f, mv_f, r - 1, c - 1)
+            ref = min(x if x >= 0 else big for x in (ra, rb, rc_))
+            if ref >= big:
+                return -1, np.zeros(2, np.int64)
+            mv = self._mvp_rule(ra, mva, rb, mvb, rc_, mvc, ref)
+            return ref, mv
+
+        ref0, mv0 = list_ref_mv(ref_f0, mv_f0)
+        ref1, mv1 = list_ref_mv(ref_f1, mv_f1)
+        mv0q = np.broadcast_to(mv0, (2, 2, 2)).copy()
+        mv1q = np.broadcast_to(mv1, (2, 2, 2)).copy()
+        if ref0 < 0 and ref1 < 0:    # bi zero-MV, before the col loop
+            return 0, 0, np.zeros((2, 2, 2), np.int64), \
+                np.zeros((2, 2, 2), np.int64)
+        col_ref, col_mv = self._col
+        for dy, dx in ((0, 0), (0, 3), (3, 0), (3, 3)):
+            rr, cc = my * 4 + dy, mx * 4 + dx
+            if col_ref[rr, cc] == 0 \
+                    and abs(int(col_mv[rr, cc, 0])) <= 1 \
+                    and abs(int(col_mv[rr, cc, 1])) <= 1:
+                qy, qx = dy // 2, dx // 2
+                if ref0 == 0:
+                    mv0q[qy, qx] = 0
+                if ref1 == 0:
+                    mv1q[qy, qx] = 0
+        return ref0, ref1, mv0q, mv1q
+
+    def _direct_pred(self, my, mx, use0, mv0q, use1, mv1q):
+        """Per-8x8-quadrant prediction for B_SKIP/B_Direct_16x16."""
+        py = np.zeros((16, 16), np.int64)
+        pu = np.zeros((8, 8), np.int64)
+        pv = np.zeros((8, 8), np.int64)
+        for qy in range(2):
+            for qx in range(2):
+                ly, lx = my * 16 + qy * 8, mx * 16 + qx * 8
+                cy, cx = my * 8 + qy * 4, mx * 8 + qx * 4
+                parts = []
+                for use, mvq, ref in ((use0, mv0q, self._ref_l0),
+                                      (use1, mv1q, self._ref_l1)):
+                    if not use:
+                        continue
+                    mvx, mvy = int(mvq[qy, qx, 0]), int(mvq[qy, qx, 1])
+                    parts.append((
+                        golden_mc.mc_luma(ref[0], ly, lx, mvx, mvy, 8, 8),
+                        golden_mc.mc_chroma(ref[1], cy, cx, mvx, mvy,
+                                            4, 4),
+                        golden_mc.mc_chroma(ref[2], cy, cx, mvx, mvy,
+                                            4, 4)))
+                if len(parts) == 2:
+                    blk = tuple(
+                        (a.astype(np.int64) + b.astype(np.int64) + 1) >> 1
+                        for a, b in zip(parts[0], parts[1]))
+                else:
+                    blk = parts[0]
+                py[qy * 8:qy * 8 + 8, qx * 8:qx * 8 + 8] = blk[0]
+                pu[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = blk[1]
+                pv[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = blk[2]
+        return py, pu, pv
+
+    def _decode_direct_fields(self, my, mx, mv_f0, ref_f0, mv_f1, ref_f1):
+        """Derive direct config and write the per-4x4 caches (mvd 0)."""
+        ref0, ref1, mv0q, mv1q = self._spatial_direct(
+            my, mx, mv_f0, ref_f0, mv_f1, ref_f1)
+        use0, use1 = ref0 >= 0, ref1 >= 0
+        r, c = my * 4, mx * 4
+        ref_f0[r:r + 4, c:c + 4] = ref0 if use0 else -1
+        ref_f1[r:r + 4, c:c + 4] = ref1 if use1 else -1
+        for qy in range(2):
+            for qx in range(2):
+                sl = (slice(r + qy * 2, r + qy * 2 + 2),
+                      slice(c + qx * 2, c + qx * 2 + 2))
+                mv_f0[sl] = mv0q[qy, qx] if use0 else 0
+                mv_f1[sl] = mv1q[qy, qx] if use1 else 0
+        return use0, use1, mv0q, mv1q
+
     def _bipred(self, my, mx, use0, mv0, use1, mv1):
         """Prediction for B_L0/L1/BI 16x16 (pixel_avg bipred, weight 32)."""
         saved = self.ref
@@ -2010,6 +2161,14 @@ class Decoder:
             intra_mb[my, mx] = True
             return self._decode_mb_i(br, my, mx, qp, qt, Y, U, V,
                                      nnz_l, nnz_c, mb_type - 23)
+        if mb_type == 0:               # B_Direct_16x16
+            use0, use1, mv0q, mv1q = self._decode_direct_fields(
+                my, mx, mv_f0, ref_f0, mv_f1, ref_f1)
+            py, pu, pv = self._direct_pred(my, mx, use0, mv0q,
+                                           use1, mv1q)
+            return self._inter_residual_cavlc(br, my, mx, qp, qt,
+                                              Y, U, V, nnz_l, nnz_c,
+                                              py, pu, pv)
         assert mb_type in (1, 2, 3), f"B mb_type {mb_type} unsupported"
         use0 = mb_type in (1, 3)
         use1 = mb_type in (2, 3)

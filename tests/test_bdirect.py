@@ -1,0 +1,102 @@
+"""B_SKIP / B_Direct_16x16 (spatial direct, direct_8x8_inference):
+derivation, skip runs / skip flags in both entropy coders, decode
+closure (x264_mb_predict_mv_direct16x16_spatial, common/mb.c; spec
+8.4.1.2.2).
+"""
+
+import numpy as np
+import pytest
+
+from x264_tpu import Encoder, EncoderParams
+from x264_tpu.encoder.core import Frame
+from refdec.decoder import Decoder
+from refdec.bits import split_annexb
+
+W, H = 96, 80
+
+
+def make_frames(n, motion=0, noise=0, seed=0):
+    rng = np.random.default_rng(seed)
+    big = rng.integers(0, 255, (H + 64, W + 64)).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        y = big[8:8 + H, 8 + motion * t:8 + motion * t + W].astype(float)
+        if noise:
+            y = y + rng.normal(0, noise, (H, W))
+        y = y.clip(0, 255).astype(np.uint8)
+        u = ((y[::2, ::2].astype(int) + 30) % 250).astype(np.uint8)
+        v = ((255 - y[1::2, ::2].astype(int)) % 250).astype(np.uint8)
+        frames.append(Frame(y, u, v))
+    return frames
+
+
+def encode_all(frames, cabac, qp=30):
+    p = EncoderParams(i_width=W, i_height=H, b_cabac=cabac,
+                      b_deblocking_filter=True, i_log_level=0,
+                      i_keyint_max=250, i_bframe=1)
+    p.rc.i_rc_method = 0
+    p.rc.i_qp_constant = qp
+    enc = Encoder(p)
+    stream = enc.headers()
+    outs = []
+    for f in frames:
+        ef = enc.encode(f)
+        if ef is not None:
+            outs.append(ef)
+    outs += list(enc.flush())
+    enc.close()
+    for ef in outs:
+        stream += ef.payload
+    return stream, outs
+
+
+def check_closure(stream, outs, tag):
+    dec = Decoder()
+    for nal in split_annexb(stream):
+        dec.decode_nal(nal)
+    assert len(dec.frames) == len(outs)
+    for i, (d, o) in enumerate(zip(dec.frames, outs)):
+        for pl in "yuv":
+            np.testing.assert_array_equal(
+                np.asarray(getattr(d, pl), np.int64),
+                np.asarray(getattr(o.recon, pl), np.int64),
+                err_msg=f"{tag}: decode-order frame {i} "
+                        f"({o.frame_type}) plane {pl}")
+    return dec
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_static_bskip(cabac):
+    """Fully static content: every B MB derives a zero-cost direct
+    config -> B frames collapse to (nearly) pure B_SKIP runs."""
+    frames = make_frames(5, motion=0, noise=0)
+    stream, outs = encode_all(frames, cabac)
+    types = [o.frame_type for o in outs]
+    assert "B" in types
+    check_closure(stream, outs, f"static cabac={cabac}")
+    b_sizes = [len(o.payload) for o in outs if o.frame_type == "B"]
+    p_sizes = [len(o.payload) for o in outs if o.frame_type == "P"]
+    # an all-skip B slice is a header + one run + stop bit
+    assert max(b_sizes) < 40, b_sizes
+    assert max(b_sizes) <= max(p_sizes), (b_sizes, p_sizes)
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_pan_direct_closure(cabac):
+    """Panning + noise: a mix of direct (nonzero derived MVs), explicit
+    L0/L1/BI and intra MBs must stay decode-bit-exact."""
+    frames = make_frames(6, motion=3, noise=6, seed=2)
+    stream, outs = encode_all(frames, cabac)
+    assert "B" in [o.frame_type for o in outs]
+    check_closure(stream, outs, f"pan cabac={cabac}")
+
+
+def test_b_now_cheaper_than_p_on_static_noise():
+    """With B_SKIP/DIRECT, B frames must beat P frames on
+    low-motion content (the gap VERDICT item 4 flagged)."""
+    frames = make_frames(7, motion=0, noise=3, seed=4)
+    stream, outs = encode_all(frames, cabac=True, qp=32)
+    b_bits = [o.bits for o in outs if o.frame_type == "B"]
+    p_bits = [o.bits for o in outs if o.frame_type == "P"]
+    assert b_bits and p_bits
+    assert np.mean(b_bits) < np.mean(p_bits), (b_bits, p_bits)

@@ -139,6 +139,7 @@ class Encoder:
         self._bframes = p.i_bframe
         self._bbuf = None
         self._prev_ref = None
+        self._ref_maps = None   # (ref4, mv4) of _ref, for B direct
         self._disp_since_idr = 0
         self._disp_abs = 0       # absolute display (input) counter
         # rate control (x264_ratecontrol_new, encoder/ratecontrol.c:267)
@@ -389,6 +390,10 @@ class Encoder:
         if is_ref:
             self._prev_ref = self._ref
             self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+            # colocated L0 field of this reference (for B spatial
+            # direct); IDR/I frames synthesize all-intra maps lazily
+            self._ref_maps = ((out["ref4"], out["mv4"])
+                              if "ref4" in out else None)
             self.frame_num = (self.frame_num + 1) \
                 % (1 << self.sps.log2_max_frame_num)
         recon = Frame(out["recon_y"][:frame.y.shape[0], :frame.y.shape[1]],
@@ -711,6 +716,13 @@ class Encoder:
                     else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
         l0 = self._prev_ref
         l1 = self._ref
+        # colocated maps of RefPicList1[0] for spatial direct; an I/IDR
+        # colocated frame is all-intra (ref -1, mv 0)
+        if self._ref_maps is not None:
+            col_ref4, col_mv4 = self._ref_maps
+        else:
+            col_ref4 = jnp.full((mb_h * 4, mb_w * 4), -1, jnp.int32)
+            col_mv4 = jnp.zeros((mb_h * 4, mb_w * 4, 2), jnp.int32)
         if p.b_cabac:
             hdr_bytes = self._cabac_header(qp, SLICE_B, 0)
             out = pipeline.encode_b_cabac(
@@ -719,7 +731,8 @@ class Encoder:
                 self._qtab_p(qp, qp_c), lam, qp, qp_c,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
-                p.analyse.i_chroma_qp_offset, mvp_seed)
+                p.analyse.i_chroma_qp_offset, mvp_seed,
+                col_ref4, col_mv4)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=False, nal_type=NAL_SLICE,
                         nal_ref_idc=0, nmb=mb_h * mb_w)
@@ -734,7 +747,8 @@ class Encoder:
                 hdr_vals, hdr_lens,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
-                p.analyse.i_chroma_qp_offset, mvp_seed)
+                p.analyse.i_chroma_qp_offset, mvp_seed,
+                col_ref4, col_mv4)
             pend = dict(kind="cavlc", out=out,
                         cap_words=pipeline.capacity_words(mb_h * mb_w),
                         nal_type=NAL_SLICE, nal_ref_idc=0)

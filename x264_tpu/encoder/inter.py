@@ -490,17 +490,28 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
 def encode_b_body(mb_h: int, mb_w: int, me_range: int,
                   y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
                   qtab, lam, mvp_seed, subpel_steps=(2, 1),
-                  lossless: bool = False):
-    """Encode one B frame (pre-deblock): 16x16 L0 / L1 / BI modes plus
-    intra — the B_16x16 ladder of x264_mb_analyse_b (encoder/analyse.c
-    b16x16:1549) without direct/skip (never choosing B_DIRECT/B_SKIP is
-    conformant; they are a bit-rate optimization added later).
+                  lossless: bool = False,
+                  col_ref4=None, col_mv4=None):
+    """Encode one B frame (pre-deblock): B_SKIP / B_Direct_16x16 plus
+    the 16x16 L0 / L1 / BI modes plus intra — the B ladder of
+    x264_mb_analyse_b (encoder/analyse.c b16x16:1549 + direct:1515).
 
     l0_* is the past reference, l1_* the future reference (both
     deblocked reconstructions, MB-aligned). Bipred uses the plain
     rounding average (PPS weighted_bipred_idc 0, x264 pixel_avg).
+
+    col_ref4/col_mv4: the colocated L0 maps of RefPicList1[0] (the
+    future reference's per-4x4 ref/mv field) for the spatial-direct
+    low-motion override; None disables direct/skip (e.g. unavailable
+    colocated state). Direct selection is re-staged for TPU: derive
+    the spatial-direct config for every MB from the provisional final
+    maps, accept it where it is quadrant-uniform and cheaper, and
+    resolve neighbor-dependency chains with bounded-depth parallel
+    sweeps (the same scheme as intra-in-P) — deeper chains demote to
+    the explicit 16x16 mode, which is always conformant.
+
     Returns the per-MB output dict (keys mirror encode_p_body with
-    bmode/use_l0/use_l1/mvd_l1/per-list maps added).
+    bmode/use_l0/use_l1/mvd_l1/direct_mb/per-list maps added).
     """
     y = y.astype(I32)
     y_tiles = _tile16(y, mb_h, mb_w)
@@ -528,10 +539,10 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
         rv_pad = omc.pad_plane(rv.astype(I32), omc.PAD // 2)
         pu = omc.mc_chroma(ru_pad, ys >> 1, xs >> 1, mv, 8, 8)
         pv = omc.mc_chroma(rv_pad, ys >> 1, xs >> 1, mv, 8, 8)
-        return mv, satd, pred, pu, pv
+        return mv, satd, pred, pu, pv, (planes, ru_pad, rv_pad)
 
-    mv0, satd0, pred0, pu0, pv0 = me_list(l0_y, l0_u, l0_v)
-    mv1, satd1, pred1, pu1, pv1 = me_list(l1_y, l1_u, l1_v)
+    mv0, satd0, pred0, pu0, pv0, fetch0 = me_list(l0_y, l0_u, l0_v)
+    mv1, satd1, pred1, pu1, pv1, fetch1 = me_list(l1_y, l1_u, l1_v)
     pred_bi = omc.avg(pred0, pred1)
     satd_bi = opix.satd(y_tiles, pred_bi)
 
@@ -553,13 +564,15 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
     pred_v = jnp.where(sel2, omc.avg(pv0, pv1),
                        jnp.where(sel1, pv1, pv0))
 
-    # -------------------------------------------- stage 2: residuals
-    recon_inter_y, inter_blocks_z, inter_cbp = inter_luma_residual(
+    # ------------------ stage 2: residual pass 1 (explicit modes only)
+    # feeds the intra decision's neighbor reconstruction; the coded
+    # residual is produced by pass 2 after direct selection
+    recon_inter_y, _, _ = inter_luma_residual(
         y_tiles, pred_y, qtab, lossless)
-    iru, idcu, iacu, _, _ = eintra.chroma_residual(u_tiles, pred_u,
-                                                   qtab, "pc", lossless)
-    irv, idcv, iacv, _, _ = eintra.chroma_residual(v_tiles, pred_v,
-                                                   qtab, "pc", lossless)
+    iru, _, _, _, _ = eintra.chroma_residual(u_tiles, pred_u,
+                                             qtab, "pc", lossless)
+    irv, _, _, _, _ = eintra.chroma_residual(v_tiles, pred_v,
+                                             qtab, "pc", lossless)
 
     # ------------------- stage 3: intra-in-B by bounded-depth sweeps
     # (same machinery as encode_p_body stage 3)
@@ -607,21 +620,123 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
                                                     "c", lossless)
         return lp, cmode, ru, rv, dcu, dcv, acu, acv
 
+    # intra DECISION: one eval against the explicit-mode recon state,
+    # then fix the choice + demote unresolvable chains (as in P)
+    lp0 = eval_intra(recon_inter_y, iru, irv)[0]
+    choose = (lp0["cost"] + lam * INTRA_PEN_BITS
+              < cost_inter.reshape(nK)).reshape(mb_h, mb_w)
+    resolved = ~choose
+    for _ in range(K_SWEEPS):
+        resolved = resolved | (choose
+                               & up(resolved, True)
+                               & lf(resolved, True)
+                               & up(lf(resolved, True), True))
+    intra_mb = choose & resolved
+
+    # --------------- stage 3.5: B_SKIP / B_Direct_16x16 selection
+    # (x264_mb_analyse_b direct branch; see docstring for the sweep
+    # re-staging). Chosen-mode per-MB config first:
+    from . import mvpred
+    use_l0_c = (~intra_mb) & ((bmode == 0) | (bmode == 2))
+    use_l1_c = (~intra_mb) & ((bmode == 1) | (bmode == 2))
+    ref_l0_c = jnp.where(use_l0_c, 0, -1).astype(I32)
+    ref_l1_c = jnp.where(use_l1_c, 0, -1).astype(I32)
+    mv_l0_c = jnp.where(use_l0_c[..., None], mv0, 0)
+    mv_l1_c = jnp.where(use_l1_c[..., None], mv1, 0)
+
+    def exp4(a):
+        return jnp.repeat(jnp.repeat(a, 4, axis=0), 4, axis=1)
+
+    direct_mb = jnp.zeros((mb_h, mb_w), bool)
+    cfg = dict(r0=ref_l0_c, r1=ref_l1_c, m0=mv_l0_c, m1=mv_l1_c)
+    if col_ref4 is not None:
+        planes0 = fetch0[0]
+        planes1 = fetch1[0]
+        # Cost decision from the provisional (chosen-mode) derivation:
+        # MC + SATD once. The values coded are finalized below by an
+        # exact wavefront, so a stale cost only affects mode quality,
+        # never conformance.
+        d0, d1, dm0, dm1, uni = mvpred.spatial_direct(
+            exp4(ref_l0_c), exp4(mv_l0_c),
+            exp4(ref_l1_c), exp4(mv_l1_c),
+            col_ref4, col_mv4)
+        du0 = d0 >= 0
+        du1 = d1 >= 0
+        dp0 = omc.mc_luma(planes0, ys, xs, dm0, 16, 16)
+        dp1 = omc.mc_luma(planes1, ys, xs, dm1, 16, 16)
+        dpred = jnp.where((du0 & du1)[..., None, None],
+                          omc.avg(dp0, dp1),
+                          jnp.where(du0[..., None, None], dp0, dp1))
+        dcost = opix.satd(y_tiles, dpred) + lam
+        want = (~intra_mb) & (dcost < cost_inter)
+
+        # Exact sequential semantics via a slope-2 MB wavefront: the
+        # derivation reads A/B/C/D neighbors (left, top-left, top,
+        # top-right), so anti-diagonal d = 2y + x orders every MB
+        # after all its dependencies. Each step re-derives (cheap
+        # gathers + median — no MC) and commits that diagonal's MBs;
+        # an MB whose FINAL derivation is not quadrant-uniform falls
+        # back to its explicit mode at its own step.
+        gym = jnp.arange(mb_h, dtype=I32)[:, None] \
+            + jnp.zeros((1, mb_w), I32)
+        gxm = jnp.arange(mb_w, dtype=I32)[None, :] \
+            + jnp.zeros((mb_h, 1), I32)
+        diag = 2 * gym + gxm
+
+        def wave_step(carry, dstep):
+            r0, r1, m0, m1, acc = carry
+            e0, e1, em0, em1, euni = mvpred.spatial_direct(
+                exp4(r0), exp4(m0), exp4(r1), exp4(m1),
+                col_ref4, col_mv4)
+            m = want & euni & (diag == dstep)
+            carry = (jnp.where(m, e0, r0),
+                     jnp.where(m, e1, r1),
+                     jnp.where(m[..., None], em0, m0),
+                     jnp.where(m[..., None], em1, m1),
+                     acc | m)
+            return carry, None
+
+        init = (ref_l0_c, ref_l1_c, mv_l0_c, mv_l1_c, direct_mb)
+        (r0f, r1f, m0f, m1f, direct_mb), _ = jax.lax.scan(
+            wave_step, init,
+            jnp.arange(2 * mb_h + mb_w - 2 + 1, dtype=I32))
+        cfg = dict(r0=r0f, r1=r1f, m0=m0f, m1=m1f)
+
+    # final per-MB prediction config (maps match the decoder cache)
+    ref_l0, ref_l1 = cfg["r0"], cfg["r1"]
+    mv_l0, mv_l1 = cfg["m0"], cfg["m1"]
+    pu0_pf = ref_l0 >= 0            # prediction flags incl. direct
+    pu1_pf = ref_l1 >= 0
+
+    # ------------------ stage 3.6: residual pass 2 on the final pred
+    if col_ref4 is not None:
+        planes0, cu0, cv0 = fetch0
+        planes1, cu1, cv1 = fetch1
+        q0 = omc.mc_luma(planes0, ys, xs, mv_l0, 16, 16)
+        q1 = omc.mc_luma(planes1, ys, xs, mv_l1, 16, 16)
+        qu0 = omc.mc_chroma(cu0, ys >> 1, xs >> 1, mv_l0, 8, 8)
+        qu1 = omc.mc_chroma(cu1, ys >> 1, xs >> 1, mv_l1, 8, 8)
+        qv0 = omc.mc_chroma(cv0, ys >> 1, xs >> 1, mv_l0, 8, 8)
+        qv1 = omc.mc_chroma(cv1, ys >> 1, xs >> 1, mv_l1, 8, 8)
+        bi = (pu0_pf & pu1_pf)[..., None, None]
+        u0 = pu0_pf[..., None, None]
+        pred_y = jnp.where(bi, omc.avg(q0, q1), jnp.where(u0, q0, q1))
+        pred_u = jnp.where(bi, omc.avg(qu0, qu1),
+                           jnp.where(u0, qu0, qu1))
+        pred_v = jnp.where(bi, omc.avg(qv0, qv1),
+                           jnp.where(u0, qv0, qv1))
+    recon_inter_y, inter_blocks_z, inter_cbp = inter_luma_residual(
+        y_tiles, pred_y, qtab, lossless)
+    iru, idcu, iacu, _, _ = eintra.chroma_residual(u_tiles, pred_u,
+                                                   qtab, "pc", lossless)
+    irv, idcv, iacv, _, _ = eintra.chroma_residual(v_tiles, pred_v,
+                                                   qtab, "pc", lossless)
+
+    # --------------- stage 3.7: intra value sweeps (decision fixed)
     ty, tu, tv = recon_inter_y, iru, irv
-    intra_mb = None
     lp = cmode = ru = rv = dcu = dcv = acu = acv = None
     for t in range(K_SWEEPS):
         lp, cmode, ru, rv, dcu, dcv, acu, acv = eval_intra(ty, tu, tv)
-        if intra_mb is None:
-            choose = (lp["cost"] + lam * INTRA_PEN_BITS
-                      < cost_inter.reshape(nK)).reshape(mb_h, mb_w)
-            resolved = ~choose
-            for _ in range(K_SWEEPS):
-                resolved = resolved | (choose
-                                       & up(resolved, True)
-                                       & lf(resolved, True)
-                                       & up(lf(resolved, True), True))
-            intra_mb = choose & resolved
         m = intra_mb[..., None, None]
         ty = jnp.where(m, lp["recon"].reshape(mb_h, mb_w, 16, 16),
                        recon_inter_y)
@@ -651,18 +766,14 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
     cbp_chroma = jnp.where(cnz_ac, 2, jnp.where(cnz_dc, 1, 0)).astype(I32)
 
     # --------------------------- stage 4: per-list maps + MV syntax
-    from . import mvpred
     bmode_f = jnp.where(intra_mb, -1, bmode)
-    use_l0 = (~intra_mb) & ((bmode == 0) | (bmode == 2))
-    use_l1 = (~intra_mb) & ((bmode == 1) | (bmode == 2))
-    ref_l0 = jnp.where(use_l0, 0, -1).astype(I32)
-    ref_l1 = jnp.where(use_l1, 0, -1).astype(I32)
-    mv_l0 = jnp.where(use_l0[..., None], mv0, 0)
-    mv_l1 = jnp.where(use_l1[..., None], mv1, 0)
-    ref4_l0 = jnp.repeat(jnp.repeat(ref_l0, 4, 0), 4, 1)
-    ref4_l1 = jnp.repeat(jnp.repeat(ref_l1, 4, 0), 4, 1)
-    mv4_l0 = jnp.repeat(jnp.repeat(mv_l0, 4, 0), 4, 1)
-    mv4_l1 = jnp.repeat(jnp.repeat(mv_l1, 4, 0), 4, 1)
+    # syntax flags: which lists code an mvd (direct/skip code none)
+    use_l0 = (~intra_mb) & (~direct_mb) & ((bmode == 0) | (bmode == 2))
+    use_l1 = (~intra_mb) & (~direct_mb) & ((bmode == 1) | (bmode == 2))
+    ref4_l0 = exp4(jnp.where(intra_mb, -1, ref_l0).astype(I32))
+    ref4_l1 = exp4(jnp.where(intra_mb, -1, ref_l1).astype(I32))
+    mv4_l0 = exp4(mv_l0)
+    mv4_l1 = exp4(mv_l1)
 
     mvp_l0 = mvpred.predict_16x16(ref4_l0, mv4_l0)
     mvp_l1 = mvpred.predict_16x16(ref4_l1, mv4_l1)
@@ -670,6 +781,13 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
     mvd_l1 = jnp.where(use_l1[..., None], mv_l1 - mvp_l1, 0)
     mvd4_l0 = jnp.repeat(jnp.repeat(mvd_l0, 4, 0), 4, 1)
     mvd4_l1 = jnp.repeat(jnp.repeat(mvd_l1, 4, 0), 4, 1)
+
+    # B_SKIP: direct config with no coded residual (spec 7.4.4)
+    cnz_ac_s = jnp.any(jnp.stack([iacu, iacv], axis=2) != 0,
+                       axis=(-3, -2, -1))
+    cnz_dc_s = jnp.any(jnp.stack([idcu, idcv], axis=2) != 0,
+                       axis=(-2, -1))
+    skip = direct_mb & (inter_cbp == 0) & ~cnz_ac_s & ~cnz_dc_s
 
     # deblock maps (is_b path needs both lists)
     nnz_cnt = jnp.count_nonzero(luma_blocks, axis=-1).astype(I32)
@@ -694,7 +812,7 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
         bmode=bmode_f, use_l0=use_l0, use_l1=use_l1,
         mvd_l0=mvd_l0, mvd_l1=mvd_l1,
         mvd4_l0=mvd4_l0, mvd4_l1=mvd4_l1,
-        mv=mv_l0, skip=jnp.zeros((mb_h, mb_w), bool),
+        mv=mv_l0, skip=skip, direct_mb=direct_mb,
         nnz4=nnz4, ref4=ref4_l0, mv4=mv4_l0,
         ref4_l1=ref4_l1, mv4_l1=mv4_l1,
     )

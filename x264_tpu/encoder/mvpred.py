@@ -101,6 +101,71 @@ def predict_pskip(ref4, mv4):
     return jnp.where(force0[..., None], 0, mvp16)
 
 
+def spatial_direct(ref4_l0, mv4_l0, ref4_l1, mv4_l1,
+                   col_ref4, col_mv4):
+    """Spatial-direct MV derivation for B_Direct_16x16 / B_SKIP
+    (x264_mb_predict_mv_direct16x16_spatial, common/mb.c; spec
+    8.4.1.2.2 with direct_8x8_inference_flag=1).
+
+    ref4_*/mv4_*: the current B frame's final per-4x4 maps per list.
+    col_ref4/col_mv4: the colocated maps of RefPicList1[0] (the future
+    reference's L0 field).
+
+    Returns per-MB grids: (dref0, dref1, dmv0, dmv1, uniform) where
+    refs are in {-1, 0} (-1 = list unused; both-unavailable resolves
+    to bi zero-MV per spec), and `uniform` is True when all four 8x8
+    quadrants derive the SAME mv pair — the only configurations this
+    encoder emits as direct (the decoder derives the general per-
+    quadrant form)."""
+    mb_h, mb_w = ref4_l0.shape[0] // 4, ref4_l0.shape[1] // 4
+    big = jnp.int32(1 << 20)
+
+    def list_ref_mv(ref4, mv4):
+        refp, mvp = _pad_maps(ref4, mv4)
+        ra, mva, rb, mvb, rc, mvc = _slots_16x16(refp, mvp, mb_h, mb_w)
+        # unsigned MIN3 over neighbor refs (<0 sorts last)
+        r = jnp.minimum(jnp.minimum(jnp.where(ra < 0, big, ra),
+                                    jnp.where(rb < 0, big, rb)),
+                        jnp.where(rc < 0, big, rc))
+        ref = jnp.where(r >= big, -1, r).astype(I32)
+        mv = _predict(ra, mva, rb, mvb, rc, mvc, ref)
+        mv = jnp.where((ref >= 0)[..., None], mv, 0)
+        return ref, mv
+
+    dref0, dmv0 = list_ref_mv(ref4_l0, mv4_l0)
+    dref1, dmv1 = list_ref_mv(ref4_l1, mv4_l1)
+    both_neg = (dref0 < 0) & (dref1 < 0)
+    dref0 = jnp.where(both_neg, 0, dref0)
+    dref1 = jnp.where(both_neg, 0, dref1)
+    dmv0 = jnp.where(both_neg[..., None], 0, dmv0)
+    dmv1 = jnp.where(both_neg[..., None], 0, dmv1)
+
+    # colocated low-motion override per 8x8 quadrant: corner 4x4 blocks
+    # (direct_8x8_inference); refCol==0 and |mvCol| <= 1 qpel
+    gy = jnp.arange(mb_h, dtype=I32)[:, None] * 4 \
+        + jnp.zeros((1, mb_w), I32)
+    gx = jnp.arange(mb_w, dtype=I32)[None, :] * 4 \
+        + jnp.zeros((mb_h, 1), I32)
+    zs = []
+    for dy, dx in ((0, 0), (0, 3), (3, 0), (3, 3)):
+        cr = col_ref4[gy + dy, gx + dx]
+        cmv = col_mv4[gy + dy, gx + dx]
+        zs.append((cr == 0)
+                  & (jnp.abs(cmv[..., 0]) <= 1)
+                  & (jnp.abs(cmv[..., 1]) <= 1))
+    z = jnp.stack(zs)                     # (4, mb_h, mb_w)
+    # the both-unavailable branch returns before the colocated loop
+    z_all = z.all(0) & ~both_neg
+    z_any = z.any(0) & ~both_neg
+    mv0_chg = (dref0 == 0) & jnp.any(dmv0 != 0, axis=-1)
+    mv1_chg = (dref1 == 0) & jnp.any(dmv1 != 0, axis=-1)
+    would_change = mv0_chg | mv1_chg
+    uniform = (~would_change) | z_all | (~z_any)
+    dmv0 = jnp.where((z_all & (dref0 == 0))[..., None], 0, dmv0)
+    dmv1 = jnp.where((z_all & (dref1 == 0))[..., None], 0, dmv1)
+    return dref0, dref1, dmv0, dmv1, uniform
+
+
 def predict_16x8(ref4, mv4, i_ref=0):
     """MVPs for the two 16x8 partitions (x264_mb_predict_mv D_16x8:
     part 0 takes B outright when refs match, part 1 takes A).

@@ -117,7 +117,7 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     return dict(recon_y=ry, recon_u=ru, recon_v=rv,
                 words=words, nbits=nbits,
                 mv=out["mv"], intra_mb=out["intra_mb"],
-                skip=out["skip"])
+                skip=out["skip"], mv4=out["mv4"], ref4=out["ref4"])
 
 
 # op-stream capacity per MB for the CABAC path: the slot layout is
@@ -202,7 +202,7 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     return dict(recon_y=ry, recon_u=ru, recon_v=rv,
                 ops=cops, n_ops=n_ops,
                 mv=out["mv"], intra_mb=out["intra_mb"],
-                skip=out["skip"])
+                skip=out["skip"], mv4=out["mv4"], ref4=out["ref4"])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
@@ -210,15 +210,18 @@ def encode_b(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
              subpel_steps,
              y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
              qtab, lam, qp, qp_c, hdr_vals, hdr_lens,
-             alpha_off, beta_off, chroma_qp_offset, mvp_seed):
-    """B frame (CAVLC): two-list ME + L0/L1/BI decision + entropy +
-    pack + deblock, fused."""
+             alpha_off, beta_off, chroma_qp_offset, mvp_seed,
+             col_ref4=None, col_mv4=None):
+    """B frame (CAVLC): two-list ME + direct/skip + L0/L1/BI decision
+    + entropy + pack + deblock, fused. col_ref4/col_mv4: RefPicList1[0]
+    colocated L0 maps for spatial direct (None disables direct)."""
     y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
     l0 = tuple(p.astype(jnp.int32) for p in (l0_y, l0_u, l0_v))
     l1 = tuple(p.astype(jnp.int32) for p in (l1_y, l1_u, l1_v))
     out = inter.encode_b_body(mb_h, mb_w, me_range, y, u, v,
                               *l0, *l1, qtab, lam, mvp_seed,
-                              subpel_steps)
+                              subpel_steps,
+                              col_ref4=col_ref4, col_mv4=col_mv4)
 
     vals, lens = edev.b_code_planes(out, mb_h, mb_w)
     stop = jnp.ones((1,), I32)
@@ -246,9 +249,10 @@ def encode_b_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    subpel_steps,
                    y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
                    qtab, lam, qp, qp_c,
-                   alpha_off, beta_off, chroma_qp_offset, mvp_seed):
+                   alpha_off, beta_off, chroma_qp_offset, mvp_seed,
+                   col_ref4=None, col_mv4=None):
     """B frame with CABAC entropy: packed bin-op stream for the host
-    arithmetic coder."""
+    arithmetic coder. col_ref4/col_mv4 as in encode_b."""
     from ..entropy import cabac_planes
 
     y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
@@ -256,7 +260,8 @@ def encode_b_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     l1 = tuple(p.astype(jnp.int32) for p in (l1_y, l1_u, l1_v))
     out = inter.encode_b_body(mb_h, mb_w, me_range, y, u, v,
                               *l0, *l1, qtab, lam, mvp_seed,
-                              subpel_steps)
+                              subpel_steps,
+                              col_ref4=col_ref4, col_mv4=col_mv4)
 
     ops = cabac_planes.b_slice_ops(out, mb_h, mb_w)
     cops, n_ops = cabac_planes.compact_ops(ops, cabac_capacity(mb_h * mb_w))

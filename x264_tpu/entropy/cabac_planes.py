@@ -591,14 +591,17 @@ def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1):
 
 def b_slice_ops(out, mb_h: int, mb_w: int):
     """Packed op planes for a whole B CABAC slice
-    (x264_macroblock_write_cabac B branch + x264_cabac_mb_type B table,
-    encoder/cabac.c:123-190,300-306). Only D_16x16 L0/L1/BI + I16x16 are
-    emitted (no B_SKIP/B_DIRECT), so every MB codes mb_skip_flag=0."""
+    (x264_macroblock_write_cabac B branch + x264_cabac_mb_type B table
+    + x264_cabac_mb_skip, encoder/cabac.c:123-190,300-306): B_SKIP via
+    the skip flag, B_Direct_16x16 as the single mb_type bin 0, then
+    D_16x16 L0/L1/BI + I16x16."""
     from .. import tables
 
     nmb = mb_h * mb_w
     R = jnp.asarray(tables.LUMA4x4_RASTER_OF_Z)
     intra = out["intra_mb"].reshape(mb_h, mb_w)
+    skip = out["skip"].reshape(mb_h, mb_w)
+    direct = out["direct_mb"].reshape(mb_h, mb_w)
     cbp_l = out["cbp_luma_bits"].reshape(mb_h, mb_w).astype(I32)
     cbp_c = out["cbp_chroma"].reshape(mb_h, mb_w).astype(I32)
     luma_blocks = out["luma_blocks"].reshape(nmb, 16, 16)
@@ -614,31 +617,36 @@ def b_slice_ops(out, mb_h: int, mb_w: int):
     mvd_l1 = out["mvd_l1"].reshape(nmb, 2)
 
     intra_f = intra.reshape(nmb)
-    inter_f = ~intra_f
+    skip_f = skip.reshape(nmb)
+    direct_f = direct.reshape(nmb)
+    coded = ~skip_f
+    interc_f = coded & ~intra_f          # codes cbp/residual
+    expl_f = interc_f & ~direct_f        # codes mb_type bins 1+ / mvd
     cbp_lf = cbp_l.reshape(nmb)
     cbp_cf = cbp_c.reshape(nmb)
 
-    ymb, xmb = jnp.mgrid[0:mb_h, 0:mb_w]
-    avail_l = (xmb > 0).reshape(nmb)
-    avail_t = (ymb > 0).reshape(nmb)
-
     slots = []
 
-    # ---- mb_skip_flag: B ctx base 24 (x264_cabac_mb_skip); no skips
-    skip_ctx = 24 + avail_l.astype(I32) + avail_t.astype(I32)
-    slots.append(op(KIND_DECISION, skip_ctx, 0))
+    # ---- mb_skip_flag: B ctx base 24 + non-skip neighbors
+    nonskip = (~skip).astype(I32)
+    a, b = _nbr_grids(nonskip, 0)
+    skip_ctx = (24 + a + b).reshape(nmb)
+    slots.append(op(KIND_DECISION, skip_ctx, skip_f))
 
     # ---- mb_type (D_16x16 rows of the i_mb_bits table):
-    # L0 {1,0,0}, L1 {1,0,1}, BI {1,1,0,0,0,0}; intra prefix
-    # {1,1,1,1,0,1} + I16 suffix at ctx 32..35. Neighbor ctx counts
-    # coded non-direct MBs — all our MBs qualify.
-    ctx0 = 27 + avail_l.astype(I32) + avail_t.astype(I32)
-    is_bi = inter_f & (bmode == 2)
-    slots.append(op(KIND_DECISION, ctx0, 1))                 # bin0: always 1
-    slots.append(op(KIND_DECISION, jnp.full(nmb, 30, I32),
-                    intra_f | is_bi))                        # bin1
+    # B_Direct_16x16 {0}; L0 {1,0,0}, L1 {1,0,1}, BI {1,1,0,0,0,0};
+    # intra prefix {1,1,1,1,0,1} + I16 suffix at ctx 32..35. Bin-0 ctx
+    # counts available neighbors that are not B_SKIP/B_DIRECT.
+    nds = (~(skip | direct)).astype(I32)
+    a, b = _nbr_grids(nds, 0)
+    ctx0 = (27 + a + b).reshape(nmb)
+    is_bi = expl_f & (bmode == 2)
+    slots.append(_sel(coded, op(KIND_DECISION, ctx0, ~direct_f)))  # bin0
+    slots.append(_sel(coded & ~direct_f,
+                      op(KIND_DECISION, jnp.full(nmb, 30, I32),
+                         intra_f | is_bi)))                  # bin1
     # bin2: ctx 32 when bin1==0, else 31
-    slots.append(_sel(inter_f & ~is_bi,
+    slots.append(_sel(expl_f & ~is_bi,
                       op(KIND_DECISION, jnp.full(nmb, 32, I32),
                          bmode == 1)))
     slots.append(_sel(is_bi, op(KIND_DECISION, jnp.full(nmb, 31, I32), 0)))
@@ -699,20 +707,20 @@ def b_slice_ops(out, mb_h: int, mb_w: int):
     ctx2b = 76 - ((cbl_l >> 3) & 1) - ((cbp_all << 1) & 2)
     ctx3b = 76 - ((cbp_all >> 2) & 1) - ((cbp_all >> 0) & 2)
     for k, cx in enumerate((ctx0b, ctx1b, ctx2b, ctx3b)):
-        slots.append(_sel(inter_f, op(KIND_DECISION, cx.reshape(nmb),
-                                      (cbp_lf >> k) & 1)))
+        slots.append(_sel(interc_f, op(KIND_DECISION, cx.reshape(nmb),
+                                       (cbp_lf >> k) & 1)))
     cbc_all = cbp_c
     cbc_l, cbc_t = _nbr_grids(cbc_all, -1)
     c0 = 77 + ((cbc_l > 0) & (cbc_l != -1)).astype(I32) \
         + 2 * ((cbc_t > 0) & (cbc_t != -1)).astype(I32)
     c1 = 77 + 4 + (cbc_l == 2).astype(I32) + 2 * (cbc_t == 2).astype(I32)
-    slots.append(_sel(inter_f, op(KIND_DECISION, c0.reshape(nmb),
-                                  cbp_cf > 0)))
-    slots.append(_sel(inter_f & (cbp_cf > 0),
+    slots.append(_sel(interc_f, op(KIND_DECISION, c0.reshape(nmb),
+                                   cbp_cf > 0)))
+    slots.append(_sel(interc_f & (cbp_cf > 0),
                       op(KIND_DECISION, c1.reshape(nmb), cbp_cf == 2)))
 
     # ---- mb_qp_delta (0 under CQP)
-    has_dqp = intra_f | (cbp_lf > 0) | (cbp_cf > 0)
+    has_dqp = coded & (intra_f | (cbp_lf > 0) | (cbp_cf > 0))
     slots.append(_sel(has_dqp, op(KIND_DECISION, jnp.full(nmb, 60, I32), 0)))
 
     header = jnp.stack(slots, axis=1)
@@ -766,7 +774,7 @@ def b_slice_ops(out, mb_h: int, mb_w: int):
     full16 = residual_block_ops(
         luma_blocks.reshape(nmb * 16, 16), 2,
         ctx_ac.reshape(nmb * 16),
-        jnp.repeat(inter_f, 16) & (grp_bit > 0).reshape(nmb * 16))
+        jnp.repeat(interc_f, 16) & (grp_bit > 0).reshape(nmb * 16))
     w15, w16 = ac15.shape[1], full16.shape[1]
     ac15p = jnp.concatenate(
         [ac15, jnp.full((nmb * 16, w16 - w15), PAD_OP)], axis=1)

@@ -607,14 +607,17 @@ def header_slots(bitwriter) -> tuple[np.ndarray, np.ndarray]:
 def b_code_planes(out, mb_h: int, mb_w: int):
     """Code-plane construction for a whole B slice (CAVLC) from the
     encode_b_body outputs (x264_macroblock_write_cavlc B branch,
-    encoder/cavlc.c:485-560: mb_type golomb for D_16x16 L0/L1/BI, per-
-    list mvd; intra offset 23). No B_SKIP/B_DIRECT are emitted, so the
-    skip-run ue before every MB is 0."""
+    encoder/cavlc.c:485-560: mb_type golomb — B_Direct_16x16 ue(0),
+    D_16x16 L0/L1/BI ue(1/2/3), intra offset 23 — per-list mvd, and
+    the B_SKIP run ue of x264_slice_write)."""
     from .. import tables
 
     nmb = mb_h * mb_w
     R = _t(tables.LUMA4x4_RASTER_OF_Z)
     intra = out["intra_mb"].reshape(nmb)
+    skip = out["skip"].reshape(nmb)
+    direct = out["direct_mb"].reshape(nmb)
+    coded = ~skip
     cbp_l = out["cbp_luma_bits"].reshape(nmb)
     cbp_c = out["cbp_chroma"].reshape(nmb)
     luma_blocks = out["luma_blocks"].reshape(nmb, 16, 16)
@@ -670,15 +673,23 @@ def b_code_planes(out, mb_h: int, mb_w: int):
     cac_l = cac_l.reshape(nmb, 8, BLOCK_SLOTS) * (cbp_c == 2)[:, None, None]
 
     # ------------------------------------------------ MB header slots
+    idx = jnp.arange(nmb, dtype=I32)
+    coded_idx = jnp.where(coded, idx, -1)
+    prev_coded = jnp.concatenate([
+        jnp.full((1,), -1, I32),
+        jax.lax.associative_scan(jnp.maximum, coded_idx)[:-1]])
+    run = idx - prev_coded - 1
+
     h_v = jnp.zeros((nmb, 9), dtype=I32)
     h_l = jnp.zeros((nmb, 9), dtype=I32)
-    rv, rl = ue_codes(jnp.zeros(nmb, I32))    # skip_run == 0
+    rv, rl = ue_codes(run)                    # B_SKIP run
     h_v = h_v.at[:, 0].set(rv)
     h_l = h_l.at[:, 0].set(rl)
 
-    # mb_type: B_L0/L1/BI 16x16 -> ue(1/2/3); intra I16 offset 23
+    # mb_type: B_Direct_16x16 ue(0); B_L0/L1/BI 16x16 -> ue(1/2/3);
+    # intra I16 offset 23
     i16_type = 23 + 1 + mode16 + 4 * cbp_c + 12 * (cbp_l > 0).astype(I32)
-    b_type = jnp.clip(bmode, 0, 2) + 1
+    b_type = jnp.where(direct, 0, jnp.clip(bmode, 0, 2) + 1)
     tv_, tl_ = ue_codes(jnp.where(intra, i16_type, b_type))
     h_v = h_v.at[:, 1].set(tv_)
     h_l = h_l.at[:, 1].set(tl_)
@@ -706,6 +717,8 @@ def b_code_planes(out, mb_h: int, mb_w: int):
     h_v = h_v.at[:, 8].set(qv)
     h_l = h_l.at[:, 8].set(jnp.where(has_dqp, ql, 0))
 
+    h_l = h_l * coded[:, None]
+
     vals = jnp.concatenate([
         h_v,
         dc_v.reshape(nmb, BLOCK_SLOTS),
@@ -714,8 +727,16 @@ def b_code_planes(out, mb_h: int, mb_w: int):
         cac_v.reshape(nmb, 8 * BLOCK_SLOTS)], axis=1).ravel()
     lens = jnp.concatenate([
         h_l,
-        dc_l.reshape(nmb, BLOCK_SLOTS),
-        blk_l.reshape(nmb, 16 * BLOCK_SLOTS),
-        cdc_l.reshape(nmb, 2 * BLOCK_SLOTS),
-        cac_l.reshape(nmb, 8 * BLOCK_SLOTS)], axis=1).ravel()
+        (dc_l * coded[:, None]).reshape(nmb, BLOCK_SLOTS),
+        (blk_l * coded[:, None, None]).reshape(nmb, 16 * BLOCK_SLOTS),
+        (cdc_l * coded[:, None, None]).reshape(nmb, 2 * BLOCK_SLOTS),
+        (cac_l * coded[:, None, None]).reshape(nmb, 8 * BLOCK_SLOTS)],
+        axis=1).ravel()
+
+    # trailing skip run after the last coded MB
+    last_coded = jnp.max(coded_idx)
+    tail = nmb - 1 - last_coded
+    tv2, tl2 = ue_codes(tail[None])
+    vals = jnp.concatenate([vals, tv2])
+    lens = jnp.concatenate([lens, jnp.where(tail > 0, tl2, 0)])
     return vals, lens
