@@ -133,6 +133,35 @@ def _chroma_filter(win, bs, tc, alpha, beta, enable):
     return jnp.stack([p1, out_p0, out_q0, q1], axis=-1)
 
 
+def _skew(a, mb_h: int, mb_w: int, D: int, lead: int = 0):
+    """(mb_h, mb_w, *rest) -> (D [+lead], mb_h, *rest) skewed so that
+    slot [d + lead, y] holds entry (y, x = d - 2y). Implemented with the
+    pad-flatten-reshape trick (zero data movement beyond one pad): with
+    row length D+2, flat index y*(D+2)+x equals y*D + (x+2y), so a
+    reshape to (mb_h, D) lands entry (y, x) at column d = x + 2y."""
+    rest = a.shape[2:]
+    ap = jnp.pad(a, [(0, 0), (0, D + 2 - mb_w)] + [(0, 0)] * len(rest))
+    sk = ap.reshape(mb_h * (D + 2), *rest)[:mb_h * D] \
+        .reshape(mb_h, D, *rest)
+    sk = jnp.swapaxes(sk, 0, 1)
+    if lead:
+        sk = jnp.pad(sk, [(lead, 0)] + [(0, 0)] * (sk.ndim - 1))
+    return sk
+
+
+def _unskew(sk, mb_h: int, mb_w: int, D: int):
+    """Inverse of _skew (no lead): (D, mb_h, *rest) -> (mb_h, mb_w, *rest)."""
+    rest = sk.shape[2:]
+    a = jnp.swapaxes(sk, 0, 1).reshape(mb_h * D, *rest)
+    a = jnp.pad(a, [(0, 2 * mb_h)] + [(0, 0)] * len(rest))
+    return a.reshape(mb_h, D + 2, *rest)[:, :mb_w]
+
+
+def _shift_lane(a, fill=None):
+    """Lane y takes lane y-1's value (lane 0 gets zeros)."""
+    return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def deblock_frame(mb_h: int, mb_w: int, y, u, v, qp_mb, intra_mb,
                   nnz4, ref4, mv4, ref4_l1, mv4_l1, is_b,
@@ -142,7 +171,12 @@ def deblock_frame(mb_h: int, mb_w: int, y, u, v, qp_mb, intra_mb,
     qp_mb/intra_mb: (mb_h, mb_w); nnz4/ref4: (mb_h*4, mb_w*4);
     mv4: (mb_h*4, mb_w*4, 2) in quarter-pel; *_l1 idem for B slices
     (pass zeros + is_b=False otherwise). alpha_off/beta_off are the full
-    offsets (2x the _div2 slice header values)."""
+    offsets (2x the _div2 slice header values).
+
+    Layout: tiles live in a skewed store S[d, y] with d = x + 2y, so one
+    wavefront step is a contiguous dynamic_slice window of 4 diagonals —
+    no element gathers/scatters anywhere in the scan (the per-step cost
+    that made the gather/scatter formulation dispatch-bound)."""
     H4, W4 = mb_h * 4, mb_w * 4
     intra4 = jnp.repeat(jnp.repeat(intra_mb.astype(bool), 4, 0), 4, 1)
     qp4 = jnp.repeat(jnp.repeat(qp_mb.astype(I32), 4, 0), 4, 1)
@@ -177,47 +211,90 @@ def deblock_frame(mb_h: int, mb_w: int, y, u, v, qp_mb, intra_mb,
                                  alpha_off, beta_off)
     tvc, thc = tvc + 1, thc + 1      # chroma tc = tc0 + 1
 
-    yp = jnp.pad(y.astype(I32), 4)
-    up = jnp.pad(u.astype(I32), 4)
-    vp = jnp.pad(v.astype(I32), 4)
-
-    K = min(mb_h, (mb_w + 1) // 2)
     D = mb_w + 2 * mb_h - 2
-    r20 = jnp.arange(20)
-    r12 = jnp.arange(12)
-    r4 = jnp.arange(4)
+
+    # ---- per-MB-edge metadata, skewed: [d, lane, edge(, seg)]
+    def mb_vmeta(a):       # a[4y+seg, 4x+e] -> [y, x, e, seg]
+        return a.reshape(mb_h, 4, mb_w, 4).transpose(0, 2, 3, 1)
+
+    def mb_hmeta(a):       # a[4y+e, 4x+seg] -> [y, x, e, seg]
+        return a.reshape(mb_h, 4, mb_w, 4).transpose(0, 2, 1, 3)
+
+    xs_meta = dict(
+        bs_v=_skew(mb_vmeta(bs_v), mb_h, mb_w, D),
+        tv=_skew(mb_vmeta(tv), mb_h, mb_w, D),
+        av=_skew(mb_vmeta(av)[..., 0], mb_h, mb_w, D),
+        bv=_skew(mb_vmeta(bv)[..., 0], mb_h, mb_w, D),
+        bs_h=_skew(mb_hmeta(bs_h), mb_h, mb_w, D),
+        th=_skew(mb_hmeta(th), mb_h, mb_w, D),
+        ah=_skew(mb_hmeta(ah)[..., 0], mb_h, mb_w, D),
+        bh=_skew(mb_hmeta(bh)[..., 0], mb_h, mb_w, D),
+        tvc=_skew(mb_vmeta(tvc), mb_h, mb_w, D),
+        avc=_skew(mb_vmeta(avc)[..., 0], mb_h, mb_w, D),
+        bvc=_skew(mb_vmeta(bvc)[..., 0], mb_h, mb_w, D),
+        thc=_skew(mb_hmeta(thc), mb_h, mb_w, D),
+        ahc=_skew(mb_hmeta(ahc)[..., 0], mb_h, mb_w, D),
+        bhc=_skew(mb_hmeta(bhc)[..., 0], mb_h, mb_w, D),
+        d=jnp.arange(D, dtype=I32),
+    )
+
+    # ---- skewed tile stores (3 leading pad slots so the window
+    # [d, d+3] = real diagonals [d-3, d] without start clamping)
+    ty = y.astype(I32).reshape(mb_h, 16, mb_w, 16).swapaxes(1, 2)
+    tu = u.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
+    tv_t = v.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
+    Sy = _skew(ty, mb_h, mb_w, D, lead=3)
+    Su = _skew(tu, mb_h, mb_w, D, lead=3)
+    Sv = _skew(tv_t, mb_h, mb_w, D, lead=3)
+
+    lane = jnp.arange(mb_h, dtype=I32)
 
     def seg_rep(a, rep):
         """(K, 4) per-segment -> (K, 4*rep) per-line."""
         return jnp.repeat(a, rep, axis=-1)
 
-    def step(carry, d):
-        yp, up, vp = carry
-        ys = jnp.maximum(0, (d - mb_w + 2) // 2) + jnp.arange(K, dtype=I32)
-        xs = d - 2 * ys
-        valid = (ys < mb_h) & (xs >= 0) & (xs < mb_w)
-        yc = jnp.clip(ys, 0, mb_h - 1)
-        xc = jnp.clip(xs, 0, mb_w - 1)
+    def step(carry, m):
+        Sy, Su, Sv = carry
+        d = m["d"]
+        xpos = d - 2 * lane
+        valid = (xpos >= 0) & (xpos < mb_w)
+        ok_v0 = valid & (xpos > 0)     # frame-left edge off
+        ok_h0 = valid & (lane > 0)     # frame-top edge off
 
-        # gather per-MB edge metadata: [lane, edge, segment]
-        g_y = 4 * yc[:, None, None]
-        g_x = 4 * xc[:, None, None]
-        idx_v = (g_y + r4[None, None, :], g_x + r4[None, :, None])
-        idx_h = (g_y + r4[None, :, None], g_x + r4[None, None, :])
+        def build_patch(S, t: int, h: int):
+            """Window of 4 diagonals -> (mb_h, t+h, t+h) halo patches.
+            W[3]=own(d), W[2]=d-1 (left / top-right), W[1]=d-2 (top),
+            W[0]=d-3 (top-left); h = halo (4)."""
+            W = jax.lax.dynamic_slice(
+                S, (d, 0, 0, 0), (4, mb_h, t, t))
+            own = W[3]
+            left = W[2][:, :, t - h:]
+            topt = _shift_lane(W[1])[:, t - h:, :]
+            tl = _shift_lane(W[0])[:, t - h:, t - h:]
+            top_row = jnp.concatenate([tl, topt], axis=2)
+            body = jnp.concatenate([left, own], axis=2)
+            return W, jnp.concatenate([top_row, body], axis=1)
 
-        def eg(arr, idx):
-            return arr[idx[0], idx[1]]
+        def write_back(S, W, patch, t: int, h: int, hw: int):
+            """Write own tile + left-tile last hw cols + top-tile last
+            hw rows back into slots d..d+3 (real d-3..d). hw: written
+            halo width (3 luma / 1 chroma)."""
+            own_new = patch[:, h:, h:]
+            left_new = W[2].at[:, :, t - hw:].set(
+                patch[:, h:, h - hw:h])
+            src_top = patch[:, h - hw:h, h:]          # lane y -> tile y-1
+            top_new = W[1].at[:, t - hw:, :].set(
+                jnp.concatenate([src_top[1:], W[1][mb_h - 1:, t - hw:, :]],
+                                axis=0))
+            upd = jnp.stack([top_new, left_new, own_new])
+            return jax.lax.dynamic_update_slice(S, upd, (d + 1, 0, 0, 0))
 
-        # luma patch (K, 20, 20); local coords -4..15 relative to the
-        # MB — fetched as vmapped dynamic_slice (batched block DMA)
-        def sl20(y0, x0):
-            return jax.lax.dynamic_slice(yp, (y0, x0), (20, 20))
-
-        patch = jax.vmap(sl20)(yc * 16, xc * 16)
+        # ---- luma
+        Wy, patch = build_patch(Sy, 16, 4)
 
         def run_edges(patch, bs_e, tc_e, a_e, b_e, first_ok):
             for e in range(4):
-                en = (valid & (first_ok | (e > 0)))[:, None]
+                en = (first_ok if e == 0 else valid)[:, None]
                 win = patch[:, 4:20, 4 * e:4 * e + 8]
                 win = _luma_filter(
                     win, seg_rep(bs_e[:, e], 4), seg_rep(tc_e[:, e], 4),
@@ -225,29 +302,18 @@ def deblock_frame(mb_h: int, mb_w: int, y, u, v, qp_mb, intra_mb,
                 patch = patch.at[:, 4:20, 4 * e:4 * e + 8].set(win)
             return patch
 
-        patch = run_edges(patch, eg(bs_v, idx_v), eg(tv, idx_v),
-                          eg(av, idx_v)[:, :, 0], eg(bv, idx_v)[:, :, 0],
-                          xs > 0)
+        patch = run_edges(patch, m["bs_v"], m["tv"], m["av"], m["bv"],
+                          ok_v0)
         patch = jnp.swapaxes(patch, 1, 2)
-        patch = run_edges(patch, eg(bs_h, idx_h), eg(th, idx_h),
-                          eg(ah, idx_h)[:, :, 0], eg(bh, idx_h)[:, :, 0],
-                          ys > 0)
+        patch = run_edges(patch, m["bs_h"], m["th"], m["ah"], m["bh"],
+                          ok_h0)
         patch = jnp.swapaxes(patch, 1, 2)
+        Sy = write_back(Sy, Wy, patch, 16, 4, 3)
 
-        orow = (jnp.where(valid, yc, mb_h + 1) * 16)[:, None, None] \
-            + r20[None, :, None]
-        ocol = (xc * 16)[:, None, None] + r20[None, None, :]
-        yp = yp.at[orow, ocol].set(patch, mode="drop")
-
-        # chroma (both planes share strengths/params)
-        crows = (yc * 8)[:, None, None] + r12[None, :, None]
-        ccols = (xc * 8)[:, None, None] + r12[None, None, :]
-        ocrow = (jnp.where(valid, yc, mb_h + 1) * 8)[:, None, None] \
-            + r12[None, :, None]
-
+        # ---- chroma (both planes share strengths/params)
         def run_chroma(cpatch, bs_e, tc_e, a_e, b_e, first_ok):
             for e in range(2):
-                en = (valid & (first_ok | (e > 0)))[:, None]
+                en = (first_ok if e == 0 else valid)[:, None]
                 win = cpatch[:, 4:12, 4 * e + 2:4 * e + 6]
                 win = _chroma_filter(
                     win, seg_rep(bs_e[:, 2 * e], 2),
@@ -256,25 +322,24 @@ def deblock_frame(mb_h: int, mb_w: int, y, u, v, qp_mb, intra_mb,
                 cpatch = cpatch.at[:, 4:12, 4 * e + 2:4 * e + 6].set(win)
             return cpatch
 
-        def chroma_plane(pl):
-            def sl12(y0, x0):
-                return jax.lax.dynamic_slice(pl, (y0, x0), (12, 12))
-
-            cpatch = jax.vmap(sl12)(yc * 8, xc * 8)
-            cpatch = run_chroma(cpatch, eg(bs_v, idx_v), eg(tvc, idx_v),
-                                eg(avc, idx_v)[:, :, 0],
-                                eg(bvc, idx_v)[:, :, 0], xs > 0)
+        def chroma_plane(S):
+            W, cpatch = build_patch(S, 8, 4)
+            cpatch = run_chroma(cpatch, m["bs_v"], m["tvc"], m["avc"],
+                                m["bvc"], ok_v0)
             cpatch = jnp.swapaxes(cpatch, 1, 2)
-            cpatch = run_chroma(cpatch, eg(bs_h, idx_h), eg(thc, idx_h),
-                                eg(ahc, idx_h)[:, :, 0],
-                                eg(bhc, idx_h)[:, :, 0], ys > 0)
+            cpatch = run_chroma(cpatch, m["bs_h"], m["thc"], m["ahc"],
+                                m["bhc"], ok_h0)
             cpatch = jnp.swapaxes(cpatch, 1, 2)
-            return pl.at[ocrow, ccols].set(cpatch, mode="drop")
+            return write_back(S, W, cpatch, 8, 4, 1)
 
-        up = chroma_plane(up)
-        vp = chroma_plane(vp)
-        return (yp, up, vp), None
+        Su = chroma_plane(Su)
+        Sv = chroma_plane(Sv)
+        return (Sy, Su, Sv), None
 
-    (yp, up, vp), _ = jax.lax.scan(step, (yp, up, vp),
-                                   jnp.arange(D, dtype=I32))
-    return (yp[4:-4, 4:-4], up[4:-4, 4:-4], vp[4:-4, 4:-4])
+    (Sy, Su, Sv), _ = jax.lax.scan(step, (Sy, Su, Sv), xs_meta)
+
+    def unfold(S, t):
+        tiles = _unskew(S[3:], mb_h, mb_w, D)
+        return tiles.swapaxes(1, 2).reshape(mb_h * t, mb_w * t)
+
+    return unfold(Sy, 16), unfold(Su, 8), unfold(Sv, 8)
