@@ -121,6 +121,12 @@ class Encoder:
         self.stats = estats.Stats(
             p.i_width, p.i_height, p.i_fps_num / max(1, p.i_fps_den),
             b_psnr=p.analyse.b_psnr, b_ssim=p.analyse.b_ssim)
+        # PSNR/SSIM computed inside the fused pipelines; everything the
+        # host needs per frame crosses in one host32 vector (each d2h
+        # costs ~25-60ms latency on tunneled devices)
+        self._with_metrics = bool(p.analyse.b_psnr or p.analyse.b_ssim)
+        self._crop = dict(crop_w=p.i_width, crop_h=p.i_height,
+                          with_metrics=self._with_metrics)
         # frame pipelining (the doc/threads.txt frame-thread analogue):
         # with i_frame_parallel > 1, encode() submits the device program
         # and returns the *previous* frame once its host entropy tail is
@@ -292,26 +298,27 @@ class Encoder:
         p = self.params
         ftype, qp, frame = pend["ftype"], pend["qp"], pend["frame"]
         kind = pend["kind"]
+        out = pend.get("out")
+        h32 = (np.asarray(out["host32"])
+               if out is not None and "host32" in out else None)
         if kind == "done":
             payload = pend["payload"]
         elif kind == "cabac":
-            payload = self._cabac_payload(pend)
+            payload = self._cabac_payload(pend, int(h32[0]))
         else:
-            payload = self._cavlc_payload(pend)
+            payload = self._cavlc_payload(pend, int(h32[0]))
 
-        out = pend.get("out")
-        if ftype in ("P", "B") and out is not None and "intra_mb" in out:
-            # .sum() reduces on device; only int32 scalars cross the
-            # link (bool-array d2h is pathologically slow on the
-            # tunneled-TPU dev environment)
-            n_intra = int(out["intra_mb"].sum())
-            n_skip = int(out["skip"].sum()) if "skip" in out else 0
-            nmb = p.mb_width * p.mb_height
-            counts = (n_intra, nmb - n_intra - n_skip, n_skip)
+        nmb = p.mb_width * p.mb_height
+        if h32 is not None:
+            if ftype in ("P", "B"):
+                n_intra, n_skip = int(h32[1]), int(h32[2])
+                counts = (n_intra, nmb - n_intra - n_skip, n_skip)
+            else:
+                counts = (nmb, 0, 0)
         elif ftype in ("P", "B"):
             counts = pend.get("counts", (0, 0, 0))
         else:
-            counts = (p.mb_width * p.mb_height, 0, 0)
+            counts = (nmb, 0, 0)
         self._last_mb_counts = counts
 
         recon = pend["recon"]
@@ -319,11 +326,15 @@ class Encoder:
         self.rc.end("I" if ftype == "IDR" else ftype, bits, qp, counts,
                     rceq=pend.get("rc_rceq"), satd=pend.get("rc_satd"))
         metrics = None
-        if p.analyse.b_psnr or p.analyse.b_ssim:
-            metrics = estats.frame_metrics(
-                np.asarray(frame.y), np.asarray(frame.u),
-                np.asarray(frame.v), recon.y, recon.u, recon.v,
-                p.i_width, p.i_height)
+        if self._with_metrics:
+            if h32 is not None:
+                m = h32[3:7].view(np.float32)
+                metrics = tuple(float(x) for x in m)
+            else:
+                metrics = estats.frame_metrics(
+                    np.asarray(frame.y), np.asarray(frame.u),
+                    np.asarray(frame.v), recon.y, recon.u, recon.v,
+                    p.i_width, p.i_height)
         self.stats.add_frame(ftype, bits, qp, metrics, counts)
         return EncodedFrame(payload, ftype, recon, bits,
                             pend.get("disp", -1))
@@ -584,7 +595,7 @@ class Encoder:
                 y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
-                p.analyse.i_chroma_qp_offset)
+                p.analyse.i_chroma_qp_offset, **self._crop)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=True, nal_type=NAL_SLICE_IDR,
                         nal_ref_idc=3, nmb=mb_h * mb_w)
@@ -600,7 +611,7 @@ class Encoder:
                 hdr_vals, hdr_lens,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
-                p.analyse.i_chroma_qp_offset)
+                p.analyse.i_chroma_qp_offset, **self._crop)
             cap_words = pipeline.capacity_words(mb_h * mb_w)
             if self._delay == 0:
                 # synchronous: keep the pathological-overflow fallbacks
@@ -673,7 +684,7 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset,
-                mvp_seed, r2y, r2u, r2v)
+                mvp_seed, r2y, r2u, r2v, **self._crop)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=False, nal_type=NAL_SLICE,
                         nal_ref_idc=2, nmb=mb_h * mb_w)
@@ -692,7 +703,7 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset,
-                mvp_seed, r2y, r2u, r2v)
+                mvp_seed, r2y, r2u, r2v, **self._crop)
             pend = dict(kind="cavlc", out=out,
                         cap_words=pipeline.capacity_words(mb_h * mb_w),
                         nal_type=NAL_SLICE, nal_ref_idc=2)
@@ -732,7 +743,7 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset, mvp_seed,
-                col_ref4, col_mv4)
+                col_ref4, col_mv4, **self._crop)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=False, nal_type=NAL_SLICE,
                         nal_ref_idc=0, nmb=mb_h * mb_w)
@@ -748,16 +759,15 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset, mvp_seed,
-                col_ref4, col_mv4)
+                col_ref4, col_mv4, **self._crop)
             pend = dict(kind="cavlc", out=out,
                         cap_words=pipeline.capacity_words(mb_h * mb_w),
                         nal_type=NAL_SLICE, nal_ref_idc=0)
         pend["recon"] = self._finish_frame(out, frame, is_ref=False)
         return pend
 
-    def _cavlc_payload(self, pend: dict) -> bytes:
+    def _cavlc_payload(self, pend: dict, nbits: int) -> bytes:
         out = pend["out"]
-        nbits = int(out["nbits"])
         cap_words = pend["cap_words"]
         if nbits > cap_words * 32:
             raise RuntimeError(
@@ -798,7 +808,7 @@ class Encoder:
             hdr.put((1 << pad) - 1, pad)
         return bytearray(hdr.pack())
 
-    def _cabac_payload(self, pend: dict) -> bytes:
+    def _cabac_payload(self, pend: dict, n_ops: int) -> bytes:
         """Native arithmetic coding of the device-produced op stream
         (x264_slice_write CABAC branch, encoder/encoder.c:1155-1199) —
         the host tail that the frame pipeline overlaps with device
@@ -807,7 +817,6 @@ class Encoder:
         from ..entropy import cabac_tables as ctab
 
         out = pend["out"]
-        n_ops = int(out["n_ops"])
         cap = pipeline.cabac_capacity(
             pend["nmb"], self._lossless or pend["slice_is_i"])
         if n_ops > cap:

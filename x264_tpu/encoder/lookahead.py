@@ -155,24 +155,30 @@ def inter_cost_plane(low, ref_planes, bh: int, bw: int, r: int):
                               * jnp.ones((1, bh, bw), I32),
                               best[None], axis=0)[0]
 
-    # half-pel 3x3 SATD re-score (units: SATD, matching the intra plane)
+    # half-pel 3x3 SATD re-score (units: SATD, matching the intra plane).
+    # All 9 half-pel offsets read inside ONE (4, 9, 9) window per block
+    # anchored at full-pel (mv - 1): the phase plane (oy&1, ox&1) and the
+    # in-window offset ((o>>1)+1) are static per candidate, so the fetch
+    # is a single vmapped dynamic_slice — no element gathers.
     cur_tiles = cur.reshape(bh, 8, bw, 8).swapaxes(1, 2)
-    iy = jnp.arange(8, dtype=I32)
+    by = (jnp.arange(bh, dtype=I32)[:, None] * 8
+          + mv_fp[..., 1] - 1 + r).reshape(-1)
+    bx = (jnp.arange(bw, dtype=I32)[None, :] * 8
+          + mv_fp[..., 0] - 1 + r).reshape(-1)
+
+    def one(y0, x0):
+        return jax.lax.dynamic_slice(refs, (0, y0, x0), (4, 9, 9))
+
+    win = jax.vmap(one)(by, bx).reshape(bh, bw, 4, 9, 9)
     best_cost = best_mv = None
     for oy in (-1, 0, 1):
         for ox in (-1, 0, 1):
-            hx = mv_fp[..., 0] * 2 + ox          # half-pel units
-            hy = mv_fp[..., 1] * 2 + oy
-            fy, py = hy >> 1, hy & 1
-            fx, px = hx >> 1, hx & 1
-            plane = py * 2 + px                  # (bh, bw)
-            by = jnp.arange(bh, dtype=I32)[:, None] * 8 + fy + r
-            bx = jnp.arange(bw, dtype=I32)[None, :] * 8 + fx + r
-            rows = by[..., None, None] + iy[:, None]
-            cols = bx[..., None, None] + iy[None, :]
-            tiles = refs[plane[..., None, None], rows, cols]
+            plane = (oy & 1) * 2 + (ox & 1)
+            r0, c0 = (oy >> 1) + 1, (ox >> 1) + 1
+            tiles = win[:, :, plane, r0:r0 + 8, c0:c0 + 8]
             c = opix.satd(cur_tiles, tiles) + pen
-            mv = jnp.stack([hx, hy], axis=-1)
+            mv = jnp.stack([mv_fp[..., 0] * 2 + ox,
+                            mv_fp[..., 1] * 2 + oy], axis=-1)
             if best_cost is None:
                 best_cost, best_mv = c, mv
             else:
@@ -180,6 +186,23 @@ def inter_cost_plane(low, ref_planes, bh: int, bw: int, r: int):
                 best_cost = jnp.where(upd, c, best_cost)
                 best_mv = jnp.where(upd[..., None], mv, best_mv)
     return best_cost, best_mv
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def frame_costs_fused(lows, prev_planes, bh: int, bw: int, r: int):
+    """One jitted program: intra plane + inter plane + interior sums.
+    Returns a length-2 int32 array [icost_sum, pcost_sum] so the host
+    pays a single small d2h (per-transfer latency dominates on tunneled
+    devices)."""
+    low = lows[0]
+    icost = intra_cost_plane(low, bh, bw)
+    pcost, _mv = inter_cost_plane(low, prev_planes, bh, bw, r)
+    inner = (slice(1, -1), slice(1, -1)) if min(icost.shape) > 2 \
+        else (slice(None), slice(None))
+    ic = icost[inner]
+    isum = ic.sum()
+    psum = jnp.minimum(pcost[inner], ic).sum()
+    return jnp.stack([isum, psum])
 
 
 def frame_cost_sums(icost, pcost=None):

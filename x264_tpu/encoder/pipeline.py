@@ -28,16 +28,48 @@ I32 = jnp.int32
 CAP_BITS_PER_MB = 4800
 
 
+def host32_pack(first, oy, ou, ov, ry, ru, rv, crop_w, crop_h,
+                with_metrics: bool):
+    """Pack everything the host needs per frame into ONE small int32
+    vector: [first..., ssd_y, ssd_u, ssd_v, ssim] with the float values
+    bitcast to int32 (host views them back as float32). On tunneled
+    devices each d2h costs ~25-60 ms of latency regardless of size, so
+    per-frame scalars must cross in a single transfer
+    (x264 keeps these in x264_t.stat, encoder/encoder.c:1034-1056)."""
+    first = [jnp.asarray(x).astype(I32).reshape(()) for x in first]
+    if not with_metrics:
+        return jnp.stack([*first, *([jnp.int32(0)] * 4)])
+    from ..ops import pixel as opix
+
+    def ssd(a, b, ww, hh):
+        d = a[:hh, :ww].astype(I32) - b[:hh, :ww].astype(I32)
+        d2 = (d * d).ravel()
+        pad = (-d2.shape[0]) % 256
+        d2 = jnp.pad(d2, (0, pad))
+        return d2.reshape(-1, 256).sum(axis=-1).astype(jnp.float32).sum()
+
+    vals = [ssd(oy, ry, crop_w, crop_h),
+            ssd(ou, ru, crop_w // 2, crop_h // 2),
+            ssd(ov, rv, crop_w // 2, crop_h // 2),
+            opix.ssim_sum(oy[2:crop_h, 2:crop_w],
+                          ry[2:crop_h, 2:crop_w]).astype(jnp.float32)]
+    bits = [jax.lax.bitcast_convert_type(v, I32) for v in vals]
+    return jnp.stack([*first, *bits])
+
+
 def capacity_words(nmb: int) -> int:
     return (nmb * CAP_BITS_PER_MB + edev.HDR_SLOTS * 32 + 4096) // 32
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   static_argnames=("crop_w", "crop_h", "with_metrics"))
 def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
                    lossless: bool,
                    y, u, v, qtab, lam, qp, qp_c,
                    hdr_vals, hdr_lens,
-                   alpha_off, beta_off, chroma_qp_offset):
+                   alpha_off, beta_off, chroma_qp_offset,
+                   crop_w: int = 0, crop_h: int = 0,
+                   with_metrics: bool = False):
     """All-I16x16 IDR frame: encode + entropy + pack + deblock, fused.
 
     y/u/v may be uint8 (the cheap host->device format on this platform;
@@ -69,17 +101,23 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
             z4, z4, zmv, z4, zmv, False,
             alpha_off, beta_off, chroma_qp_offset)
 
+    h32 = host32_pack([nbits, mb_h * mb_w, 0], y, u, v, ry, ru, rv,
+                      crop_w or mb_w * 16, crop_h or mb_h * 16,
+                      with_metrics)
     return dict(recon_y=ry, recon_u=ru, recon_v=rv,
-                words=words, nbits=nbits,
+                words=words, nbits=nbits, host32=h32,
                 mode16=out["mode16"], modec=out["modec"])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
+                   static_argnames=("crop_w", "crop_h", "with_metrics"))
 def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
              subpel_steps, parts, lossless, n_refs,
              y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
              hdr_vals, hdr_lens, alpha_off, beta_off, chroma_qp_offset,
-             mvp_seed, ref2_y=None, ref2_u=None, ref2_v=None):
+             mvp_seed, ref2_y=None, ref2_u=None, ref2_v=None,
+             crop_w: int = 0, crop_h: int = 0,
+             with_metrics: bool = False):
     """P frame: ME + inter/intra decision + entropy + pack + deblock,
     fused. ref_* is the deblocked reconstruction of the reference frame
     (int32, MB-aligned); with n_refs=2, ref2_* is L0[1] (the older
@@ -114,27 +152,35 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
             out["nnz4"], out["ref4"], out["mv4"], z4, zmv, False,
             alpha_off, beta_off, chroma_qp_offset)
 
+    h32 = host32_pack(
+        [nbits, out["intra_mb"].sum(), out["skip"].sum()],
+        y, u, v, ry, ru, rv, crop_w or mb_w * 16, crop_h or mb_h * 16,
+        with_metrics)
     return dict(recon_y=ry, recon_u=ru, recon_v=rv,
-                words=words, nbits=nbits,
+                words=words, nbits=nbits, host32=h32,
                 mv=out["mv"], intra_mb=out["intra_mb"],
                 skip=out["skip"], mv4=out["mv4"], ref4=out["ref4"])
 
 
 # op-stream capacity per MB for the CABAC path: the slot layout is
-# bounded (header + 27 residual blocks), so this covers the worst case
-# (intra-heavy P slices reach ~1500 ops/MB); the host still checks n_ops
-CABAC_OPS_PER_MB = 2950
+# bounded (header + 27 residual blocks at 2 + n_coeff compact ops each
+# — the engine expands sig maps and level binarizations), so this
+# covers the worst case; the host still checks n_ops
+CABAC_OPS_PER_MB = 560
 
 
 def cabac_capacity(nmb: int, intra_or_lossless: bool = True) -> int:
     return nmb * CABAC_OPS_PER_MB + 4096
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   static_argnames=("crop_w", "crop_h", "with_metrics"))
 def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
                          i4x4: bool, lossless: bool,
                          y, u, v, qtab, lam, qp, qp_c,
-                         alpha_off, beta_off, chroma_qp_offset):
+                         alpha_off, beta_off, chroma_qp_offset,
+                         crop_w: int = 0, crop_h: int = 0,
+                         with_metrics: bool = False):
     """All-I16x16 IDR frame, CABAC entropy: the wavefront encode runs as
     in encode_i16_idr, but emits a compacted packed bin-op stream for
     the host-native arithmetic coder instead of packed CAVLC words."""
@@ -159,17 +205,23 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
             z4, z4, zmv, z4, zmv, False,
             alpha_off, beta_off, chroma_qp_offset)
 
+    h32 = host32_pack([n_ops, mb_h * mb_w, 0], y, u, v, ry, ru, rv,
+                      crop_w or mb_w * 16, crop_h or mb_h * 16,
+                      with_metrics)
     return dict(recon_y=ry, recon_u=ru, recon_v=rv,
-                ops=cops, n_ops=n_ops,
+                ops=cops, n_ops=n_ops, host32=h32,
                 mode16=out["mode16"], modec=out["modec"])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
+                   static_argnames=("crop_w", "crop_h", "with_metrics"))
 def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    subpel_steps, parts, lossless, n_refs,
                    y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
                    alpha_off, beta_off, chroma_qp_offset, mvp_seed,
-                   ref2_y=None, ref2_u=None, ref2_v=None):
+                   ref2_y=None, ref2_u=None, ref2_v=None,
+                   crop_w: int = 0, crop_h: int = 0,
+                   with_metrics: bool = False):
     """P frame with CABAC entropy: same encode as encode_p, emitting the
     packed bin-op stream for the host arithmetic coder. n_refs=2 takes
     ref2_* as L0[1]."""
@@ -199,19 +251,26 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
             out["nnz4"], out["ref4"], out["mv4"], z4, zmv, False,
             alpha_off, beta_off, chroma_qp_offset)
 
+    h32 = host32_pack(
+        [n_ops, out["intra_mb"].sum(), out["skip"].sum()],
+        y, u, v, ry, ru, rv, crop_w or mb_w * 16, crop_h or mb_h * 16,
+        with_metrics)
     return dict(recon_y=ry, recon_u=ru, recon_v=rv,
-                ops=cops, n_ops=n_ops,
+                ops=cops, n_ops=n_ops, host32=h32,
                 mv=out["mv"], intra_mb=out["intra_mb"],
                 skip=out["skip"], mv4=out["mv4"], ref4=out["ref4"])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   static_argnames=("crop_w", "crop_h", "with_metrics"))
 def encode_b(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
              subpel_steps,
              y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
              qtab, lam, qp, qp_c, hdr_vals, hdr_lens,
              alpha_off, beta_off, chroma_qp_offset, mvp_seed,
-             col_ref4=None, col_mv4=None):
+             col_ref4=None, col_mv4=None,
+             crop_w: int = 0, crop_h: int = 0,
+             with_metrics: bool = False):
     """B frame (CAVLC): two-list ME + direct/skip + L0/L1/BI decision
     + entropy + pack + deblock, fused. col_ref4/col_mv4: RefPicList1[0]
     colocated L0 maps for spatial direct (None disables direct)."""
@@ -239,18 +298,25 @@ def encode_b(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
             out["ref4_l1"], out["mv4_l1"], True,
             alpha_off, beta_off, chroma_qp_offset)
 
+    h32 = host32_pack(
+        [nbits, out["intra_mb"].sum(), out["skip"].sum()],
+        y, u, v, ry, ru, rv, crop_w or mb_w * 16, crop_h or mb_h * 16,
+        with_metrics)
     return dict(recon_y=ry, recon_u=ru, recon_v=rv,
-                words=words, nbits=nbits,
+                words=words, nbits=nbits, host32=h32,
                 intra_mb=out["intra_mb"], bmode=out["bmode"])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   static_argnames=("crop_w", "crop_h", "with_metrics"))
 def encode_b_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    subpel_steps,
                    y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
                    qtab, lam, qp, qp_c,
                    alpha_off, beta_off, chroma_qp_offset, mvp_seed,
-                   col_ref4=None, col_mv4=None):
+                   col_ref4=None, col_mv4=None,
+                   crop_w: int = 0, crop_h: int = 0,
+                   with_metrics: bool = False):
     """B frame with CABAC entropy: packed bin-op stream for the host
     arithmetic coder. col_ref4/col_mv4 as in encode_b."""
     from ..entropy import cabac_planes
@@ -275,6 +341,10 @@ def encode_b_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
             out["ref4_l1"], out["mv4_l1"], True,
             alpha_off, beta_off, chroma_qp_offset)
 
+    h32 = host32_pack(
+        [n_ops, out["intra_mb"].sum(), out["skip"].sum()],
+        y, u, v, ry, ru, rv, crop_w or mb_w * 16, crop_h or mb_h * 16,
+        with_metrics)
     return dict(recon_y=ry, recon_u=ru, recon_v=rv,
-                ops=cops, n_ops=n_ops,
+                ops=cops, n_ops=n_ops, host32=h32,
                 intra_mb=out["intra_mb"], bmode=out["bmode"])

@@ -183,12 +183,11 @@ class RateControl:
         low = lows[0]
         h, w = low.shape
         bh, bw = (h + 7) // 8, (w + 7) // 8
-        icost_p = lookahead.intra_cost_plane(low, bh, bw)
         out = {"scenecut": False}
         if self._prev_low is not None and self._prev_low.shape == lows.shape:
-            pcost_p, _mv = lookahead.inter_cost_plane(
-                low, self._prev_low, bh, bw, self._lowres_range)
-            isum, psum = lookahead.frame_cost_sums(icost_p, pcost_p)
+            sums = np.asarray(lookahead.frame_costs_fused(
+                lows, self._prev_low, bh, bw, self._lowres_range))
+            isum, psum = int(sums[0]), int(sums[1])
             out["icost"], out["pcost"] = float(isum), float(psum)
             # bias ramp (scenecut, slicetype.c:445-462)
             t_max = self.p.i_scenecut_threshold / 100.0
@@ -207,6 +206,7 @@ class RateControl:
             if isum > 0 and psum >= (1.0 - bias) * isum:
                 out["scenecut"] = True
         else:
+            icost_p = lookahead.intra_cost_plane(low, bh, bw)
             isum, psum = lookahead.frame_cost_sums(icost_p)
             out["icost"] = out["pcost"] = float(isum)
         self._prev_low = lows

@@ -21,8 +21,8 @@ import numpy as np
 I32 = jnp.int32
 U32 = jnp.uint32
 
-KIND_DECISION, KIND_BYPASS, KIND_UE, KIND_TERMINAL, KIND_PAD, KIND_ONES = \
-    range(6)
+(KIND_DECISION, KIND_BYPASS, KIND_UE, KIND_TERMINAL, KIND_PAD, KIND_ONES,
+ KIND_SIGMAP, KIND_LEVEL) = range(8)
 PAD_OP = np.uint32(KIND_PAD << 29)
 
 # residual context bases per ctxBlockCat (frame coding):
@@ -51,12 +51,22 @@ def _sel(active, ops):
 
 
 def block_slot_count(C: int) -> int:
-    return 1 + 2 * (C - 1) + 5 * C
+    return 2 + C
 
 
 def residual_block_ops(coeffs, cat: int, cbf_ctx, coded):
     """Packed ops for N residual blocks (block_residual_write_cabac,
     encoder/cabac.c:584): CBF, significance map, levels.
+
+    The sig/last maps and the per-coefficient level binarization are
+    expanded by the serial engine (native/cabac.c) from two compact op
+    kinds, so a coded block costs 2 + n_coeff ops instead of
+    1 + 2(C-1) + 5C slots:
+      KIND_SIGMAP: a = significance mask (bits i < C-1),
+                   b = cat | last << 3  — emits the sig/last decisions
+                   and resets the level node-context machine;
+      KIND_LEVEL:  a = |level| - 1, b = sign — emits the unary prefix /
+                   exp-Golomb suffix / sign, advancing the node machine.
 
     coeffs: (N, C) int32 in scan order; cbf_ctx: (N,) the 2*nzb+nza
     increment; coded: (N,) bool — block present in the bitstream.
@@ -73,38 +83,21 @@ def residual_block_ops(coeffs, cat: int, cbf_ctx, coded):
     slots = [_sel(coded, op(KIND_DECISION, 85 + 4 * cat + cbf_ctx, has))]
 
     write_res = coded & has
-    sigmap_size = jnp.minimum(last + 1, C - 1)
-    for i in range(C - 1):
-        active = write_res & (i < sigmap_size)
-        slots.append(_sel(active,
-                          op(KIND_DECISION, SIG_BASE[cat] + i, nz[:, i])))
-        slots.append(_sel(active & nz[:, i],
-                          op(KIND_DECISION, LAST_BASE[cat] + i, i == last)))
+    mask = (nz[:, :C - 1].astype(I32)
+            * (1 << pos[:C - 1])[None, :]).sum(axis=1)
+    slots.append(_sel(write_res,
+                      op(KIND_SIGMAP, mask, cat | (last << 3))))
 
     # levels in reverse scan order (descending position of nonzeros)
     order = jnp.argsort(-jnp.where(nz, pos, -1), axis=1, stable=True)
     lvl = jnp.take_along_axis(coeffs, order, axis=1)
-    node = jnp.zeros(N, I32)
-    l1 = jnp.asarray(L1_CTX)
-    gt1 = jnp.asarray(GT1_CTX)
-    tr = jnp.asarray(NODE_TRANS)
-    base = int(LVL_BASE[cat])
     for j in range(C):
         active = write_res & (j < total)
         l = lvl[:, j]
-        absm1 = jnp.abs(l) - 1
-        prefix = jnp.minimum(absm1, 14)
-        c1 = base + l1[node]
-        cg = base + gt1[node]
-        slots.append(_sel(active, op(KIND_DECISION, c1, prefix > 0)))
-        ones = jnp.maximum(prefix - 1, 0)
-        slots.append(_sel(active & (ones > 0), op(KIND_ONES, cg, ones)))
-        slots.append(_sel(active & (prefix > 0) & (prefix < 14),
-                          op(KIND_DECISION, cg, 0)))
-        slots.append(_sel(active & (prefix >= 14),
-                          op(KIND_UE, jnp.maximum(absm1 - 14, 0), 0)))
-        slots.append(_sel(active, op(KIND_BYPASS, l < 0, 1)))
-        node = jnp.where(active, tr[(prefix > 0).astype(I32), node], node)
+        slots.append(_sel(active,
+                          op(KIND_LEVEL,
+                             jnp.minimum(jnp.abs(l) - 1, 0x1FFFF),
+                             l < 0)))
     return jnp.stack(slots, axis=1)
 
 

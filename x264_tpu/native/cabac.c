@@ -1,5 +1,11 @@
 /* CABAC binary arithmetic encoder — the serial FSM tail of the entropy
- * coder (spec 9.3.4; engine semantics of common/cabac.c:807-926).
+ * coder. Direct transcription of the H.264 spec 9.3.4.3 encoder
+ * flowcharts (EncodeDecision / RenormE / PutBit / EncodeBypass /
+ * EncodeTerminate / EncodeFlush): carries are deferred through the
+ * spec's bitsOutstanding counter, bits leave through an MSB-first
+ * byte packer, and previously written bytes are never revisited.
+ * (Role analogue: common/cabac.c:807-926 in the reference; the
+ * byte-emission scheme here is the spec's own.)
  *
  * The TPU pipeline emits a *compacted, packed bin-operation stream*
  * (the parallel part); this engine consumes it sequentially at native
@@ -11,63 +17,118 @@
  *   kind 3: terminal(0)      (end_of_slice_flag = 0)
  *   kind 4: pad (ignored)
  *   kind 5: repeated 1-bins  a = ctx index, b = count (level prefixes)
- * The final terminal(1) + alignment is emitted by the flush, as in the
- * reference (x264_cabac_encode_flush).
+ *   kind 6: residual sig map a = significance mask, b = cat | last<<3
+ *   kind 7: residual level   a = |level|-1, b = sign
+ * Kinds 6/7 expand the significance/last decisions and the coefficient
+ * level binarization (block_residual_write_cabac semantics,
+ * encoder/cabac.c:584) inside the engine, keeping the device stream
+ * ~6x smaller. The final terminal(1) + flush is emitted at the end.
  */
 #include <stdint.h>
 
 typedef struct {
-    uint32_t low;
-    int range;
-    int queue;
-    int outstanding;
+    uint32_t low;        /* codILow  */
+    uint32_t range;      /* codIRange */
+    int      first;      /* firstBitFlag */
+    uint32_t pending;    /* bitsOutstanding */
+    uint32_t bitbuf;     /* MSB-first bit accumulator */
+    int      nbits;
     uint8_t *p;
-} cabac_t;
+} cab_t;
 
-static void putbyte(cabac_t *cb)
+static void raw_bit(cab_t *c, int b)
 {
-    if (cb->queue >= 8) {
-        int out = cb->low >> (cb->queue + 2);
-        cb->low &= (4u << cb->queue) - 1;
-        cb->queue -= 8;
-        if ((out & 0xff) == 0xff) {
-            cb->outstanding++;
+    c->bitbuf = (c->bitbuf << 1) | (uint32_t)b;
+    if (++c->nbits == 8) {
+        *(c->p++) = (uint8_t)c->bitbuf;
+        c->bitbuf = 0;
+        c->nbits = 0;
+    }
+}
+
+static void put_bit(cab_t *c, int b)
+{
+    if (c->first)
+        c->first = 0;
+    else
+        raw_bit(c, b);
+    while (c->pending) {
+        raw_bit(c, b ^ 1);
+        c->pending--;
+    }
+}
+
+static void renorm(cab_t *c)
+{
+    while (c->range < 256) {
+        if (c->low >= 512) {
+            c->low -= 512;
+            put_bit(c, 1);
+        } else if (c->low < 256) {
+            put_bit(c, 0);
         } else {
-            int carry = out >> 8;
-            cb->p[-1] += (uint8_t)carry;
-            while (cb->outstanding > 0) {
-                *(cb->p++) = (uint8_t)(carry - 1);
-                cb->outstanding--;
-            }
-            *(cb->p++) = (uint8_t)out;
+            c->low -= 256;
+            c->pending++;
         }
+        c->range <<= 1;
+        c->low <<= 1;
     }
 }
 
-static void renorm(cabac_t *cb)
-{
-    while (cb->range < 0x100) {
-        cb->range <<= 1;
-        cb->low <<= 1;
-        cb->queue += 1;
-    }
-    putbyte(cb);
-}
-
-static void decision(cabac_t *cb, uint8_t *state,
+static void decision(cab_t *c, uint8_t *state,
                      const uint8_t *range_lps, const uint8_t *transition,
                      int ctx, int b)
 {
     int s = state[ctx];
-    int lps = range_lps[s * 4 + ((cb->range >> 6) & 3)];
-    cb->range -= lps;
+    uint32_t lps = range_lps[s * 4 + ((c->range >> 6) & 3)];
+    c->range -= lps;
     if (b != (s >> 6)) {
-        cb->low += (uint32_t)cb->range;
-        cb->range = lps;
+        c->low += c->range;
+        c->range = lps;
     }
     state[ctx] = transition[s * 2 + b];
-    renorm(cb);
+    renorm(c);
 }
+
+static void bypass(cab_t *c, int b)
+{
+    c->low <<= 1;
+    if (b)
+        c->low += c->range;
+    if (c->low >= 1024) {
+        c->low -= 1024;
+        put_bit(c, 1);
+    } else if (c->low < 512) {
+        put_bit(c, 0);
+    } else {
+        c->low -= 512;
+        c->pending++;
+    }
+}
+
+static void ue_bypass(cab_t *c, uint32_t val, int k)
+{
+    while (val >= (1u << k)) {
+        bypass(c, 1);
+        val -= 1u << k;
+        k++;
+    }
+    bypass(c, 0);
+    while (k > 0) {
+        k--;
+        bypass(c, (val >> k) & 1);
+    }
+}
+
+/* residual tables (spec 9.3.3.1.1.9 / 9.3.2.6 constants, frame coding) */
+static const uint8_t  CAT_C_T[5]    = {16, 15, 16, 4, 15};
+static const uint8_t  SIG_BASE_T[5] = {105, 120, 134, 149, 152};
+static const uint8_t  LAST_BASE_T[5] = {166, 181, 195, 210, 213};
+static const uint16_t LVL_BASE_T[5] = {227, 237, 247, 257, 266};
+static const uint8_t  L1_CTX_T[8]   = {1, 2, 3, 4, 0, 0, 0, 0};
+static const uint8_t  GT1_CTX_T[8]  = {5, 5, 5, 5, 6, 7, 8, 9};
+static const uint8_t  TRN_T[2][8]   = {{1, 2, 3, 3, 4, 5, 6, 7},
+                                       {4, 4, 4, 4, 5, 6, 7, 7}};
 
 long cabac_encode(uint8_t *state,
                   const uint8_t *range_lps,   /* [128][4] */
@@ -75,73 +136,83 @@ long cabac_encode(uint8_t *state,
                   const uint32_t *ops, long n,
                   uint8_t *out)
 {
-    cabac_t cb;
+    cab_t c;
     long i;
-    cb.low = 0;
-    cb.range = 0x01FE;
-    cb.queue = -1;          /* first shifted bit is not written */
-    cb.outstanding = 0;
-    cb.p = out + 1;         /* out[0] = last slice-header byte (carry sink) */
+    int cat = 0, node = 0;
+    c.low = 0;
+    c.range = 510;
+    c.first = 1;
+    c.pending = 0;
+    c.bitbuf = 0;
+    c.nbits = 0;
+    c.p = out + 1;   /* out[0] = last slice-header byte, never modified */
 
     for (i = 0; i < n; i++) {
         uint32_t op = ops[i];
         int k = op >> 29;
         int b = (op >> 17) & 0xFFF;
-        int a = op & 0x1FFFF;
+        uint32_t a = op & 0x1FFFF;
         if (k == 0) {
-            decision(&cb, state, range_lps, transition, a, b & 1);
+            decision(&c, state, range_lps, transition, (int)a, b & 1);
+        } else if (k == 7) {
+            /* residual level: unary prefix / exp-Golomb suffix / sign */
+            int prefix = a < 14 ? (int)a : 14;
+            int base = LVL_BASE_T[cat];
+            int j;
+            decision(&c, state, range_lps, transition,
+                     base + L1_CTX_T[node], prefix > 0);
+            for (j = 0; j < prefix - 1; j++)
+                decision(&c, state, range_lps, transition,
+                         base + GT1_CTX_T[node], 1);
+            if (prefix > 0 && prefix < 14)
+                decision(&c, state, range_lps, transition,
+                         base + GT1_CTX_T[node], 0);
+            if (prefix >= 14)
+                ue_bypass(&c, a - 14, 0);
+            bypass(&c, b & 1);
+            node = TRN_T[prefix > 0][node];
+        } else if (k == 6) {
+            /* residual significance map; resets the level machine */
+            int last = b >> 3;
+            int sz, j;
+            cat = b & 7;
+            node = 0;
+            sz = CAT_C_T[cat] - 1;
+            if (last + 1 < sz)
+                sz = last + 1;
+            for (j = 0; j < sz; j++) {
+                int bit = (a >> j) & 1;
+                decision(&c, state, range_lps, transition,
+                         SIG_BASE_T[cat] + j, bit);
+                if (bit)
+                    decision(&c, state, range_lps, transition,
+                             LAST_BASE_T[cat] + j, j == last);
+            }
         } else if (k == 5) {
             int j;
             for (j = 0; j < b; j++)
-                decision(&cb, state, range_lps, transition, a, 1);
+                decision(&c, state, range_lps, transition, (int)a, 1);
         } else if (k == 1) {
             int j;
-            for (j = b - 1; j >= 0; j--) {
-                cb.low <<= 1;
-                cb.low += (uint32_t)(-((a >> j) & 1)) & (uint32_t)cb.range;
-                cb.queue += 1;
-                putbyte(&cb);
-            }
+            for (j = b - 1; j >= 0; j--)
+                bypass(&c, (a >> j) & 1);
         } else if (k == 2) {
-            /* k-th order exp-Golomb in bypass mode
-             * (x264_cabac_encode_ue_bypass, common/cabac.c:875) */
-            int kk = b, ii, val = a;
-            uint32_t x;
-            while (val >= (1 << kk)) {
-                val -= 1 << kk;
-                kk++;
-            }
-            x = (((1u << (kk - b)) - 1) << (kk + 1)) + (uint32_t)val;
-            kk = 2 * kk + 1 - b;
-            ii = ((kk - 1) & 7) + 1;
-            do {
-                kk -= ii;
-                cb.low <<= ii;
-                cb.low += ((x >> kk) & 0xff) * (uint32_t)cb.range;
-                cb.queue += ii;
-                putbyte(&cb);
-                ii = 8;
-            } while (kk > 0);
+            ue_bypass(&c, a, b);
         } else if (k == 3) {
-            cb.range -= 2;
-            renorm(&cb);
+            c.range -= 2;
+            renorm(&c);
         } /* k == 4: pad */
     }
 
-    /* flush: final end_of_slice_flag = 1 + rbsp stop + alignment
-     * (x264_cabac_encode_flush, common/cabac.c:908) */
-    cb.low += (uint32_t)cb.range - 2;
-    cb.low |= 1;
-    cb.low <<= 9;
-    cb.queue += 9;
-    putbyte(&cb);
-    putbyte(&cb);
-    cb.low <<= 8 - cb.queue;
-    cb.queue = 8;
-    putbyte(&cb);
-    while (cb.outstanding > 0) {
-        *(cb.p++) = 0xff;
-        cb.outstanding--;
-    }
-    return (long)(cb.p - (out + 1));
+    /* EncodeTerminate(1) + EncodeFlush: the forced low bit of the
+     * final 2 written bits is the rbsp stop bit; zero-pad to byte */
+    c.low += c.range - 2;
+    c.range = 2;
+    renorm(&c);
+    put_bit(&c, (c.low >> 9) & 1);
+    raw_bit(&c, (c.low >> 8) & 1);
+    raw_bit(&c, 1);
+    while (c.nbits)
+        raw_bit(&c, 0);
+    return (long)(c.p - (out + 1));
 }
