@@ -348,7 +348,15 @@ class Encoder:
     def _qtab_p(self, qp_y: int, qp_c: int):
         key = (qp_y, qp_c)
         if key not in self._qtab_p_cache:
-            self._qtab_p_cache[key] = inter.make_qtab_p(qp_y, qp_c, self.qt)
+            qt = inter.make_qtab_p(qp_y, qp_c, self.qt)
+            p = self.params
+            if (p.analyse.i_trellis and p.b_cabac
+                    and not self._lossless):
+                from ..ops import trellis as otrellis
+                qt["trellis"] = otrellis.make_consts(
+                    qp_y, 2, tables.CQM_4PY, slice_is_i=False,
+                    cabac_init_idc=p.i_cabac_init_idc, qt=self.qt)
+            self._qtab_p_cache[key] = qt
         return self._qtab_p_cache[key]
 
     def _slice_header(self, qp: int, slice_type: int = SLICE_I,

@@ -78,7 +78,10 @@ def median3(a, b, c):
 def inter_luma_residual(fenc_tiles, pred_tiles, qtab,
                         lossless: bool = False):
     """Inter 16x16 luma residual: 16 full 4x4 DCT blocks, P-matrix quant
-    (x264_macroblock_encode P path, encoder/macroblock.c:538-616).
+    (x264_macroblock_encode P path, encoder/macroblock.c:538-616). When
+    qtab carries a "trellis" const dict, the deadzone quant is replaced
+    by the batched CABAC trellis (x264_quant_4x4 b_trellis switch,
+    encoder/macroblock.c:87-95).
 
     Returns (recon, blocks_z (mbh,mbw,16,16) zig-zag in z-scan block
     order, cbp_bits (mbh,mbw) 4-bit per-8x8 pattern)."""
@@ -98,8 +101,16 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab,
         blocks_z = lv[..., zorder, :][..., zig]
         return recon, blocks_z, cbp_bits
     coef = odct.dct4x4(blocks)
-    lv = oquant.quant(coef.reshape(*lead, 16, 16),
-                      qtab["py_mf"], qtab["py_bias"])
+    if qtab.get("trellis") is not None:
+        from ..ops import trellis as otrellis
+        zz = jnp.asarray(tables.ZIGZAG4)
+        inv = jnp.asarray(np.argsort(tables.ZIGZAG4))
+        cf = coef.reshape(-1, 16)
+        lv_scan = otrellis.trellis_4x4(cf[:, zz], qtab["trellis"])
+        lv = lv_scan[:, inv].reshape(*lead, 16, 16)
+    else:
+        lv = oquant.quant(coef.reshape(*lead, 16, 16),
+                          qtab["py_mf"], qtab["py_bias"])
     nz_blk = jnp.any(lv != 0, axis=-1).reshape(*lead, 4, 4)  # raster grid
     # 8x8 group bit: quadrant q covers raster rows 2q_y.., cols 2q_x
     grp = nz_blk.reshape(*lead, 2, 2, 2, 2).any(axis=(-3, -1))  # (*,2,2)
@@ -190,18 +201,24 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     if parts:
         pf = ome.partition_fullpel(y_tiles, refs_pad, mv_fp, lam,
                                    mvp_seed, me_range, ref_sel=sel)
-        mv_t, satd_t = ome.subpel_refine_blocks(
-            y_tiles[..., :8, :], planes, pf["t"], lam, mvp_seed,
-            ys, xs, 8, 16, subpel_steps, ref_sel=sel)
-        mv_b, satd_b = ome.subpel_refine_blocks(
-            y_tiles[..., 8:, :], planes, pf["b"], lam, mvp_seed,
-            ys + 8, xs, 8, 16, subpel_steps, ref_sel=sel)
-        mv_l, satd_l = ome.subpel_refine_blocks(
-            y_tiles[..., :, :8], planes, pf["l"], lam, mvp_seed,
-            ys, xs, 16, 8, subpel_steps, ref_sel=sel)
-        mv_r, satd_r = ome.subpel_refine_blocks(
-            y_tiles[..., :, 8:], planes, pf["r"], lam, mvp_seed,
-            ys, xs + 8, 16, 8, subpel_steps, ref_sel=sel)
+        # both partitions of each split refined in ONE batched call
+        # (leading axis 2), halving the gather/SATD dispatch count
+        sel2s = None if sel is None else jnp.stack([sel, sel])
+        mvp2 = jnp.stack([mvp_seed, mvp_seed])
+        mv_tb, satd_tb = ome.subpel_refine_blocks(
+            jnp.stack([y_tiles[..., :8, :], y_tiles[..., 8:, :]]),
+            planes, jnp.stack([pf["t"], pf["b"]]), lam, mvp2,
+            jnp.stack([ys, ys + 8]), jnp.stack([xs, xs]),
+            8, 16, subpel_steps, ref_sel=sel2s)
+        mv_lr, satd_lr = ome.subpel_refine_blocks(
+            jnp.stack([y_tiles[..., :, :8], y_tiles[..., :, 8:]]),
+            planes, jnp.stack([pf["l"], pf["r"]]), lam, mvp2,
+            jnp.stack([ys, ys]), jnp.stack([xs, xs + 8]),
+            16, 8, subpel_steps, ref_sel=sel2s)
+        mv_t, mv_b = mv_tb[0], mv_tb[1]
+        satd_t, satd_b = satd_tb[0], satd_tb[1]
+        mv_l, mv_r = mv_lr[0], mv_lr[1]
+        satd_l, satd_r = satd_lr[0], satd_lr[1]
         cost_168 = satd_t + satd_b + lam * (
             ome.mv_cost_bits(mv_t, mvp_seed)
             + ome.mv_cost_bits(mv_b, mvp_seed) + 3 + 2 * ref_bits)

@@ -193,8 +193,11 @@ class EncoderParams:
         a.i_me_range = _clip(a.i_me_range, 4, 64)
         if a.i_mv_range <= 0:
             a.i_mv_range = 512  # level 4+ default; level logic narrows this
-        if a.i_trellis:
-            self._log("trellis quantization not yet implemented, disabling")
+        a.i_trellis = _clip(a.i_trellis, 0, 2)
+        if a.i_trellis and not self.b_cabac:
+            # trellis optimizes the CABAC bit cost model; CAVLC gets
+            # the deadzone quant (x264_validate_parameters semantics)
+            self._log("trellis requires CABAC, disabling")
             a.i_trellis = 0
 
         self.i_frame_reference = _clip(self.i_frame_reference, 1, 16)
@@ -262,7 +265,7 @@ class EncoderParams:
         (x264_sps_init logic, encoder/set.c:77-110)."""
         if self.rc.i_rc_method == RC_CQP and self.rc.i_qp_constant == 0:
             return PROFILE_HIGH444    # qpprime_y_zero_transform_bypass
-        if self.analyse.b_transform_8x8 or self.analyse.i_trellis:
+        if self.analyse.b_transform_8x8:
             return PROFILE_HIGH
         if self.b_cabac or self.i_bframe > 0:
             return PROFILE_MAIN
