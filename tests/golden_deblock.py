@@ -121,7 +121,8 @@ def _edge_bs(intra_p, intra_q, mb_edge, nnz_p, nnz_q,
 
 def deblock_frame(Y, U, V, qp_mb, intra_mb, nnz4=None, ref4=None, mv4=None,
                   ref4_l1=None, mv4_l1=None,
-                  alpha_off=0, beta_off=0, chroma_qp_offset=0):
+                  alpha_off=0, beta_off=0, chroma_qp_offset=0,
+                  t8_mb=None):
     """Deblock one frame in place (arrays are modified and also returned).
 
     Y: (mb_h*16, mb_w*16); U, V: (mb_h*8, mb_w*8) integer arrays.
@@ -204,6 +205,12 @@ def deblock_frame(Y, U, V, qp_mb, intra_mb, nnz4=None, ref4=None, mv4=None,
             for vertical in (True, False):
                 for e in range(4):
                     if e == 0 and (mx == 0 if vertical else my == 0):
+                        continue
+                    # luma edges interior to 8x8 transform blocks are
+                    # not filtered (spec 8.7 transform_size_8x8_flag);
+                    # chroma is untouched (edges 1/3 are luma-only)
+                    if (e in (1, 3) and t8_mb is not None
+                            and bool(t8_mb[my, mx])):
                         continue
                     if vertical:
                         qpn = int(qp_mb[my, mx - 1]) if e == 0 else qp

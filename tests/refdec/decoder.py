@@ -335,6 +335,7 @@ class Decoder:
                 ref_f1=np.full((mb_h * 4, mb_w * 4), -2, dtype=np.int64),
                 is_b=is_b, poc=poc_lsb, ref_idc=nal_ref_idc,
                 i4grid=np.full((mb_h * 4, mb_w * 4), 2, np.int64),
+                t8_map=np.zeros((mb_h, mb_w), dtype=bool),
                 slices=[], next_mb=0)
         pic = self._pic
         assert pic is not None and pic["next_mb"] == first_mb, \
@@ -490,7 +491,8 @@ class Decoder:
                 qp_mb[r0:r1], intra_mb[r0:r1], nnz4=nnz_l[r0 * 4:r1 * 4],
                 ref4=ref4, mv4=mv4,
                 alpha_off=2 * a2, beta_off=2 * b2,
-                chroma_qp_offset=pps.chroma_qp_offset, **kw)
+                chroma_qp_offset=pps.chroma_qp_offset,
+                t8_mb=pic["t8_map"][r0:r1], **kw)
 
         self.last_pic = pic      # retained for test introspection
         self._pic = None
@@ -590,7 +592,8 @@ class Decoder:
                 self._decode_mb_p_cabac(
                     cd, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
                     mv_f, ref_f, intra_mb, dcnz, cdcnz, cm_map,
-                    mvd_map, cbp_l_map, cbp_c_map, row0)
+                    mvd_map, cbp_l_map, cbp_c_map, row0,
+                    t8_map=self._pic["t8_map"])
             qp_mb[my, mx] = qp
             mb_i += 1
             if cd.terminal():
@@ -608,7 +611,8 @@ class Decoder:
 
     def _decode_mb_p_cabac(self, cd, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
                            mv_f, ref_f, intra_mb, dcnz, cdcnz, cm_map,
-                           mvd_map, cbp_l_map, cbp_c_map, row0=0):
+                           mvd_map, cbp_l_map, cbp_c_map, row0=0,
+                           t8_map=None):
         pps = self.pps
         mb_w, mb_h = self.sps.mb_width, self.sps.mb_height
         avail_l, avail_t = mx > 0, my > row0
@@ -771,33 +775,60 @@ class Decoder:
         cbp_c_map[my, mx] = cbp_chroma
         dcnz[my, mx] = 0
 
+        t8 = False
+        if self.pps.transform_8x8 and cbp:
+            tl = bool(t8_map[my, mx - 1]) if (avail_l
+                                              and t8_map is not None) else 0
+            tt = bool(t8_map[my - 1, mx]) if (avail_t
+                                              and t8_map is not None) else 0
+            t8 = bool(cd.decision(399 + int(tl) + int(tt)))
+        if t8_map is not None:
+            t8_map[my, mx] = t8
+
         if cbp or cbp_chroma:
             assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
         py, pu, pv = self._inter_pred_mb(my, mx, ptype, mv0, mv1,
                                          ref_idx)
-        dmf = qt.dequant4_mf[enc_tables.CQM_4PY, qp % 6]
         mb = py.astype(np.int64)
-        for i in range(16):
-            bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
-            gy, gx = my * 4 + by, mx * 4 + bx
-            if (cbp >> (i // 4)) & 1:
-                inc = 2 * nz_flag(nnz_l, gy - 1, gx, 0) \
-                    + nz_flag(nnz_l, gy, gx - 1, 0)
-                z = self._residual_cabac(cd, 2, inc, 16)
-                nnz_l[gy, gx] = np.count_nonzero(z)
-                blk = np.zeros(16, dtype=np.int64)
-                blk[np.asarray(ZIG4)] = z
-                if self._bypass(qp):
-                    r = blk.reshape(4, 4)
+        if t8:
+            dmf8 = qt.dequant8_mf[enc_tables.CQM_8PY, qp % 6]
+            for b8 in range(4):
+                by, bx = b8 >> 1, b8 & 1
+                cy, cx = my * 4 + 2 * by, mx * 4 + 2 * bx
+                if (cbp >> b8) & 1:
+                    z = self._residual_cabac8(cd)
+                    blk = np.zeros(64, dtype=np.int64)
+                    blk[np.asarray(enc_tables.ZIGZAG8)] = z
+                    r = G.idct8x8(G.dequant(blk, dmf8, qp, 6)
+                                  .reshape(8, 8))
+                    sl = mb[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] + r
+                    mb[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = sl
+                    nnz_l[cy:cy + 2, cx:cx + 2] = np.count_nonzero(z)
                 else:
-                    r = G.idct4x4(G.dequant(blk, dmf, qp, 4)
-                                  .reshape(4, 4))
-                b = mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
-                mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = b
-            else:
-                nnz_l[gy, gx] = 0
+                    nnz_l[cy:cy + 2, cx:cx + 2] = 0
+        else:
+            dmf = qt.dequant4_mf[enc_tables.CQM_4PY, qp % 6]
+            for i in range(16):
+                bx, by = int(BLOCK_XY[i][0]), int(BLOCK_XY[i][1])
+                gy, gx = my * 4 + by, mx * 4 + bx
+                if (cbp >> (i // 4)) & 1:
+                    inc = 2 * nz_flag(nnz_l, gy - 1, gx, 0) \
+                        + nz_flag(nnz_l, gy, gx - 1, 0)
+                    z = self._residual_cabac(cd, 2, inc, 16)
+                    nnz_l[gy, gx] = np.count_nonzero(z)
+                    blk = np.zeros(16, dtype=np.int64)
+                    blk[np.asarray(ZIG4)] = z
+                    if self._bypass(qp):
+                        r = blk.reshape(4, 4)
+                    else:
+                        r = G.idct4x4(G.dequant(blk, dmf, qp, 4)
+                                      .reshape(4, 4))
+                    b = mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r
+                    mb[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = b
+                else:
+                    nnz_l[gy, gx] = 0
         Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = np.clip(mb, 0, 255)
 
         cdc, cac = self._decode_chroma_res_cabac(
@@ -868,9 +899,20 @@ class Decoder:
             nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
         return cdc, cac
 
-    _SIG_BASE = [105, 120, 134, 149, 152]
-    _LAST_BASE = [166, 181, 195, 210, 213]
-    _LVL_BASE = [227, 237, 247, 257, 266]
+    _SIG_BASE = [105, 120, 134, 149, 152, 402]
+    _LAST_BASE = [166, 181, 195, 210, 213, 417]
+    _LVL_BASE = [227, 237, 247, 257, 266, 426]
+    # spec Table 9-43 shared-context maps for luma 8x8 (frame coding)
+    _SIG_MAP8 = [
+        0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+        4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+        7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+        12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12]
+    _LAST_MAP8 = [
+        0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+        2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+        3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+        5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8]
     _L1_CTX = [1, 2, 3, 4, 0, 0, 0, 0]
     _GT1_CTX = [5, 5, 5, 5, 6, 7, 8, 9]
     _NODE_TRANS = [[1, 2, 3, 3, 4, 5, 6, 7], [4, 4, 4, 4, 5, 6, 7, 7]]
@@ -894,6 +936,39 @@ class Decoder:
             nzpos.append(C - 1)
         node = 0
         base = self._LVL_BASE[cat]
+        for pos in reversed(nzpos):
+            if cd.decision(base + self._L1_CTX[node]):
+                k = 1
+                gt1 = base + self._GT1_CTX[node]
+                while k < 14 and cd.decision(gt1):
+                    k += 1
+                absm1 = k if k < 14 else 14 + cd.ue_bypass(0)
+                node = self._NODE_TRANS[1][node]
+            else:
+                absm1 = 0
+                node = self._NODE_TRANS[0][node]
+            sign = cd.bypass()
+            coeffs[pos] = -(absm1 + 1) if sign else (absm1 + 1)
+        return coeffs
+
+    def _residual_cabac8(self, cd):
+        """Luma 8x8 residual (ctxBlockCat 5): no coded_block_flag, sig
+        and last contexts shared via the Table 9-43 maps. Returns 64
+        scan-order coefficients."""
+        C = 64
+        coeffs = np.zeros(C, np.int64)
+        nzpos = []
+        found_last = False
+        for i in range(C - 1):
+            if cd.decision(self._SIG_BASE[5] + self._SIG_MAP8[i]):
+                nzpos.append(i)
+                if cd.decision(self._LAST_BASE[5] + self._LAST_MAP8[i]):
+                    found_last = True
+                    break
+        if not found_last:
+            nzpos.append(C - 1)
+        node = 0
+        base = self._LVL_BASE[5]
         for pos in reversed(nzpos):
             if cd.decision(base + self._L1_CTX[node]):
                 k = 1
@@ -1019,6 +1094,8 @@ class Decoder:
                                       and i4mb[my - 1, mx])) else 0)
         if cd.decision(ctx) == 0:
             assert i4grid is not None, "I_4x4 in this slice unsupported"
+            if pps.transform_8x8:
+                assert cd.decision(399) == 0, "I_8x8 unsupported"
             i4mb[my, mx] = True
             dcnz[my, mx] = 0
             self._decode_mb_i4_cabac(cd, my, mx, qp, qt, Y, U, V,
@@ -1879,6 +1956,8 @@ class Decoder:
         cbp_c_map[my, mx] = cbp_chroma
         dcnz[my, mx] = 0
 
+        if self.pps.transform_8x8 and cbp:
+            assert cd.decision(399) == 0, "8x8 in B slices unsupported"
         if cbp or cbp_chroma:
             assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)

@@ -94,6 +94,8 @@ class Encoder:
         # >=4 = half+quarter
         from ..params import ANALYSE_PSUB16x16, RC_CQP as _CQP
         self._parts = bool(p.analyse.inter & ANALYSE_PSUB16x16)
+        # adaptive 8x8 transform (High profile; CABAC P slices v1)
+        self._t8 = bool(p.analyse.b_transform_8x8)
         # lossless transform bypass (qpprime_y_zero_transform_bypass;
         # encoder/macroblock.c:415-474)
         self._lossless = (p.rc.i_rc_method == _CQP
@@ -263,7 +265,49 @@ class Encoder:
         pend.update(frame=frame, qp=qp, disp=disp,
                     rc_rceq=self.rc.last_rceq, rc_satd=self.rc.last_satd)
         self.frame_count += 1
+        self._start_fetch(pend)
         self._pending.append(pend)
+
+    # d2h chunk: ~512 KB rides the tunnel's best rate; larger single
+    # transfers hit a pathological cliff (measured: 4 MB -> 60+ s)
+    _FETCH_CHUNK = 131072
+
+    def _start_fetch(self, pend: dict):
+        """Kick off the d2h of this frame's host32 + payload data on a
+        worker thread so the transfer overlaps both device compute of
+        the NEXT frame and the host entropy tail of the PREVIOUS one
+        (the x264 frame-thread pipeline overlap, doc/threads.txt)."""
+        out = pend.get("out")
+        if out is None or "host32" not in out:
+            return
+        res: dict = {}
+        kind = pend["kind"]
+        cap_words = pend.get("cap_words")
+
+        def work():
+            try:
+                h32 = np.asarray(out["host32"])
+                res["h32"] = h32
+                n = int(h32[0])
+                if kind == "cabac":
+                    CH = self._FETCH_CHUNK
+                    parts = [np.asarray(out["ops"][k * CH:(k + 1) * CH])
+                             for k in range((n + CH - 1) // CH)]
+                    res["ops"] = (np.concatenate(parts)[:n] if parts
+                                  else np.zeros(0, np.uint32))
+                elif kind == "cavlc":
+                    nwords = (n + 31) // 32
+                    nb = min(cap_words,
+                             (nwords + self._WORD_BUCKET - 1)
+                             // self._WORD_BUCKET * self._WORD_BUCKET)
+                    res["words"] = np.asarray(out["words"][:nb])
+            except Exception as e:      # surfaced at join time
+                res["error"] = e
+
+        import threading
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        pend["fetch"] = (t, res)
 
     def _submit_b_disp(self, frame: Frame, forced_qp, poc: int,
                        disp: int = -1):
@@ -277,6 +321,7 @@ class Encoder:
         pend.update(frame=frame, qp=qp, disp=disp,
                     rc_rceq=self.rc.last_rceq, rc_satd=self.rc.last_satd)
         self.frame_count += 1
+        self._start_fetch(pend)
         self._pending.append(pend)
 
     def flush(self) -> list:
@@ -299,14 +344,25 @@ class Encoder:
         ftype, qp, frame = pend["ftype"], pend["qp"], pend["frame"]
         kind = pend["kind"]
         out = pend.get("out")
-        h32 = (np.asarray(out["host32"])
-               if out is not None and "host32" in out else None)
+        fetch = pend.get("fetch")
+        if fetch is not None:
+            t, res = fetch
+            t.join()
+            if "error" in res:
+                raise res["error"]
+            h32 = res["h32"]
+        else:
+            res = {}
+            h32 = (np.asarray(out["host32"])
+                   if out is not None and "host32" in out else None)
         if kind == "done":
             payload = pend["payload"]
         elif kind == "cabac":
-            payload = self._cabac_payload(pend, int(h32[0]))
+            payload = self._cabac_payload(pend, int(h32[0]),
+                                          res.get("ops"))
         else:
-            payload = self._cavlc_payload(pend, int(h32[0]))
+            payload = self._cavlc_payload(pend, int(h32[0]),
+                                          res.get("words"))
 
         nmb = p.mb_width * p.mb_height
         if h32 is not None:
@@ -395,12 +451,15 @@ class Encoder:
         return edev.words_to_bytes(np.asarray(words[:nb]), nbits)
 
     def _pad_input(self, frame: Frame):
+        """MB-aligned planes, flattened: 2-D arrays pay a ~50x layout
+        tax on tunneled-device h2d, so planes cross as 1-D bytes and
+        the jitted pipelines reshape them (free on device)."""
         p = self.params
         mb_w, mb_h = p.mb_width, p.mb_height
         y = pad_plane(np.asarray(frame.y, np.uint8), mb_h * 16, mb_w * 16)
         u = pad_plane(np.asarray(frame.u, np.uint8), mb_h * 8, mb_w * 8)
         v = pad_plane(np.asarray(frame.v, np.uint8), mb_h * 8, mb_w * 8)
-        return y, u, v
+        return y.ravel(), u.ravel(), v.ravel()
 
     def _finish_frame(self, out, frame: Frame, is_ref: bool = True):
         """Update DPB state and crop the recon view (x264_reference_update,
@@ -500,6 +559,9 @@ class Encoder:
         n = self._n_shards
         band = mb_h // n
         y, u, v = self._pad_input(frame)
+        y = y.reshape(mb_h * 16, mb_w * 16)
+        u = u.reshape(mb_h * 8, mb_w * 8)
+        v = v.reshape(mb_h * 8, mb_w * 8)
         qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
         lam = int(tables.LAMBDA_TABLE[qp])
         self.frame_num = 0
@@ -542,6 +604,9 @@ class Encoder:
         n = self._n_shards
         band = mb_h // n
         y, u, v = self._pad_input(frame)
+        y = y.reshape(mb_h * 16, mb_w * 16)
+        u = u.reshape(mb_h * 8, mb_w * 8)
+        v = v.reshape(mb_h * 8, mb_w * 8)
         qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
         lam = int(tables.LAMBDA_TABLE[qp])
         mvp_seed = (self._prev_mv if self._prev_mv is not None
@@ -603,7 +668,7 @@ class Encoder:
                 y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
-                p.analyse.i_chroma_qp_offset, **self._crop)
+                p.analyse.i_chroma_qp_offset, t8=self._t8, **self._crop)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=True, nal_type=NAL_SLICE_IDR,
                         nal_ref_idc=3, nmb=mb_h * mb_w)
@@ -692,7 +757,7 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset,
-                mvp_seed, r2y, r2u, r2v, **self._crop)
+                mvp_seed, r2y, r2u, r2v, t8=self._t8, **self._crop)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=False, nal_type=NAL_SLICE,
                         nal_ref_idc=2, nmb=mb_h * mb_w)
@@ -751,7 +816,7 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset, mvp_seed,
-                col_ref4, col_mv4, **self._crop)
+                col_ref4, col_mv4, t8=self._t8, **self._crop)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=False, nal_type=NAL_SLICE,
                         nal_ref_idc=0, nmb=mb_h * mb_w)
@@ -774,13 +839,17 @@ class Encoder:
         pend["recon"] = self._finish_frame(out, frame, is_ref=False)
         return pend
 
-    def _cavlc_payload(self, pend: dict, nbits: int) -> bytes:
+    def _cavlc_payload(self, pend: dict, nbits: int,
+                       words=None) -> bytes:
         out = pend["out"]
         cap_words = pend["cap_words"]
         if nbits > cap_words * 32:
             raise RuntimeError(
                 f"slice overflowed the device pack buffer ({nbits} bits)")
-        rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
+        if words is not None:
+            rbsp = edev.words_to_bytes(words, nbits)
+        else:
+            rbsp = self._fetch_rbsp(out["words"], nbits, cap_words)
         return nal_unit(pend["nal_type"], pend["nal_ref_idc"], rbsp)
 
     def _deblock(self, ry, ru, rv, qp_mb, intra_mb, nnz4=None, ref4=None,
@@ -816,7 +885,7 @@ class Encoder:
             hdr.put((1 << pad) - 1, pad)
         return bytearray(hdr.pack())
 
-    def _cabac_payload(self, pend: dict, n_ops: int) -> bytes:
+    def _cabac_payload(self, pend: dict, n_ops: int, ops=None) -> bytes:
         """Native arithmetic coding of the device-produced op stream
         (x264_slice_write CABAC branch, encoder/encoder.c:1155-1199) —
         the host tail that the frame pipeline overlaps with device
@@ -830,7 +899,8 @@ class Encoder:
         if n_ops > cap:
             raise RuntimeError(
                 f"CABAC op stream overflowed device buffer ({n_ops} ops)")
-        ops = np.asarray(out["ops"][:n_ops])
+        if ops is None:
+            ops = np.asarray(out["ops"][:n_ops])
 
         hdr_bytes = pend["hdr_bytes"]
         states = ctab.init_states(pend["slice_is_i"], pend["qp"],

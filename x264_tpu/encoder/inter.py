@@ -55,6 +55,9 @@ def make_qtab_p(qp_y: int, qp_c: int, qt: tables.QuantTables | None = None):
     out = eintra.make_qtab(qp_y, qp_c, qt)
     a = lambda x: jnp.asarray(np.asarray(x, np.int32))
     out.update(
+        p8_mf=a(qt.quant8_mf[tables.CQM_8PY, qp_y]),
+        p8_bias=a(qt.quant8_bias[tables.CQM_8PY, qp_y]),
+        p8_dmf=a(qt.dequant8_mf[tables.CQM_8PY, qp_y % 6]),
         py_mf=a(qt.quant4_mf[tables.CQM_4PY, qp_y]),
         py_bias=a(qt.quant4_bias[tables.CQM_4PY, qp_y]),
         py_dmf=a(qt.dequant4_mf[tables.CQM_4PY, qp_y % 6]),
@@ -126,12 +129,37 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab,
     return recon, blocks_z, cbp_bits
 
 
+def inter_luma_residual8(fenc_tiles, pred_tiles, qtab):
+    """Inter luma residual with the 8x8 transform (x264_macroblock_encode
+    b_transform_8x8 branch, encoder/macroblock.c:538-558): 4 8x8 DCT
+    blocks per MB, CQM_8PY quantization.
+
+    Returns (recon, blocks8_z (..., 4, 64) scan-order coefficients in
+    2x2-raster block order, cbp_bits 4-bit per-8x8 pattern)."""
+    lead = fenc_tiles.shape[:-2]
+    diff = fenc_tiles - pred_tiles
+    blocks = diff.reshape(*lead, 2, 8, 2, 8).swapaxes(-3, -2)
+    coef = odct.dct8x8(blocks)
+    lv = oquant.quant(coef.reshape(*lead, 4, 64),
+                      qtab["p8_mf"], qtab["p8_bias"])
+    nz_blk = jnp.any(lv != 0, axis=-1)                    # (*, 4)
+    cbp_bits = (nz_blk[..., 0] * 1 + nz_blk[..., 1] * 2
+                + nz_blk[..., 2] * 4 + nz_blk[..., 3] * 8).astype(I32)
+    deq = oquant.dequant(lv, qtab["p8_dmf"], qtab["py_qpdiv6"], 6)
+    res = odct.idct8x8(deq.reshape(*lead, 2, 2, 8, 8))
+    res_full = res.swapaxes(-3, -2).reshape(*lead, 16, 16)
+    recon = jnp.clip(pred_tiles + res_full, 0, 255)
+    z8 = jnp.asarray(tables.ZIGZAG8)
+    blocks8_z = lv[..., z8]
+    return recon, blocks8_z, cbp_bits
+
+
 def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                   y, u, v, ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
                   subpel_steps=(2, 1), ref_prepadded: bool = False,
                   parts: bool = True, lossless: bool = False,
                   ref2_y=None, ref2_u=None, ref2_v=None,
-                  n_refs: int = 1):
+                  n_refs: int = 1, t8: bool = False):
     """Encode one P frame (pre-deblock). All planes int32, MB-aligned;
     ref_* are the deblocked reference reconstruction. mvp_seed:
     (mb_h, mb_w, 2) qpel MV predictors for ME cost (previous frame's
@@ -305,6 +333,22 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
 
     recon_inter_y, inter_blocks_z, inter_cbp = inter_luma_residual(
         y_tiles, pred_y, qtab, lossless)
+    if t8 and not lossless:
+        # adaptive transform size (x264_mb_analyse_transform,
+        # encoder/analyse.c:2109): SA8D-vs-SATD of the prediction
+        # residual picks 8x8, the 8x8 residual path replaces the 4x4
+        # one for those MBs
+        recon8, blocks8_z, cbp8 = inter_luma_residual8(
+            y_tiles, pred_y, qtab)
+        t8_sel = opix.sa8d_16x16(y_tiles, pred_y) \
+            < opix.satd(y_tiles, pred_y)
+        m8 = t8_sel[..., None, None]
+        recon_inter_y = jnp.where(m8, recon8, recon_inter_y)
+        inter_blocks_z = jnp.where(m8, 0, inter_blocks_z)
+        inter_cbp = jnp.where(t8_sel, cbp8, inter_cbp)
+    else:
+        t8_sel = jnp.zeros((mb_h, mb_w), bool)
+        blocks8_z = jnp.zeros((mb_h, mb_w, 4, 64), I32)
     iru, idcu, iacu, inzau, inzdu = eintra.chroma_residual(
         u_tiles, pred_u, qtab, "pc", lossless)
     irv, idcv, iacv, inzav, inzdv = eintra.chroma_residual(
@@ -341,14 +385,15 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         return jnp.concatenate(
             [jnp.full_like(a[:, :1], fill), a[:, :-1]], axis=1)
 
-    def eval_intra(ty, tu, tv):
+    def eval_intra(ty, tu, tv, mode_sel=None, cmode_sel=None):
         """One parallel sweep: full I16 + chroma intra path for every MB
         against the current reconstruction state (grids of tiles)."""
         top = up(ty)[:, :, 15, :].reshape(nK, 16)
         left = lf(ty)[:, :, :, 15].reshape(nK, 16)
         topleft = lf(up(ty))[:, :, 15, 15].reshape(nK)
         lp = eintra.luma_i16_path(fenc_flat, top, left, topleft,
-                                  ht_g, hl_g, qtab, lam, lossless)
+                                  ht_g, hl_g, qtab, lam, lossless,
+                                  mode_sel=mode_sel)
         pu = opred.predict_8x8c(up(tu)[:, :, 7, :].reshape(nK, 8),
                                 lf(tu)[:, :, :, 7].reshape(nK, 8),
                                 lf(up(tu))[:, :, 7, 7].reshape(nK),
@@ -357,10 +402,13 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                                 lf(tv)[:, :, :, 7].reshape(nK, 8),
                                 lf(up(tv))[:, :, 7, 7].reshape(nK),
                                 ht_g, hl_g)
-        cavail = opred.mode_available_8x8c(ht_g, hl_g)
-        ccost = jnp.where(cavail, opix.satd(fu_flat[:, None], pu)
-                          + opix.satd(fv_flat[:, None], pv), _BIG)
-        cmode = jnp.argmin(ccost, axis=-1).astype(I32)
+        if cmode_sel is None:
+            cavail = opred.mode_available_8x8c(ht_g, hl_g)
+            ccost = jnp.where(cavail, opix.satd(fu_flat[:, None], pu)
+                              + opix.satd(fv_flat[:, None], pv), _BIG)
+            cmode = jnp.argmin(ccost, axis=-1).astype(I32)
+        else:
+            cmode = cmode_sel
         cpu = jnp.take_along_axis(pu, cmode[:, None, None, None], 1)[:, 0]
         cpv = jnp.take_along_axis(pv, cmode[:, None, None, None], 1)[:, 0]
         ru, dcu, acu, _, _ = eintra.chroma_residual(fu_flat, cpu, qtab,
@@ -374,8 +422,12 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     ty, tu, tv = recon_inter_y, recon_u_tiles, recon_v_tiles
     intra_mb = None
     lp = cmode = ru = rv = dcu = dcv = acu = acv = None
+    mode_fix = cmode_fix = None
     for t in range(K_SWEEPS):
-        lp, cmode, ru, rv, dcu, dcv, acu, acv = eval_intra(ty, tu, tv)
+        lp, cmode, ru, rv, dcu, dcv, acu, acv = eval_intra(
+            ty, tu, tv, mode_fix, cmode_fix)
+        if mode_fix is None:
+            mode_fix, cmode_fix = lp["mode"], cmode
         if intra_mb is None:
             # decision pass: fix the choice, then demote unresolvable
             # deep chains (depth > K_SWEEPS)
@@ -476,6 +528,11 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     mvd_blk = jnp.where(intra_mb[..., None, None, None], 0, mvd_blk)
     mvd4 = mvd_blk.swapaxes(1, 2).reshape(mb_h * 4, mb_w * 4, 2)
 
+    # transform_size_8x8_flag is only present when CBP luma is nonzero
+    # (encoder/cabac.c:975-977); an uncoded MB decodes as 4x4, so the
+    # effective map must match for deblock/context purposes
+    t8_mb = t8_sel & (~intra_mb) & (~skip) & (cbp_luma_bits > 0)
+
     # ---------------------------------------------- deblock input maps
     nnz_cnt = jnp.count_nonzero(luma_blocks, axis=-1).astype(I32)
     blk_coded = jnp.where(
@@ -485,12 +542,23 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     nnz_z = nnz_cnt * blk_coded                     # z-scan order
     R = jnp.asarray(tables.LUMA4x4_RASTER_OF_Z)
     nnz_raster = jnp.zeros_like(nnz_z).at[..., R].set(nnz_z)
+    if t8:
+        # each 4x4 cell of an 8x8-transform MB carries the covering
+        # 8x8 block's coefficient count (munge_cavlc_nnz semantics,
+        # common/frame.c:362 — bS and cbf contexts read these)
+        nnz8_cnt = jnp.count_nonzero(blocks8_z, axis=-1).astype(I32)
+        nnz8_cells = jnp.repeat(jnp.repeat(
+            nnz8_cnt.reshape(mb_h, mb_w, 2, 2), 2, axis=-2), 2, axis=-1)
+        nnz_raster = jnp.where(t8_mb[..., None],
+                               nnz8_cells.reshape(mb_h, mb_w, 16),
+                               nnz_raster)
     # intra MBs additionally carry the I16 DC nnz (munge_cavlc_nnz
     # semantics, common/frame.c:362) — irrelevant for bS (intra => bS>=3)
     nnz4 = nnz_raster.reshape(mb_h, mb_w, 4, 4).swapaxes(1, 2) \
         .reshape(mb_h * 4, mb_w * 4)
 
     return dict(
+        t8_mb=t8_mb, luma8_z=blocks8_z,
         recon_y=_untile(state["ty"]),
         recon_u=_untile(state["tu"]),
         recon_v=_untile(state["tv"]),
@@ -611,12 +679,13 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
         return jnp.concatenate(
             [jnp.full_like(a[:, :1], fill), a[:, :-1]], axis=1)
 
-    def eval_intra(ty, tu, tv):
+    def eval_intra(ty, tu, tv, mode_sel=None, cmode_sel=None):
         top = up(ty)[:, :, 15, :].reshape(nK, 16)
         left = lf(ty)[:, :, :, 15].reshape(nK, 16)
         topleft = lf(up(ty))[:, :, 15, 15].reshape(nK)
         lp = eintra.luma_i16_path(fenc_flat, top, left, topleft,
-                                  ht_g, hl_g, qtab, lam, lossless)
+                                  ht_g, hl_g, qtab, lam, lossless,
+                                  mode_sel=mode_sel)
         pu = opred.predict_8x8c(up(tu)[:, :, 7, :].reshape(nK, 8),
                                 lf(tu)[:, :, :, 7].reshape(nK, 8),
                                 lf(up(tu))[:, :, 7, 7].reshape(nK),
@@ -625,10 +694,13 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
                                 lf(tv)[:, :, :, 7].reshape(nK, 8),
                                 lf(up(tv))[:, :, 7, 7].reshape(nK),
                                 ht_g, hl_g)
-        cavail = opred.mode_available_8x8c(ht_g, hl_g)
-        ccost = jnp.where(cavail, opix.satd(fu_flat[:, None], pu)
-                          + opix.satd(fv_flat[:, None], pv), _BIG)
-        cmode = jnp.argmin(ccost, axis=-1).astype(I32)
+        if cmode_sel is None:
+            cavail = opred.mode_available_8x8c(ht_g, hl_g)
+            ccost = jnp.where(cavail, opix.satd(fu_flat[:, None], pu)
+                              + opix.satd(fv_flat[:, None], pv), _BIG)
+            cmode = jnp.argmin(ccost, axis=-1).astype(I32)
+        else:
+            cmode = cmode_sel
         cpu = jnp.take_along_axis(pu, cmode[:, None, None, None], 1)[:, 0]
         cpv = jnp.take_along_axis(pv, cmode[:, None, None, None], 1)[:, 0]
         ru, dcu, acu, _, _ = eintra.chroma_residual(fu_flat, cpu, qtab,
@@ -752,8 +824,12 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
     # --------------- stage 3.7: intra value sweeps (decision fixed)
     ty, tu, tv = recon_inter_y, iru, irv
     lp = cmode = ru = rv = dcu = dcv = acu = acv = None
+    mode_fix = cmode_fix = None
     for t in range(K_SWEEPS):
-        lp, cmode, ru, rv, dcu, dcv, acu, acv = eval_intra(ty, tu, tv)
+        lp, cmode, ru, rv, dcu, dcv, acu, acv = eval_intra(
+            ty, tu, tv, mode_fix, cmode_fix)
+        if mode_fix is None:
+            mode_fix, cmode_fix = lp["mode"], cmode
         m = intra_mb[..., None, None]
         ty = jnp.where(m, lp["recon"].reshape(mb_h, mb_w, 16, 16),
                        recon_inter_y)

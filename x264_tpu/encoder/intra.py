@@ -62,12 +62,14 @@ def _unblocks4(blocks, n):
 
 
 def luma_i16_path(fenc, top, left, topleft, has_top, has_left, qtab, lam,
-                  lossless: bool = False):
+                  lossless: bool = False, mode_sel=None):
     """I16x16 luma: mode decision + residual + reconstruction for a batch
     of MBs (x264_mb_analyse_intra, encoder/analyse.c:612 +
     x264_mb_encode_i16x16, encoder/macroblock.c:184).
 
     fenc: (K, 16, 16); top/left: (K, 16); topleft: (K,).
+    mode_sel: optional (K,) fixed modes — skips the 4-mode SATD scoring
+    (value-only re-evaluation sweeps reuse the decision pass's modes).
     Returns dict(cost, mode, recon, dc_z, ac_z, cbp) — dc_z (K, 16) and
     ac_z (K, 16, 16) zig-zag coefficients in z-scan block order.
     """
@@ -75,12 +77,16 @@ def luma_i16_path(fenc, top, left, topleft, has_top, has_left, qtab, lam,
     zig = jnp.asarray(tables.ZIGZAG4)
 
     preds = opred.predict_16x16(top, left, topleft, has_top, has_left)
-    avail = opred.mode_available_16x16(has_top, has_left)
-    satd = opix.satd(fenc[:, None], preds)       # (K,4)
-    cost = satd + lam * jnp.asarray(_MODE_BITS_16)
-    cost = jnp.where(avail, cost, _BIG)
-    mode = jnp.argmin(cost, axis=-1).astype(I32)
-    best_cost = jnp.min(cost, axis=-1)
+    if mode_sel is None:
+        avail = opred.mode_available_16x16(has_top, has_left)
+        satd = opix.satd(fenc[:, None], preds)       # (K,4)
+        cost = satd + lam * jnp.asarray(_MODE_BITS_16)
+        cost = jnp.where(avail, cost, _BIG)
+        mode = jnp.argmin(cost, axis=-1).astype(I32)
+        best_cost = jnp.min(cost, axis=-1)
+    else:
+        mode = mode_sel.astype(I32)
+        best_cost = jnp.zeros((K,), I32)
     pred = jnp.take_along_axis(
         preds, mode[:, None, None, None], axis=1)[:, 0]
 

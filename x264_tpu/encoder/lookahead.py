@@ -47,6 +47,13 @@ def lowres_plane(y):
             + p[1::2, 1::2] + 2) >> 2
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def lowres_planes_flat(yflat, h: int, w: int):
+    """lowres_planes over a flat uint8 plane (2-D h2d pays a ~50x
+    layout tax on tunneled devices; reshape on device is free)."""
+    return lowres_planes(yflat.reshape(h, w))
+
+
 @jax.jit
 def lowres_planes(y):
     """All four phase-shifted lowres planes (x264_frame_init_lowres,

@@ -57,6 +57,14 @@ def host32_pack(first, oy, ou, ov, ry, ru, rv, crop_w, crop_h,
     return jnp.stack([*first, *bits])
 
 
+def _plane(a, h: int, w: int):
+    """Accept a flat uint8 plane (the cheap h2d layout) or a 2-D array."""
+    a = jnp.asarray(a)
+    if a.ndim == 1:
+        a = a.reshape(h, w)
+    return a.astype(I32)
+
+
 def capacity_words(nmb: int) -> int:
     return (nmb * CAP_BITS_PER_MB + edev.HDR_SLOTS * 32 + 4096) // 32
 
@@ -78,7 +86,9 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
     state), packed bitstream `words` (uint32, big-endian bit order) and
     `nbits` (including the rbsp stop bit).
     """
-    y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
+    y = _plane(y, mb_h * 16, mb_w * 16)
+    u = _plane(u, mb_h * 8, mb_w * 8)
+    v = _plane(v, mb_h * 8, mb_w * 8)
     out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam, i4x4,
                                  lossless)
 
@@ -125,7 +135,9 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     (previous frame's MV field). Returns recon planes, packed words,
     nbits, and the MV/intra maps (the caller feeds `mv` back as the next
     frame's seed)."""
-    y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
+    y = _plane(y, mb_h * 16, mb_w * 16)
+    u = _plane(u, mb_h * 8, mb_w * 8)
+    v = _plane(v, mb_h * 8, mb_w * 8)
     ref_y, ref_u, ref_v = (p.astype(jnp.int32)
                            for p in (ref_y, ref_u, ref_v))
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
@@ -174,23 +186,26 @@ def cabac_capacity(nmb: int, intra_or_lossless: bool = True) -> int:
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
-                   static_argnames=("crop_w", "crop_h", "with_metrics"))
+                   static_argnames=("crop_w", "crop_h", "with_metrics",
+                                    "t8"))
 def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
                          i4x4: bool, lossless: bool,
                          y, u, v, qtab, lam, qp, qp_c,
                          alpha_off, beta_off, chroma_qp_offset,
                          crop_w: int = 0, crop_h: int = 0,
-                         with_metrics: bool = False):
+                         with_metrics: bool = False, t8: bool = False):
     """All-I16x16 IDR frame, CABAC entropy: the wavefront encode runs as
     in encode_i16_idr, but emits a compacted packed bin-op stream for
     the host-native arithmetic coder instead of packed CAVLC words."""
     from ..entropy import cabac_planes
 
-    y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
+    y = _plane(y, mb_h * 16, mb_w * 16)
+    u = _plane(u, mb_h * 8, mb_w * 8)
+    v = _plane(v, mb_h * 8, mb_w * 8)
     out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam, i4x4,
                                  lossless)
 
-    ops = cabac_planes.i16_slice_ops(out, mb_h, mb_w)
+    ops = cabac_planes.i16_slice_ops(out, mb_h, mb_w, t8_mode=t8)
     cops, n_ops = cabac_planes.compact_ops(
         ops, cabac_capacity(mb_h * mb_w))
 
@@ -214,20 +229,23 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
-                   static_argnames=("crop_w", "crop_h", "with_metrics"))
+                   static_argnames=("crop_w", "crop_h", "with_metrics",
+                                    "t8"))
 def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    subpel_steps, parts, lossless, n_refs,
                    y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
                    alpha_off, beta_off, chroma_qp_offset, mvp_seed,
                    ref2_y=None, ref2_u=None, ref2_v=None,
                    crop_w: int = 0, crop_h: int = 0,
-                   with_metrics: bool = False):
+                   with_metrics: bool = False, t8: bool = False):
     """P frame with CABAC entropy: same encode as encode_p, emitting the
     packed bin-op stream for the host arithmetic coder. n_refs=2 takes
     ref2_* as L0[1]."""
     from ..entropy import cabac_planes
 
-    y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
+    y = _plane(y, mb_h * 16, mb_w * 16)
+    u = _plane(u, mb_h * 8, mb_w * 8)
+    v = _plane(v, mb_h * 8, mb_w * 8)
     ref_y, ref_u, ref_v = (p.astype(jnp.int32)
                            for p in (ref_y, ref_u, ref_v))
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
@@ -235,9 +253,9 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                               subpel_steps, parts=parts,
                               lossless=lossless,
                               ref2_y=ref2_y, ref2_u=ref2_u,
-                              ref2_v=ref2_v, n_refs=n_refs)
+                              ref2_v=ref2_v, n_refs=n_refs, t8=t8)
 
-    ops = cabac_planes.p_slice_ops(out, mb_h, mb_w, n_refs)
+    ops = cabac_planes.p_slice_ops(out, mb_h, mb_w, n_refs, t8_mode=t8)
     cops, n_ops = cabac_planes.compact_ops(
         ops, cabac_capacity(mb_h * mb_w))
 
@@ -249,7 +267,8 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
         ry, ru, rv = odeblock.deblock_frame(
             mb_h, mb_w, ry, ru, rv, qp_mb, out["intra_mb"],
             out["nnz4"], out["ref4"], out["mv4"], z4, zmv, False,
-            alpha_off, beta_off, chroma_qp_offset)
+            alpha_off, beta_off, chroma_qp_offset,
+            t8_mb=out.get("t8_mb") if t8 else None)
 
     h32 = host32_pack(
         [n_ops, out["intra_mb"].sum(), out["skip"].sum()],
@@ -274,7 +293,9 @@ def encode_b(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     """B frame (CAVLC): two-list ME + direct/skip + L0/L1/BI decision
     + entropy + pack + deblock, fused. col_ref4/col_mv4: RefPicList1[0]
     colocated L0 maps for spatial direct (None disables direct)."""
-    y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
+    y = _plane(y, mb_h * 16, mb_w * 16)
+    u = _plane(u, mb_h * 8, mb_w * 8)
+    v = _plane(v, mb_h * 8, mb_w * 8)
     l0 = tuple(p.astype(jnp.int32) for p in (l0_y, l0_u, l0_v))
     l1 = tuple(p.astype(jnp.int32) for p in (l1_y, l1_u, l1_v))
     out = inter.encode_b_body(mb_h, mb_w, me_range, y, u, v,
@@ -308,7 +329,8 @@ def encode_b(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
-                   static_argnames=("crop_w", "crop_h", "with_metrics"))
+                   static_argnames=("crop_w", "crop_h", "with_metrics",
+                                    "t8"))
 def encode_b_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    subpel_steps,
                    y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
@@ -316,12 +338,14 @@ def encode_b_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    alpha_off, beta_off, chroma_qp_offset, mvp_seed,
                    col_ref4=None, col_mv4=None,
                    crop_w: int = 0, crop_h: int = 0,
-                   with_metrics: bool = False):
+                   with_metrics: bool = False, t8: bool = False):
     """B frame with CABAC entropy: packed bin-op stream for the host
     arithmetic coder. col_ref4/col_mv4 as in encode_b."""
     from ..entropy import cabac_planes
 
-    y, u, v = (p.astype(jnp.int32) for p in (y, u, v))
+    y = _plane(y, mb_h * 16, mb_w * 16)
+    u = _plane(u, mb_h * 8, mb_w * 8)
+    v = _plane(v, mb_h * 8, mb_w * 8)
     l0 = tuple(p.astype(jnp.int32) for p in (l0_y, l0_u, l0_v))
     l1 = tuple(p.astype(jnp.int32) for p in (l1_y, l1_u, l1_v))
     out = inter.encode_b_body(mb_h, mb_w, me_range, y, u, v,
@@ -329,7 +353,7 @@ def encode_b_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                               subpel_steps,
                               col_ref4=col_ref4, col_mv4=col_mv4)
 
-    ops = cabac_planes.b_slice_ops(out, mb_h, mb_w)
+    ops = cabac_planes.b_slice_ops(out, mb_h, mb_w, t8_mode=t8)
     cops, n_ops = cabac_planes.compact_ops(ops, cabac_capacity(mb_h * mb_w))
 
     ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]

@@ -179,7 +179,9 @@ class RateControl:
         None = use the max bias.
         Returns {'scenecut': bool, 'icost': float, 'pcost': float}."""
         import jax.numpy as jnp
-        lows = lookahead.lowres_planes(jnp.asarray(y, jnp.uint8))
+        ynp = np.ascontiguousarray(y, dtype=np.uint8)
+        lows = lookahead.lowres_planes_flat(
+            jnp.asarray(ynp.ravel()), *ynp.shape)
         low = lows[0]
         h, w = low.shape
         bh, bw = (h + 7) // 8, (w + 7) // 8

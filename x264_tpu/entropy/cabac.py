@@ -38,11 +38,23 @@ from .. import native
 A_BITS, B_BITS = 17, 12
 A_MAX, B_MAX = (1 << A_BITS) - 1, (1 << B_BITS) - 1
 
-# residual tables shared with the device plane generator
-CAT_C = (16, 15, 16, 4, 15)
-SIG_BASE = (105, 120, 134, 149, 152)
-LAST_BASE = (166, 181, 195, 210, 213)
-LVL_BASE = (227, 237, 247, 257, 266)
+# residual tables shared with the device plane generator (category 5 =
+# luma 8x8; SIG_MAP8/LAST_MAP8 are the spec Table 9-43 shared-context
+# maps for 8x8 significance/last flags)
+CAT_C = (16, 15, 16, 4, 15, 64)
+SIG_BASE = (105, 120, 134, 149, 152, 402)
+LAST_BASE = (166, 181, 195, 210, 213, 417)
+LVL_BASE = (227, 237, 247, 257, 266, 426)
+SIG_MAP8 = (
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12)
+LAST_MAP8 = (
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8)
 L1_CTX = (1, 2, 3, 4, 0, 0, 0, 0)
 GT1_CTX = (5, 5, 5, 5, 6, 7, 8, 9)
 NODE_TRANS = ((1, 2, 3, 3, 4, 5, 6, 7), (4, 4, 4, 4, 5, 6, 7, 7))
@@ -102,7 +114,7 @@ def encode_ops(states: np.ndarray, ops: np.ndarray,
         elif k == KIND_TERMINAL:
             enc.terminal0()
         elif k == KIND_SIGMAP:
-            enc.sigmap(a, b & 7, b >> 3)
+            enc.sigmap(a, b & 7, (b >> 3) & 63, (b >> 9) & 3)
         elif k == KIND_LEVEL:
             enc.level(a, b & 1)
     enc.flush()
@@ -124,6 +136,7 @@ class PyCabacEncoder:
         self.out = bytearray([prev_byte])
         self.cat = 0               # residual expansion state
         self.node = 0
+        self.sig_acc = 0
 
     # ---- bit output (PutBit + MSB-first byte packer)
     def _raw_bit(self, b: int):
@@ -197,15 +210,26 @@ class PyCabacEncoder:
         self._renorm()
 
     # ---- residual expansion (kinds 6/7)
-    def sigmap(self, mask: int, cat: int, last: int):
+    def sigmap(self, mask: int, cat: int, last: int, part: int = 0):
+        if cat == 5 and part < 3:      # accumulate 8x8 mask parts
+            if part == 0:
+                self.sig_acc = 0
+            self.sig_acc |= mask << (16 * part)
+            return
+        if cat == 5:
+            mask = self.sig_acc | (mask << 48)
+            self.sig_acc = 0
         self.cat = cat
         self.node = 0
         sz = min(last + 1, CAT_C[cat] - 1)
         for i in range(sz):
             bit = (mask >> i) & 1
-            self.decision(SIG_BASE[cat] + i, bit)
+            co = SIG_MAP8[i] if cat == 5 else i
+            lo = LAST_MAP8[i] if cat == 5 else i
+            self.decision(SIG_BASE[cat] + co, bit)
             if bit:
-                self.decision(LAST_BASE[cat] + i, 1 if i == last else 0)
+                self.decision(LAST_BASE[cat] + lo,
+                              1 if i == last else 0)
 
     def level(self, absm1: int, sign: int):
         base = LVL_BASE[self.cat]

@@ -101,6 +101,50 @@ def residual_block_ops(coeffs, cat: int, cbf_ctx, coded):
     return jnp.stack(slots, axis=1)
 
 
+def residual_block_ops8(coeffs, coded):
+    """Packed ops for N luma 8x8 residual blocks (ctxBlockCat 5,
+    block_residual_write_cabac 8x8 branch, encoder/cabac.c:769): no
+    coded_block_flag (CBP covers it); the 63-bit significance mask
+    crosses as FOUR KIND_SIGMAP parts (16 bits each, part index in
+    b[10:9]) that the serial engine reassembles, then per-coefficient
+    KIND_LEVEL ops as in the 4x4 layout.
+
+    coeffs: (N, 64) int32 in 8x8 scan order; coded: (N,) bool.
+    Returns (N, 68) uint32.
+    """
+    N, C = coeffs.shape
+    assert C == 64
+    coeffs = coeffs.astype(I32)
+    nz = coeffs != 0
+    total = nz.sum(axis=1).astype(I32)
+    has = total > 0
+    pos = jnp.arange(C, dtype=I32)
+    last = jnp.max(jnp.where(nz, pos, -1), axis=1)
+    write_res = coded & has
+
+    slots = []
+    nzb = nz[:, :C - 1].astype(I32)
+    for part in range(4):
+        lo = 16 * part
+        hi = min(lo + 16, C - 1)
+        mask = (nzb[:, lo:hi]
+                * (1 << (pos[:hi - lo]))[None, :]).sum(axis=1)
+        slots.append(_sel(write_res,
+                          op(KIND_SIGMAP, mask,
+                             5 | (last << 3) | (part << 9))))
+
+    order = jnp.argsort(-jnp.where(nz, pos, -1), axis=1, stable=True)
+    lvl = jnp.take_along_axis(coeffs, order, axis=1)
+    for j in range(C):
+        active = write_res & (j < total)
+        l = lvl[:, j]
+        slots.append(_sel(active,
+                          op(KIND_LEVEL,
+                             jnp.minimum(jnp.abs(l) - 1, 0x1FFFF),
+                             l < 0)))
+    return jnp.stack(slots, axis=1)
+
+
 def _nbr_grids(flag_map, unavail):
     """(left, top) neighbor values on a grid; outside-frame = unavail."""
     a = jnp.full_like(flag_map, unavail)
@@ -141,7 +185,7 @@ def i4_pred_mode_ops(i4_mb, i4_modes, mb_h: int, mb_w: int):
     return jnp.stack(slots, axis=1)        # (nmb, 64)
 
 
-def i16_slice_ops(out, mb_h: int, mb_w: int):
+def i16_slice_ops(out, mb_h: int, mb_w: int, t8_mode: bool = False):
     """Packed op planes for a whole intra CABAC slice (I16x16 + I4x4),
     flattened in syntax order (x264_macroblock_write_cabac intra paths,
     encoder/cabac.c:781-1025 + per-MB end_of_slice terminal)."""
@@ -184,6 +228,10 @@ def i16_slice_ops(out, mb_h: int, mb_w: int):
         + (avail_t & (ni4_t.reshape(nmb) > 0)).astype(I32)
     h = [
         op(KIND_DECISION, ctx_mbtype, ~i4f),
+        # transform_size_8x8_flag for I_NxN when the PPS enables 8x8
+        # (always 0 — no I8x8 mode yet; encoder/cabac.c:826-828)
+        (_sel(i4f, op(KIND_DECISION, jnp.full(nmb, 399, I32), 0))
+         if t8_mode else jnp.full((nmb,), PAD_OP)),
         _sel(~i4f, jnp.broadcast_to(op(KIND_TERMINAL, 0, 0), (nmb,))),
         _sel(~i4f, op(KIND_DECISION, jnp.full(nmb, 6, I32), cbp_luma16)),
         _sel(~i4f, op(KIND_DECISION, jnp.full(nmb, 7, I32),
@@ -351,7 +399,8 @@ def _cbf_ctx_from_grid(grid, intra_cur_grid):
     return 2 * ib + ia
 
 
-def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1):
+def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1,
+                t8_mode: bool = False):
     """Packed op planes for a whole P CABAC slice
     (x264_macroblock_write_cabac P branch + x264_cabac_mb_skip,
     encoder/cabac.c:300-306,781-1025). n_refs=2 adds the per-partition
@@ -498,6 +547,19 @@ def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1):
     slots.append(_sel(inter_f & (cbp_cf > 0),
                       op(KIND_DECISION, c1.reshape(nmb), cbp_cf == 2)))
 
+    # ---- transform_size_8x8_flag (ctx 399 + 8x8 neighbors; present
+    # for inter MBs with coded luma when the PPS enables 8x8,
+    # encoder/cabac.c:975-977 + x264_cabac_mb_transform_size:369)
+    if t8_mode:
+        t8_g = out["t8_mb"].reshape(mb_h, mb_w)
+        t8_f = t8_g.reshape(nmb)
+        t8l, t8t = _nbr_grids(t8_g.astype(I32), 0)
+        tctx = (399 + t8l + t8t).reshape(nmb)
+        slots.append(_sel(inter_f & (cbp_lf > 0),
+                          op(KIND_DECISION, tctx, t8_f)))
+    else:
+        t8_f = jnp.zeros(nmb, bool)
+
     # ---- mb_qp_delta (0 under CQP, ctx 60)
     has_dqp = coded & (intra_f | (cbp_lf > 0) | (cbp_cf > 0))
     slots.append(_sel(has_dqp, op(KIND_DECISION, jnp.full(nmb, 60, I32), 0)))
@@ -516,11 +578,9 @@ def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1):
     grp_bit = (cbp_lf[:, None] >> (jnp.arange(16, dtype=I32) // 4)) & 1
     blk_coded = jnp.where(intra_f[:, None], (cbp_lf > 0)[:, None],
                           grp_bit > 0)
-    counts_z = (jnp.count_nonzero(luma_blocks, axis=-1) > 0).astype(I32) \
-        * blk_coded
-    counts_raster = jnp.zeros_like(counts_z).at[:, R].set(counts_z)
-    lmap = counts_raster.reshape(mb_h, mb_w, 4, 4).swapaxes(1, 2) \
-        .reshape(mb_h * 4, mb_w * 4)
+    # neighbor cbf flags come from the final nnz4 map (carries the 8x8
+    # per-cell counts for transform-8x8 MBs)
+    lmap = (out["nnz4"] > 0).astype(I32)
     ctx_ac_raster = _cbf_ctx_from_grid(lmap, intra4)
     ctx_ac = ctx_ac_raster.reshape(mb_h, 4, mb_w, 4).swapaxes(1, 2) \
         .reshape(nmb, 16)[:, R]
@@ -554,13 +614,24 @@ def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1):
     full16 = residual_block_ops(
         luma_blocks.reshape(nmb * 16, 16), 2,
         ctx_ac.reshape(nmb * 16),
-        jnp.repeat(inter_f, 16) & (grp_bit > 0).reshape(nmb * 16))
+        jnp.repeat(inter_f & ~t8_f, 16) & (grp_bit > 0).reshape(nmb * 16))
     # unified per-block slot width: pad the 15-coeff layout
     w15, w16 = ac15.shape[1], full16.shape[1]
     ac15p = jnp.concatenate(
         [ac15, jnp.full((nmb * 16, w16 - w15), PAD_OP)], axis=1)
     blk_ops = jnp.where(jnp.repeat(intra_f, 16)[:, None], ac15p, full16) \
         .reshape(nmb, -1)
+    if t8_mode:
+        # 8x8 residual layout (4 cat-5 blocks, 68 slots each) rides the
+        # same 288-slot luma region, selected per MB
+        cbp8 = ((cbp_lf[:, None] >> jnp.arange(4, dtype=I32)) & 1) > 0
+        ops8 = residual_block_ops8(
+            out["luma8_z"].reshape(nmb * 4, 64),
+            jnp.repeat(t8_f, 4) & cbp8.reshape(nmb * 4)).reshape(nmb, -1)
+        pad8 = jnp.full((nmb, blk_ops.shape[1] - ops8.shape[1]), PAD_OP)
+        blk_ops = jnp.where(t8_f[:, None],
+                            jnp.concatenate([ops8, pad8], axis=1),
+                            blk_ops)
 
     cdc_ops = residual_block_ops(
         chroma_dc.reshape(nmb * 2, 4), 3,
@@ -582,7 +653,7 @@ def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1):
     return allops.ravel()
 
 
-def b_slice_ops(out, mb_h: int, mb_w: int):
+def b_slice_ops(out, mb_h: int, mb_w: int, t8_mode: bool = False):
     """Packed op planes for a whole B CABAC slice
     (x264_macroblock_write_cabac B branch + x264_cabac_mb_type B table
     + x264_cabac_mb_skip, encoder/cabac.c:123-190,300-306): B_SKIP via
@@ -711,6 +782,11 @@ def b_slice_ops(out, mb_h: int, mb_w: int):
                                    cbp_cf > 0)))
     slots.append(_sel(interc_f & (cbp_cf > 0),
                       op(KIND_DECISION, c1.reshape(nmb), cbp_cf == 2)))
+
+    # ---- transform_size_8x8_flag (always 0 in B slices v1)
+    if t8_mode:
+        slots.append(_sel(interc_f & (cbp_lf > 0),
+                          op(KIND_DECISION, jnp.full(nmb, 399, I32), 0)))
 
     # ---- mb_qp_delta (0 under CQP)
     has_dqp = coded & (intra_f | (cbp_lf > 0) | (cbp_cf > 0))

@@ -120,11 +120,23 @@ static void ue_bypass(cab_t *c, uint32_t val, int k)
     }
 }
 
-/* residual tables (spec 9.3.3.1.1.9 / 9.3.2.6 constants, frame coding) */
-static const uint8_t  CAT_C_T[5]    = {16, 15, 16, 4, 15};
-static const uint8_t  SIG_BASE_T[5] = {105, 120, 134, 149, 152};
-static const uint8_t  LAST_BASE_T[5] = {166, 181, 195, 210, 213};
-static const uint16_t LVL_BASE_T[5] = {227, 237, 247, 257, 266};
+/* residual tables (spec 9.3.3.1.1.9 / 9.3.2.6 constants, frame coding;
+ * category 5 = luma 8x8, spec Table 9-43 ctxIdxMap for the shared
+ * significance/last contexts) */
+static const uint8_t  CAT_C_T[6]    = {16, 15, 16, 4, 15, 64};
+static const uint16_t SIG_BASE_T[6] = {105, 120, 134, 149, 152, 402};
+static const uint16_t LAST_BASE_T[6] = {166, 181, 195, 210, 213, 417};
+static const uint16_t LVL_BASE_T[6] = {227, 237, 247, 257, 266, 426};
+static const uint8_t  SIG_MAP8[63] = {
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9,10, 9, 8, 7,
+    7, 6,11,12,13,11, 6, 7, 8, 9,14,10, 9, 8, 6,11,
+   12,13,11, 6, 9,14,10, 9,11,12,13,11,14,10,12};
+static const uint8_t  LAST_MAP8[63] = {
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8};
 static const uint8_t  L1_CTX_T[8]   = {1, 2, 3, 4, 0, 0, 0, 0};
 static const uint8_t  GT1_CTX_T[8]  = {5, 5, 5, 5, 6, 7, 8, 9};
 static const uint8_t  TRN_T[2][8]   = {{1, 2, 3, 3, 4, 5, 6, 7},
@@ -139,6 +151,7 @@ long cabac_encode(uint8_t *state,
     cab_t c;
     long i;
     int cat = 0, node = 0;
+    uint64_t sig_acc = 0;
     c.low = 0;
     c.range = 510;
     c.first = 1;
@@ -172,22 +185,40 @@ long cabac_encode(uint8_t *state,
             bypass(&c, b & 1);
             node = TRN_T[prefix > 0][node];
         } else if (k == 6) {
-            /* residual significance map; resets the level machine */
-            int last = b >> 3;
+            /* residual significance map; resets the level machine.
+             * cat 5 (luma 8x8) arrives as 4 mask parts (b[10:9]);
+             * parts 0-2 only accumulate, part 3 (or any cat<5 op,
+             * always part 0) emits. 8x8 sig/last contexts are shared
+             * through the spec Table 9-43 maps. */
+            int last = (b >> 3) & 63;
+            int part = (b >> 9) & 3;
             int sz, j;
             cat = b & 7;
+            if (cat == 5 && part < 3) {
+                if (part == 0)
+                    sig_acc = 0;
+                sig_acc |= (uint64_t)a << (16 * part);
+                continue;
+            }
+            if (cat == 5)
+                sig_acc |= (uint64_t)a << 48;
+            else
+                sig_acc = a;
             node = 0;
             sz = CAT_C_T[cat] - 1;
             if (last + 1 < sz)
                 sz = last + 1;
             for (j = 0; j < sz; j++) {
-                int bit = (a >> j) & 1;
+                int bit = (int)((sig_acc >> j) & 1);
+                int co = cat == 5 ? SIG_MAP8[j] : j;
+                int lo = cat == 5 ? LAST_MAP8[j] : j;
                 decision(&c, state, range_lps, transition,
-                         SIG_BASE_T[cat] + j, bit);
+                         SIG_BASE_T[cat] + co, bit);
                 if (bit)
                     decision(&c, state, range_lps, transition,
-                             LAST_BASE_T[cat] + j, j == last);
+                             LAST_BASE_T[cat] + lo, j == last);
             }
+            sig_acc = 0;
         } else if (k == 5) {
             int j;
             for (j = 0; j < b; j++)

@@ -165,7 +165,7 @@ def _shift_lane(a, fill=None):
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def deblock_frame(mb_h: int, mb_w: int, y, u, v, qp_mb, intra_mb,
                   nnz4, ref4, mv4, ref4_l1, mv4_l1, is_b,
-                  alpha_off, beta_off, chroma_qp_offset):
+                  alpha_off, beta_off, chroma_qp_offset, t8_mb=None):
     """Deblock a frame. y: (mb_h*16, mb_w*16) int32; u/v: chroma planes.
 
     qp_mb/intra_mb: (mb_h, mb_w); nnz4/ref4: (mb_h*4, mb_w*4);
@@ -200,6 +200,15 @@ def deblock_frame(mb_h: int, mb_w: int, y, u, v, qp_mb, intra_mb,
     bs_h = _strengths(shift_up, intra4, nnz4, ref4, mv4,
                       ref4_l1, mv4_l1, is_b, mb_edge_h)
     bs_h = jnp.where((y4 == 0)[:, None], 0, bs_h)
+    if t8_mb is not None:
+        # luma edges interior to 8x8 transform blocks are not filtered
+        # (spec 8.7: transform_size_8x8_flag; the reference skips edges
+        # 1/3 in x264_frame_deblock_row when h->mb.b_transform_8x8)
+        t84 = jnp.repeat(jnp.repeat(t8_mb.astype(bool), 4, 0), 4, 1)
+        bs_v = jnp.where(t84 & ((x4 % 4 == 1) | (x4 % 4 == 3))[None, :],
+                         0, bs_v)
+        bs_h = jnp.where(t84 & ((y4 % 4 == 1) | (y4 % 4 == 3))[:, None],
+                         0, bs_h)
 
     av, bv, tv = _edge_params(shift_left(qp4), qp4, bs_v,
                               alpha_off, beta_off)

@@ -144,14 +144,11 @@ def hier_search(cur, ref_pad, mb_h: int, mb_w: int, me_range: int,
     cur = cur.astype(I32)
     cur_tiles = cur.reshape(mb_h, 16, mb_w, 16).swapaxes(1, 2)
 
-    # ---- stage 0: dense coarse search on QUARTER-res planes (4x4 px
-    # per MB): the full (2R+1)^2 field at 1/16 the pixel cost
-    ref_h = _half_plane(ref_pad[pad:pad + H, pad:pad + W].astype(I32))
-    cur_h = _half_plane(cur)
-    ref_q = _half_plane(ref_h)
-    cur_q = _half_plane(cur_h)
-    rq = max(2, min((R + 3) // 4 + 1, pad // 4))
-    Hq, Wq = H // 4, W // 4
+    # ---- stage 1: dense coarse search on half-res planes
+    ref_q = _half_plane(ref_pad[pad:pad + H, pad:pad + W].astype(I32))
+    cur_q = _half_plane(cur)
+    rq = min((R + 1) // 2 + 1, pad // 2)
+    Hq, Wq = H // 2, W // 2
     ref_qp = jnp.pad(ref_q, rq, mode="edge")
     dqs = jnp.arange(-rq, rq + 1, dtype=I32)
 
@@ -162,7 +159,7 @@ def hier_search(cur, ref_pad, mb_h: int, mb_w: int, me_range: int,
         def sad_dx(dx):
             s = jax.lax.dynamic_slice(rows, (0, rq + dx), (Hq, Wq))
             d = jnp.abs(cur_q - s)
-            return d.reshape(mb_h, 4, mb_w, 4).sum(axis=(1, 3))
+            return d.reshape(mb_h, 8, mb_w, 8).sum(axis=(1, 3))
 
         return None, jax.vmap(sad_dx)(dqs)
 
@@ -170,37 +167,10 @@ def hier_search(cur, ref_pad, mb_h: int, mb_w: int, me_range: int,
     cand_q = jnp.stack(jnp.meshgrid(dqs, dqs, indexing="xy"), axis=-1)
     cand_q = cand_q.reshape(-1, 2)
     # small bias toward the predictor keeps coarse ties stable
-    bits_q = mv_cost_bits(cand_q[:, None, None, :] * 16, mvp_qpel[None])
-    cost_q = sads_q.reshape(-1, mb_h, mb_w) * 16 + lam * bits_q
+    bits_q = mv_cost_bits(cand_q[:, None, None, :] * 8, mvp_qpel[None])
+    cost_q = sads_q.reshape(-1, mb_h, mb_w) * 4 + lam * bits_q
     best_q = jnp.argmin(cost_q, axis=0)
-    mv_q2 = cand_q[best_q]                          # quarter-res units
-
-    # ---- stage 0.5: half-res window refine around the coarse winner
-    # (8x8 px per MB, +-2 half-res window around 2*mv_q2)
-    m_h = 2
-    ref_hp = jnp.pad(ref_h, pad // 2, mode="edge")
-    cur_h_tiles = cur_h.reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
-    ch = jnp.clip(mv_q2 * 2, -(pad // 2 - m_h - 1), pad // 2 - m_h - 1)
-    ys_h = (jnp.arange(mb_h, dtype=I32) * 8)[:, None] \
-        + jnp.zeros((mb_w,), I32)
-    xs_h = (jnp.arange(mb_w, dtype=I32) * 8)[None, :] \
-        + jnp.zeros((mb_h, 1), I32)
-    wn_h = 8 + 2 * m_h
-    win_h = _win_slices(ref_hp, ys_h + ch[..., 1] - m_h + pad // 2,
-                        xs_h + ch[..., 0] - m_h + pad // 2,
-                        wn_h, wn_h).astype(I32)
-    sads_h = jnp.stack(
-        [jnp.abs(cur_h_tiles - win_h[..., oy:oy + 8, ox:ox + 8])
-         .sum(axis=(-2, -1))
-         for oy in range(2 * m_h + 1) for ox in range(2 * m_h + 1)])
-    offs_h = jnp.asarray([(ox, oy)
-                          for oy in range(-m_h, m_h + 1)
-                          for ox in range(-m_h, m_h + 1)], dtype=I32)
-    mvs_h = ch[None] + offs_h[:, None, None, :]
-    cost_h = sads_h * 4 + lam * mv_cost_bits(mvs_h * 8, mvp_qpel[None])
-    best_h = jnp.argmin(cost_h, axis=0)
-    mv_coarse = jnp.take_along_axis(
-        mvs_h, best_h[None, ..., None], axis=0)[0] * 2   # fpel units
+    mv_coarse = cand_q[best_q] * 2                  # (mb_h, mb_w, 2) fpel
 
     # ---- stage 2: windowed full-res refinement
     ys = jnp.arange(mb_h, dtype=I32)[:, None] * 16 \

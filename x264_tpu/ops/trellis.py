@@ -72,7 +72,10 @@ def entropy_f8():
     ent_mps = -np.log2(1.0 - plps) * 256.0
     out = np.zeros((128, 2), np.int32)
     for s in range(128):
-        mps, st = s >> 6, s & 63
+        # combined representation (mirrored low half, as the RANGE_LPS
+        # layout): s < 64 -> MPS 0, pStateIdx 63-s; else MPS 1, s-64
+        mps = s >> 6
+        st = (s - 64) if mps else (63 - s)
         out[s, mps] = int(round(ent_mps[st]))
         out[s, 1 - mps] = int(round(ent_lps[st]))
     return out

@@ -178,15 +178,16 @@ class EncoderParams:
                     self.i_mb_row_shards = 1
 
         a = self.analyse
-        if a.b_transform_8x8:
-            # 8x8 transform not implemented yet: force off so the PPS
-            # never claims transform_8x8_mode (validate-and-log contract)
-            if self.i_log_level >= 2:
-                import sys
-                print("x264_tpu [info]: 8x8 transform not yet implemented, "
-                      "disabling", file=sys.stderr)
+        if a.b_transform_8x8 and not self.b_cabac:
+            # the 8x8 path emits CABAC cat-5 residual ops; the CAVLC
+            # interleave (x264_zigzag_interleave) is not built yet
+            self._log("8x8 transform requires CABAC here, disabling")
             a.b_transform_8x8 = False
-        a.intra &= ~ANALYSE_I8x8    # I8x8 requires the 8x8 transform
+        if a.b_transform_8x8 and self.i_mb_row_shards > 1:
+            self._log("8x8 transform not yet in the sharded path, "
+                      "disabling")
+            a.b_transform_8x8 = False
+        a.intra &= ~ANALYSE_I8x8    # I8x8 predictors not built yet
         a.inter &= ~ANALYSE_I8x8
         a.i_me_method = _clip(a.i_me_method, ME_DIA, ME_TESA)
         a.i_subpel_refine = _clip(a.i_subpel_refine, 1, 9)
