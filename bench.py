@@ -48,7 +48,7 @@ def make_frames(w, h, n):
 
 
 def run_encoder(frames, w, h, cabac, deblock, keyint, warm=1,
-                frame_parallel=2):
+                frame_parallel=3):
     from x264_tpu import EncoderParams, Encoder
     p = EncoderParams(i_width=w, i_height=h, b_cabac=cabac,
                       b_deblocking_filter=deblock, i_log_level=0,

@@ -531,6 +531,7 @@ class Decoder:
         cd = CabacDecoder(rbsp[br.pos // 8:],
                           ctab.init_states(True, qp).copy())
 
+        self._qpstate = {"qp": qp, "pnz": False}
         dcnz = np.zeros((mb_h, mb_w), np.int64)
         cdcnz = np.zeros((2, mb_h, mb_w), np.int64)
         cm_map = np.zeros((mb_h, mb_w), np.int64)
@@ -541,11 +542,12 @@ class Decoder:
         mb_i = first_mb
         while mb_i < mb_h * mb_w:
             my, mx = divmod(mb_i, mb_w)
-            self._decode_mb_i16_cabac(cd, my, mx, qp, qt, Y, U, V,
+            self._decode_mb_i16_cabac(cd, my, mx, self._qpstate["qp"],
+                                      qt, Y, U, V,
                                       nnz_l, nnz_c, dcnz, cdcnz,
                                       cm_map, i4mb, i4grid,
                                       cbp_l_map, cbp_c_map)
-            qp_mb[my, mx] = qp
+            qp_mb[my, mx] = self._qpstate["qp"]
             intra_mb[my, mx] = True
             mb_i += 1
             if cd.terminal():
@@ -571,6 +573,7 @@ class Decoder:
                                            self._cabac_init_idc).copy())
 
         row0 = first_mb // mb_w
+        self._qpstate = {"qp": qp, "pnz": False}
         dcnz = np.zeros((mb_h, mb_w), np.int64)
         cdcnz = np.zeros((2, mb_h, mb_w), np.int64)
         cm_map = np.zeros((mb_h, mb_w), np.int64)
@@ -588,13 +591,15 @@ class Decoder:
             if cd.decision(inc):
                 skip_map[my, mx] = True
                 self._decode_mb_pskip(my, mx, Y, U, V, mv_f, ref_f)
+                self._skip_dqp_cabac()
             else:
                 self._decode_mb_p_cabac(
-                    cd, my, mx, qp, qt, Y, U, V, nnz_l, nnz_c,
+                    cd, my, mx, self._qpstate["qp"], qt, Y, U, V,
+                    nnz_l, nnz_c,
                     mv_f, ref_f, intra_mb, dcnz, cdcnz, cm_map,
                     mvd_map, cbp_l_map, cbp_c_map, row0,
                     t8_map=self._pic["t8_map"])
-            qp_mb[my, mx] = qp
+            qp_mb[my, mx] = self._qpstate["qp"]
             mb_i += 1
             if cd.terminal():
                 break
@@ -643,7 +648,7 @@ class Decoder:
             else:
                 cm = 3
             cm_map[my, mx] = cm
-            assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
+            qp = self._read_dqp_cabac(cd)
             qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
             ctx_dc = 2 * nz_flag(dcnz, my - 1, mx, 1, 1) \
@@ -786,7 +791,9 @@ class Decoder:
             t8_map[my, mx] = t8
 
         if cbp or cbp_chroma:
-            assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
+            qp = self._read_dqp_cabac(cd)
+        else:
+            qp = self._skip_dqp_cabac()
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
         py, pu, pv = self._inter_pred_mb(my, mx, ptype, mv0, mv1,
@@ -898,6 +905,29 @@ class Decoder:
         else:
             nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
         return cdc, cac
+
+    def _read_dqp_cabac(self, cd):
+        """mb_qp_delta (CABAC): mapped-unary at ctxs [60+c0, 62, 63...]
+        where c0 = previous MB coded a nonzero dqp
+        (x264_cabac_mb_qp_delta inverse). Updates and returns the
+        per-slice QPy state."""
+        st = self._qpstate
+        inc = 1 if st["pnz"] else 0
+        val = 0
+        while cd.decision(60 + inc):
+            val += 1
+            inc = 2 + (inc >> 1)
+            assert val < 104
+        dqp = (val + 1) // 2 if val & 1 else -(val // 2)
+        st["qp"] = st["qp"] + dqp
+        st["pnz"] = dqp != 0
+        return st["qp"]
+
+    def _skip_dqp_cabac(self):
+        """MB without a mb_qp_delta element: QPy inherits, ctx resets."""
+        st = self._qpstate
+        st["pnz"] = False
+        return st["qp"]
 
     _SIG_BASE = [105, 120, 134, 149, 152, 402]
     _LAST_BASE = [166, 181, 195, 210, 213, 417]
@@ -1043,8 +1073,10 @@ class Decoder:
         cbp_l_map[my, mx] = cbp
         cbp_c_map[my, mx] = cbp_chroma
 
-        if cbp or cbp_chroma:
-            assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
+        if cbp:
+            qp = self._read_dqp_cabac(cd)
+        else:
+            qp = self._skip_dqp_cabac()
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
         def nz_flag(m, gy, gx):
@@ -1125,15 +1157,7 @@ class Decoder:
             cm = 3
         cm_map[my, mx] = cm
 
-        # mb_qp_delta (CQP streams: single 0 bin at ctx 60, last_dqp == 0)
-        ctxq = 60
-        val = 0
-        while cd.decision(ctxq):
-            val += 1
-            ctxq = 60 + 2 + ((ctxq - 60) >> 1)
-            assert val < 104
-        dqp = (val + 1) // 2 if val & 1 else -(val // 2)
-        qp = qp + dqp
+        qp = self._read_dqp_cabac(cd)      # I16 always codes dqp
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
         # CBF neighbor increments (x264_cabac_mb_cbf_ctxidxinc)

@@ -96,6 +96,19 @@ class Encoder:
         self._parts = bool(p.analyse.inter & ANALYSE_PSUB16x16)
         # adaptive 8x8 transform (High profile; CABAC P slices v1)
         self._t8 = bool(p.analyse.b_transform_8x8)
+        # variance AQ (per-MB QP + mb_qp_delta syntax)
+        from ..params import AQ_NONE
+        self._aq = p.rc.i_aq_mode != AQ_NONE
+        self._full_tabs = None
+        if self._aq:
+            from . import aq as eaq
+            import jax.numpy as jnp
+            self._full_tabs = eaq.full_tables(self.qt)
+            self._aq_strength = jnp.float32(p.rc.f_aq_strength)
+            self._aq_kw = dict(aq=True, aq_qp_min=int(p.rc.i_qp_min),
+                               aq_qp_max=int(p.rc.i_qp_max))
+        else:
+            self._aq_kw = {}
         # lossless transform bypass (qpprime_y_zero_transform_bypass;
         # encoder/macroblock.c:415-474)
         self._lossless = (p.rc.i_rc_method == _CQP
@@ -276,31 +289,47 @@ class Encoder:
         """Kick off the d2h of this frame's host32 + payload data on a
         worker thread so the transfer overlaps both device compute of
         the NEXT frame and the host entropy tail of the PREVIOUS one
-        (the x264 frame-thread pipeline overlap, doc/threads.txt)."""
+        (the x264 frame-thread pipeline overlap, doc/threads.txt).
+
+        All device-side slicing is enqueued HERE on the main thread,
+        right behind this frame's program — a slice launched later from
+        the worker would land behind the *next* frame's program in the
+        device queue and serialize the pipeline. The worker then only
+        performs transfers of already-scheduled arrays."""
         out = pend.get("out")
         if out is None or "host32" not in out:
             return
         res: dict = {}
         kind = pend["kind"]
         cap_words = pend.get("cap_words")
+        CH = self._FETCH_CHUNK
+        if kind == "cabac":
+            nch = (out["ops"].shape[0] + CH - 1) // CH
+            chunks = [out["ops"][k * CH:(k + 1) * CH] for k in range(nch)]
+        elif kind == "cavlc":
+            nch = (out["words"].shape[0] + CH - 1) // CH
+            chunks = [out["words"][k * CH:(k + 1) * CH]
+                      for k in range(nch)]
+        else:
+            chunks = []
+        h32_dev = out["host32"]
 
         def work():
             try:
-                h32 = np.asarray(out["host32"])
+                h32 = np.asarray(h32_dev)
                 res["h32"] = h32
                 n = int(h32[0])
                 if kind == "cabac":
-                    CH = self._FETCH_CHUNK
-                    parts = [np.asarray(out["ops"][k * CH:(k + 1) * CH])
-                             for k in range((n + CH - 1) // CH)]
+                    need = (n + CH - 1) // CH
+                    parts = [np.asarray(c) for c in chunks[:need]]
                     res["ops"] = (np.concatenate(parts)[:n] if parts
                                   else np.zeros(0, np.uint32))
                 elif kind == "cavlc":
-                    nwords = (n + 31) // 32
-                    nb = min(cap_words,
-                             (nwords + self._WORD_BUCKET - 1)
-                             // self._WORD_BUCKET * self._WORD_BUCKET)
-                    res["words"] = np.asarray(out["words"][:nb])
+                    nwords = min((n + 31) // 32, cap_words)
+                    need = (nwords + CH - 1) // CH
+                    parts = [np.asarray(c) for c in chunks[:need]]
+                    res["words"] = (np.concatenate(parts) if parts
+                                    else np.zeros(0, np.uint32))
             except Exception as e:      # surfaced at join time
                 res["error"] = e
 
@@ -398,7 +427,11 @@ class Encoder:
     def _qtab(self, qp_y: int, qp_c: int):
         key = (qp_y, qp_c)
         if key not in self._qtab_cache:
-            self._qtab_cache[key] = intra.make_qtab(qp_y, qp_c, self.qt)
+            qt = intra.make_qtab(qp_y, qp_c, self.qt)
+            if self._aq:
+                qt["full"] = self._full_tabs
+                qt["aq_strength"] = self._aq_strength
+            self._qtab_cache[key] = qt
         return self._qtab_cache[key]
 
     def _qtab_p(self, qp_y: int, qp_c: int):
@@ -406,6 +439,9 @@ class Encoder:
         if key not in self._qtab_p_cache:
             qt = inter.make_qtab_p(qp_y, qp_c, self.qt)
             p = self.params
+            if self._aq:
+                qt["full"] = self._full_tabs
+                qt["aq_strength"] = self._aq_strength
             if (p.analyse.i_trellis and p.b_cabac
                     and not self._lossless):
                 from ..ops import trellis as otrellis
@@ -668,7 +704,7 @@ class Encoder:
                 y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
-                p.analyse.i_chroma_qp_offset, t8=self._t8, **self._crop)
+                p.analyse.i_chroma_qp_offset, t8=self._t8, **self._crop, **self._aq_kw)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=True, nal_type=NAL_SLICE_IDR,
                         nal_ref_idc=3, nmb=mb_h * mb_w)
@@ -684,7 +720,8 @@ class Encoder:
                 hdr_vals, hdr_lens,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
-                p.analyse.i_chroma_qp_offset, **self._crop)
+                p.analyse.i_chroma_qp_offset, **self._crop,
+                **self._aq_kw)
             cap_words = pipeline.capacity_words(mb_h * mb_w)
             if self._delay == 0:
                 # synchronous: keep the pathological-overflow fallbacks
@@ -757,7 +794,7 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset,
-                mvp_seed, r2y, r2u, r2v, t8=self._t8, **self._crop)
+                mvp_seed, r2y, r2u, r2v, t8=self._t8, **self._crop, **self._aq_kw)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=False, nal_type=NAL_SLICE,
                         nal_ref_idc=2, nmb=mb_h * mb_w)
@@ -776,7 +813,8 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset,
-                mvp_seed, r2y, r2u, r2v, **self._crop)
+                mvp_seed, r2y, r2u, r2v, **self._crop,
+                **self._aq_kw)
             pend = dict(kind="cavlc", out=out,
                         cap_words=pipeline.capacity_words(mb_h * mb_w),
                         nal_type=NAL_SLICE, nal_ref_idc=2)

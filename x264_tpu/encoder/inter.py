@@ -39,7 +39,7 @@ from ..ops import quant as oquant
 from .. import tables
 from . import intra as eintra
 from .intra import (_tile16, _untile, _blocks4_raster, _unblocks4,
-                    _MODE_BITS_16, _BIG)
+                    _MODE_BITS_16, _BIG, _q16, _qc)
 
 I32 = jnp.int32
 
@@ -113,13 +113,14 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab,
         lv = lv_scan[:, inv].reshape(*lead, 16, 16)
     else:
         lv = oquant.quant(coef.reshape(*lead, 16, 16),
-                          qtab["py_mf"], qtab["py_bias"])
+                          _q16(qtab["py_mf"]), _q16(qtab["py_bias"]))
     nz_blk = jnp.any(lv != 0, axis=-1).reshape(*lead, 4, 4)  # raster grid
     # 8x8 group bit: quadrant q covers raster rows 2q_y.., cols 2q_x
     grp = nz_blk.reshape(*lead, 2, 2, 2, 2).any(axis=(-3, -1))  # (*,2,2)
     cbp_bits = (grp[..., 0, 0] * 1 + grp[..., 0, 1] * 2
                 + grp[..., 1, 0] * 4 + grp[..., 1, 1] * 8).astype(I32)
-    deq = oquant.dequant(lv, qtab["py_dmf"], qtab["py_qpdiv6"], 4)
+    deq = oquant.dequant(lv, _q16(qtab["py_dmf"]),
+                         _qc(qtab["py_qpdiv6"], 2), 4)
     res = odct.idct4x4(deq.reshape(*lead, 4, 4, 4, 4))
     recon = jnp.clip(fenc_tiles - diff + _unblocks4(res, 4), 0, 255)
 
@@ -141,11 +142,12 @@ def inter_luma_residual8(fenc_tiles, pred_tiles, qtab):
     blocks = diff.reshape(*lead, 2, 8, 2, 8).swapaxes(-3, -2)
     coef = odct.dct8x8(blocks)
     lv = oquant.quant(coef.reshape(*lead, 4, 64),
-                      qtab["p8_mf"], qtab["p8_bias"])
+                      _q16(qtab["p8_mf"]), _q16(qtab["p8_bias"]))
     nz_blk = jnp.any(lv != 0, axis=-1)                    # (*, 4)
     cbp_bits = (nz_blk[..., 0] * 1 + nz_blk[..., 1] * 2
                 + nz_blk[..., 2] * 4 + nz_blk[..., 3] * 8).astype(I32)
-    deq = oquant.dequant(lv, qtab["p8_dmf"], qtab["py_qpdiv6"], 6)
+    deq = oquant.dequant(lv, _q16(qtab["p8_dmf"]),
+                         _qc(qtab["py_qpdiv6"], 2), 6)
     res = odct.idct8x8(deq.reshape(*lead, 2, 2, 8, 8))
     res_full = res.swapaxes(-3, -2).reshape(*lead, 16, 16)
     recon = jnp.clip(pred_tiles + res_full, 0, 255)
@@ -159,7 +161,8 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                   subpel_steps=(2, 1), ref_prepadded: bool = False,
                   parts: bool = True, lossless: bool = False,
                   ref2_y=None, ref2_u=None, ref2_v=None,
-                  n_refs: int = 1, t8: bool = False):
+                  n_refs: int = 1, t8: bool = False,
+                  qp_map=None, qpc_map=None):
     """Encode one P frame (pre-deblock). All planes int32, MB-aligned;
     ref_* are the deblocked reference reconstruction. mvp_seed:
     (mb_h, mb_w, 2) qpel MV predictors for ME cost (previous frame's
@@ -181,6 +184,21 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     y_tiles = _tile16(y, mb_h, mb_w)
     u_tiles = u.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
     v_tiles = v.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
+
+    # per-MB QP (variance AQ): replace the scalar-QP tables with row
+    # gathers from the full 52-QP tables (intra CQMs for the intra-in-P
+    # sweeps, inter CQMs for the MC residual paths)
+    if qp_map is not None:
+        from . import aq as eaq
+        full = qtab["full"]
+        qtab_i = dict(qtab)
+        qtab_i.update(eaq.qtab_rows(full, qp_map.reshape(-1),
+                                    qpc_map.reshape(-1), intra_cqm=True))
+        qtab_p = dict(qtab)
+        qtab_p.update(eaq.qtab_rows(full, qp_map, qpc_map,
+                                    intra_cqm=False, inter_tabs=True))
+    else:
+        qtab_i = qtab_p = qtab
 
     # ---------------------------------------------------------- stage 1: ME
     ref_pad = (ref_y.astype(I32) if ref_prepadded
@@ -332,14 +350,14 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         pred_y, pred_u, pred_v = pred16, pred_u16, pred_v16
 
     recon_inter_y, inter_blocks_z, inter_cbp = inter_luma_residual(
-        y_tiles, pred_y, qtab, lossless)
+        y_tiles, pred_y, qtab_p, lossless)
     if t8 and not lossless:
         # adaptive transform size (x264_mb_analyse_transform,
         # encoder/analyse.c:2109): SA8D-vs-SATD of the prediction
         # residual picks 8x8, the 8x8 residual path replaces the 4x4
         # one for those MBs
         recon8, blocks8_z, cbp8 = inter_luma_residual8(
-            y_tiles, pred_y, qtab)
+            y_tiles, pred_y, qtab_p)
         t8_sel = opix.sa8d_16x16(y_tiles, pred_y) \
             < opix.satd(y_tiles, pred_y)
         m8 = t8_sel[..., None, None]
@@ -350,9 +368,9 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         t8_sel = jnp.zeros((mb_h, mb_w), bool)
         blocks8_z = jnp.zeros((mb_h, mb_w, 4, 64), I32)
     iru, idcu, iacu, inzau, inzdu = eintra.chroma_residual(
-        u_tiles, pred_u, qtab, "pc", lossless)
+        u_tiles, pred_u, qtab_p, "pc", lossless)
     irv, idcv, iacv, inzav, inzdv = eintra.chroma_residual(
-        v_tiles, pred_v, qtab, "pc", lossless)
+        v_tiles, pred_v, qtab_p, "pc", lossless)
 
     # ------------------- stage 3: intra-in-P by bounded-depth sweeps
     # The reference decides intra-vs-inter per MB inside the sequential
@@ -392,7 +410,7 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         left = lf(ty)[:, :, :, 15].reshape(nK, 16)
         topleft = lf(up(ty))[:, :, 15, 15].reshape(nK)
         lp = eintra.luma_i16_path(fenc_flat, top, left, topleft,
-                                  ht_g, hl_g, qtab, lam, lossless,
+                                  ht_g, hl_g, qtab_i, lam, lossless,
                                   mode_sel=mode_sel)
         pu = opred.predict_8x8c(up(tu)[:, :, 7, :].reshape(nK, 8),
                                 lf(tu)[:, :, :, 7].reshape(nK, 8),
@@ -411,9 +429,9 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
             cmode = cmode_sel
         cpu = jnp.take_along_axis(pu, cmode[:, None, None, None], 1)[:, 0]
         cpv = jnp.take_along_axis(pv, cmode[:, None, None, None], 1)[:, 0]
-        ru, dcu, acu, _, _ = eintra.chroma_residual(fu_flat, cpu, qtab,
+        ru, dcu, acu, _, _ = eintra.chroma_residual(fu_flat, cpu, qtab_i,
                                                     "c", lossless)
-        rv, dcv, acv, _, _ = eintra.chroma_residual(fv_flat, cpv, qtab,
+        rv, dcv, acv, _, _ = eintra.chroma_residual(fv_flat, cpv, qtab_i,
                                                     "c", lossless)
         return lp, cmode, ru, rv, dcu, dcv, acu, acv
 

@@ -114,19 +114,22 @@ def luma_i16_path(fenc, top, left, topleft, has_top, has_left, qtab, lam,
     ac = coef.at[..., 0, 0].set(0)
 
     ac_lv = oquant.quant(
-        ac.reshape(K, 16, 16), qtab["y_mf"], qtab["y_bias"]
+        ac.reshape(K, 16, 16), _q16(qtab["y_mf"]), _q16(qtab["y_bias"])
     ).reshape(K, 4, 4, 4, 4)
     blk_nz = jnp.any(ac_lv != 0, axis=(-2, -1))  # (K,4,4)
     cbp_luma = jnp.any(blk_nz, axis=(-2, -1))    # (K,)
 
     ac_deq = oquant.dequant(
-        ac_lv.reshape(K, 16, 16), qtab["y_dmf"], qtab["y_qpdiv6"], 4
+        ac_lv.reshape(K, 16, 16), _q16(qtab["y_dmf"]),
+        _qc(qtab["y_qpdiv6"], 2), 4
     ).reshape(K, 4, 4, 4, 4)
 
     dc_had = odct.hadamard4x4_fwd(dc_raster)
-    dc_lv = oquant.quant_dc(dc_had, qtab["y_mf_dc"], qtab["y_bias_dc"])
+    dc_lv = oquant.quant_dc(dc_had, _qc(qtab["y_mf_dc"], 2),
+                            _qc(qtab["y_bias_dc"], 2))
     dc_rec = oquant.dequant_4x4_dc(
-        odct.hadamard4x4_inv(dc_lv), qtab["y_dmf0"], qtab["y_qpdiv6"])
+        odct.hadamard4x4_inv(dc_lv), _qc(qtab["y_dmf0"], 2),
+        _qc(qtab["y_qpdiv6"], 2))
 
     full = odct.idct4x4(ac_deq.at[..., 0, 0].set(dc_rec))
     dconly = jnp.broadcast_to(
@@ -167,19 +170,21 @@ def chroma_residual(fencc, cpred, qtab, pfx="c", lossless: bool = False):
     cdc = ccoef[..., 0, 0]                    # (*,2,2)
     cac = ccoef.at[..., 0, 0].set(0)
     cac_lv = oquant.quant(
-        cac.reshape(*lead, 4, 16), qtab[f"{pfx}_mf"], qtab[f"{pfx}_bias"]
+        cac.reshape(*lead, 4, 16), _q16(qtab[f"{pfx}_mf"]),
+        _q16(qtab[f"{pfx}_bias"])
     ).reshape(*lead, 2, 2, 4, 4)
     cnz_ac = jnp.any(cac_lv != 0, axis=(-4, -3, -2, -1))   # (*,)
     cac_deq = oquant.dequant(
-        cac_lv.reshape(*lead, 4, 16), qtab[f"{pfx}_dmf"],
-        qtab[f"{pfx}_qpdiv6"], 4
+        cac_lv.reshape(*lead, 4, 16), _q16(qtab[f"{pfx}_dmf"]),
+        _qc(qtab[f"{pfx}_qpdiv6"], 2), 4
     ).reshape(*lead, 2, 2, 4, 4)
     cdc_had = odct.hadamard2x2(cdc)
-    cdc_lv = oquant.quant_dc(cdc_had, qtab[f"{pfx}_mf_dc"],
-                             qtab[f"{pfx}_bias_dc"])
+    cdc_lv = oquant.quant_dc(cdc_had, _qc(qtab[f"{pfx}_mf_dc"], 2),
+                             _qc(qtab[f"{pfx}_bias_dc"], 2))
     cnz_dc = jnp.any(cdc_lv != 0, axis=(-2, -1))
     cdc_rec = oquant.dequant_2x2_dc(
-        odct.hadamard2x2(cdc_lv), qtab[f"{pfx}_dmf0"], qtab[f"{pfx}_qpdiv6"])
+        odct.hadamard2x2(cdc_lv), _qc(qtab[f"{pfx}_dmf0"], 2),
+        _qc(qtab[f"{pfx}_qpdiv6"], 2))
     cfull = odct.idct4x4(cac_deq.at[..., 0, 0].set(cdc_rec))
     cdconly = jnp.broadcast_to(
         ((cdc_rec + 32) >> 6)[..., None, None], cfull.shape)
@@ -215,6 +220,7 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
     y_tiles = _tile16(y.astype(I32), mb_h, mb_w)
     u_tiles = u.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
     v_tiles = v.astype(I32).reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
+    qtab_frame = qtab
 
     state = dict(
         ty=jnp.zeros((mb_h, mb_w, 16, 16), I32),
@@ -237,6 +243,13 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
         valid = (ys < mb_h) & (xs >= 0) & (xs < mb_w)
         yc = jnp.clip(ys, 0, mb_h - 1)
         xc = jnp.clip(xs, 0, mb_w - 1)
+
+        # per-MB (AQ) quant tables: gather this diagonal's rows; scalar
+        # QP tables ((16,), (), ...) pass through untouched
+        qtab = {k: (v[yc, xc] if (hasattr(v, "ndim") and v.ndim >= 2
+                                  and v.shape[:2] == (mb_h, mb_w))
+                    else v)
+                for k, v in qtab_frame.items() if k != "full"}
         ym = jnp.clip(ys - 1, 0, mb_h - 1)
         xm = jnp.clip(xs - 1, 0, mb_w - 1)
         has_top = valid & (ys > 0)
@@ -338,6 +351,25 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
         i4_modes=state["i4_modes"],
         cbp_luma_bits=state["cbp_luma_bits"],
     )
+
+
+def _q16(t):
+    """Quant-table normalizer: scalar-QP tables (N,) pass through; AQ
+    per-MB tables (*lead, N) gain one singleton block axis so they
+    broadcast over (*lead, n_blocks, N) coefficient arrays."""
+    t = jnp.asarray(t)
+    if t.ndim <= 1:
+        return t
+    return t.reshape(*t.shape[:-1], 1, t.shape[-1])
+
+
+def _qc(t, axes: int):
+    """Per-MB scalar normalizer: () passes through; (*lead,) gains
+    `axes` trailing singleton dims."""
+    t = jnp.asarray(t)
+    if t.ndim == 0:
+        return t
+    return t.reshape(*t.shape, *([1] * axes))
 
 
 def make_qtab(qp_y: int, qp_c: int, qt: tables.QuantTables | None = None):
@@ -453,7 +485,8 @@ def luma_i4_path(fenc, top_row, topleft_px, left_col,
             lv = oquant.quant(coef.reshape(K, 16), qtab["y_mf"],
                               qtab["y_bias"])
             nnz = jnp.count_nonzero(lv, axis=-1).astype(I32)
-            deq = oquant.dequant(lv, qtab["y_dmf"], qtab["y_qpdiv6"], 4)
+            deq = oquant.dequant(lv, qtab["y_dmf"],
+                                 _qc(qtab["y_qpdiv6"], 1), 4)
             rec = jnp.clip(pred + odct.idct4x4(deq.reshape(K, 4, 4)),
                            0, 255)
 

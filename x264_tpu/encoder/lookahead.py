@@ -212,6 +212,22 @@ def frame_costs_fused(lows, prev_planes, bh: int, bw: int, r: int):
     return jnp.stack([isum, psum])
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 5, 6, 7))
+def analyse_fused(yflat, h: int, w: int, prev_planes, have_prev,
+                  bh: int, bw: int, r: int):
+    """Whole lookahead step as ONE dispatch: flat-plane reshape, the 4
+    phase lowres planes, and (when a previous frame exists) the fused
+    intra/inter cost sums. Returns (lows, sums[2])."""
+    lows = lowres_planes(yflat.reshape(h, w))
+    if have_prev is None:
+        icost = intra_cost_plane(lows[0], bh, bw)
+        inner = (slice(1, -1), slice(1, -1)) if min(icost.shape) > 2 \
+            else (slice(None), slice(None))
+        s = icost[inner].sum()
+        return lows, jnp.stack([s, s])
+    return lows, frame_costs_fused(lows, prev_planes, bh, bw, r)
+
+
 def frame_cost_sums(icost, pcost=None):
     """Interior-block sums (slicetype.c:243-247 excludes the border ring
     from i_cost_est). Returns (icost_sum, pcost_sum)."""

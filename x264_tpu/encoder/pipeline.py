@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..entropy import device as edev
 from ..ops import deblock as odeblock
+from . import aq as eaq
 from . import intra
 from . import inter
 
@@ -57,6 +58,36 @@ def host32_pack(first, oy, ou, ov, ry, ru, rv, crop_w, crop_h,
     return jnp.stack([*first, *bits])
 
 
+def _encode_i16_aq(mb_h, mb_w, y, u, v, qtab, lam, qp, i4x4,
+                   lossless, aq, aq_qp_min, aq_qp_max,
+                   chroma_qp_offset):
+    """Run the intra wavefront with optional per-MB AQ tables; returns
+    (out dict incl. dqp syntax maps, per-MB effective QP map)."""
+    qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
+    if not aq:
+        out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam,
+                                     i4x4, lossless)
+        return out, qp_mb
+    qp_map, qpc_map = _aq_maps(y, u, v, mb_h, mb_w, qp, qtab,
+                               aq_qp_min, aq_qp_max, chroma_qp_offset)
+    rows = eaq.qtab_rows(qtab["full"], qp_map, qpc_map, intra_cqm=True)
+    out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, {**qtab, **rows},
+                                 lam, i4x4, lossless)
+    cnz = (jnp.any(out["chroma_ac"][..., 1:] != 0, axis=(-3, -2, -1))
+           | jnp.any(out["chroma_dc"] != 0, axis=(-2, -1)))
+    i4_mb = out.get("i4_mb")
+    if i4_mb is None:
+        i4_mb = jnp.zeros((mb_h, mb_w), bool)
+        cbp_l = jnp.any(out["luma_ac"][..., 1:] != 0,
+                        axis=(-2, -1)).astype(I32) * 15
+    else:
+        cbp_l = out["cbp_luma_bits"]
+    has_dqp = (~i4_mb) | (cbp_l > 0) | cnz
+    dqp, qp_eff, pnz = eaq.dqp_syntax(qp_map, has_dqp, qp)
+    out["dqp"], out["dqp_prev_nz"] = dqp, pnz
+    return out, qp_eff
+
+
 def _plane(a, h: int, w: int):
     """Accept a flat uint8 plane (the cheap h2d layout) or a 2-D array."""
     a = jnp.asarray(a)
@@ -65,19 +96,30 @@ def _plane(a, h: int, w: int):
     return a.astype(I32)
 
 
+def _aq_maps(y, u, v, mb_h, mb_w, qp, qtab, qp_min, qp_max,
+             chroma_qp_offset):
+    yt = y.reshape(mb_h, 16, mb_w, 16).swapaxes(1, 2)
+    ut = u.reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
+    vt = v.reshape(mb_h, 8, mb_w, 8).swapaxes(1, 2)
+    return eaq.qp_map_from_planes(yt, ut, vt, qp, qtab["aq_strength"],
+                                  qp_min, qp_max, chroma_qp_offset)
+
+
 def capacity_words(nmb: int) -> int:
     return (nmb * CAP_BITS_PER_MB + edev.HDR_SLOTS * 32 + 4096) // 32
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
-                   static_argnames=("crop_w", "crop_h", "with_metrics"))
+                   static_argnames=("crop_w", "crop_h", "with_metrics",
+                                    "aq", "aq_qp_min", "aq_qp_max"))
 def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
                    lossless: bool,
                    y, u, v, qtab, lam, qp, qp_c,
                    hdr_vals, hdr_lens,
                    alpha_off, beta_off, chroma_qp_offset,
                    crop_w: int = 0, crop_h: int = 0,
-                   with_metrics: bool = False):
+                   with_metrics: bool = False, aq: bool = False,
+                   aq_qp_min: int = 10, aq_qp_max: int = 51):
     """All-I16x16 IDR frame: encode + entropy + pack + deblock, fused.
 
     y/u/v may be uint8 (the cheap host->device format on this platform;
@@ -89,8 +131,9 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
     y = _plane(y, mb_h * 16, mb_w * 16)
     u = _plane(u, mb_h * 8, mb_w * 8)
     v = _plane(v, mb_h * 8, mb_w * 8)
-    out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam, i4x4,
-                                 lossless)
+    out, qp_mb = _encode_i16_aq(mb_h, mb_w, y, u, v, qtab, lam, qp,
+                                i4x4, lossless, aq, aq_qp_min,
+                                aq_qp_max, chroma_qp_offset)
 
     vals, lens = edev.i16_code_planes(out, mb_h, mb_w)
     stop_v = jnp.ones((1,), I32)         # rbsp_trailing stop bit
@@ -102,7 +145,6 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
 
     ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
     if deblock_on:
-        qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
         intra_mb = jnp.ones((mb_h, mb_w), bool)
         z4 = jnp.zeros((mb_h * 4, mb_w * 4), I32)
         zmv = jnp.zeros((mb_h * 4, mb_w * 4, 2), I32)
@@ -120,14 +162,16 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
-                   static_argnames=("crop_w", "crop_h", "with_metrics"))
+                   static_argnames=("crop_w", "crop_h", "with_metrics",
+                                    "aq", "aq_qp_min", "aq_qp_max"))
 def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
              subpel_steps, parts, lossless, n_refs,
              y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
              hdr_vals, hdr_lens, alpha_off, beta_off, chroma_qp_offset,
              mvp_seed, ref2_y=None, ref2_u=None, ref2_v=None,
              crop_w: int = 0, crop_h: int = 0,
-             with_metrics: bool = False):
+             with_metrics: bool = False, aq: bool = False,
+             aq_qp_min: int = 10, aq_qp_max: int = 51):
     """P frame: ME + inter/intra decision + entropy + pack + deblock,
     fused. ref_* is the deblocked reconstruction of the reference frame
     (int32, MB-aligned); with n_refs=2, ref2_* is L0[1] (the older
@@ -140,12 +184,27 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     v = _plane(v, mb_h * 8, mb_w * 8)
     ref_y, ref_u, ref_v = (p.astype(jnp.int32)
                            for p in (ref_y, ref_u, ref_v))
+    if aq:
+        qp_map, qpc_map = _aq_maps(y, u, v, mb_h, mb_w, qp, qtab,
+                                   aq_qp_min, aq_qp_max,
+                                   chroma_qp_offset)
+    else:
+        qp_map = qpc_map = None
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
                               ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
                               subpel_steps, parts=parts,
                               lossless=lossless,
                               ref2_y=ref2_y, ref2_u=ref2_u,
-                              ref2_v=ref2_v, n_refs=n_refs)
+                              ref2_v=ref2_v, n_refs=n_refs,
+                              qp_map=qp_map, qpc_map=qpc_map)
+    qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
+    if aq:
+        has_dqp = (~out["skip"]) & (out["intra_mb"]
+                                    | (out["cbp_luma_bits"] > 0)
+                                    | (out["cbp_chroma"] > 0))
+        dqp, qp_eff, pnz = eaq.dqp_syntax(qp_map, has_dqp, qp)
+        out["dqp"], out["dqp_prev_nz"] = dqp, pnz
+        qp_mb = qp_eff
 
     vals, lens = edev.p_code_planes(out, mb_h, mb_w, n_refs)
     stop = jnp.ones((1,), I32)
@@ -156,7 +215,6 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
 
     ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
     if deblock_on:
-        qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
         zmv = jnp.zeros((mb_h * 4, mb_w * 4, 2), I32)
         z4 = jnp.zeros((mb_h * 4, mb_w * 4), I32)
         ry, ru, rv = odeblock.deblock_frame(
@@ -187,13 +245,16 @@ def cabac_capacity(nmb: int, intra_or_lossless: bool = True) -> int:
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
                    static_argnames=("crop_w", "crop_h", "with_metrics",
-                                    "t8"))
+                                    "t8", "aq", "aq_qp_min",
+                                    "aq_qp_max"))
 def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
                          i4x4: bool, lossless: bool,
                          y, u, v, qtab, lam, qp, qp_c,
                          alpha_off, beta_off, chroma_qp_offset,
                          crop_w: int = 0, crop_h: int = 0,
-                         with_metrics: bool = False, t8: bool = False):
+                         with_metrics: bool = False, t8: bool = False,
+                         aq: bool = False, aq_qp_min: int = 10,
+                         aq_qp_max: int = 51):
     """All-I16x16 IDR frame, CABAC entropy: the wavefront encode runs as
     in encode_i16_idr, but emits a compacted packed bin-op stream for
     the host-native arithmetic coder instead of packed CAVLC words."""
@@ -202,8 +263,9 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
     y = _plane(y, mb_h * 16, mb_w * 16)
     u = _plane(u, mb_h * 8, mb_w * 8)
     v = _plane(v, mb_h * 8, mb_w * 8)
-    out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam, i4x4,
-                                 lossless)
+    out, qp_mb = _encode_i16_aq(mb_h, mb_w, y, u, v, qtab, lam, qp,
+                                i4x4, lossless, aq, aq_qp_min,
+                                aq_qp_max, chroma_qp_offset)
 
     ops = cabac_planes.i16_slice_ops(out, mb_h, mb_w, t8_mode=t8)
     cops, n_ops = cabac_planes.compact_ops(
@@ -211,7 +273,6 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
 
     ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
     if deblock_on:
-        qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
         intra_mb = jnp.ones((mb_h, mb_w), bool)
         z4 = jnp.zeros((mb_h * 4, mb_w * 4), I32)
         zmv = jnp.zeros((mb_h * 4, mb_w * 4, 2), I32)
@@ -230,14 +291,16 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
                    static_argnames=("crop_w", "crop_h", "with_metrics",
-                                    "t8"))
+                                    "t8", "aq", "aq_qp_min", "aq_qp_max"))
 def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    subpel_steps, parts, lossless, n_refs,
                    y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
                    alpha_off, beta_off, chroma_qp_offset, mvp_seed,
                    ref2_y=None, ref2_u=None, ref2_v=None,
                    crop_w: int = 0, crop_h: int = 0,
-                   with_metrics: bool = False, t8: bool = False):
+                   with_metrics: bool = False, t8: bool = False,
+                   aq: bool = False, aq_qp_min: int = 10,
+                   aq_qp_max: int = 51):
     """P frame with CABAC entropy: same encode as encode_p, emitting the
     packed bin-op stream for the host arithmetic coder. n_refs=2 takes
     ref2_* as L0[1]."""
@@ -248,12 +311,27 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     v = _plane(v, mb_h * 8, mb_w * 8)
     ref_y, ref_u, ref_v = (p.astype(jnp.int32)
                            for p in (ref_y, ref_u, ref_v))
+    if aq:
+        qp_map, qpc_map = _aq_maps(y, u, v, mb_h, mb_w, qp, qtab,
+                                   aq_qp_min, aq_qp_max,
+                                   chroma_qp_offset)
+    else:
+        qp_map = qpc_map = None
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
                               ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
                               subpel_steps, parts=parts,
                               lossless=lossless,
                               ref2_y=ref2_y, ref2_u=ref2_u,
-                              ref2_v=ref2_v, n_refs=n_refs, t8=t8)
+                              ref2_v=ref2_v, n_refs=n_refs, t8=t8,
+                              qp_map=qp_map, qpc_map=qpc_map)
+    qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
+    if aq:
+        has_dqp = (~out["skip"]) & (out["intra_mb"]
+                                    | (out["cbp_luma_bits"] > 0)
+                                    | (out["cbp_chroma"] > 0))
+        dqp, qp_eff, pnz = eaq.dqp_syntax(qp_map, has_dqp, qp)
+        out["dqp"], out["dqp_prev_nz"] = dqp, pnz
+        qp_mb = qp_eff
 
     ops = cabac_planes.p_slice_ops(out, mb_h, mb_w, n_refs, t8_mode=t8)
     cops, n_ops = cabac_planes.compact_ops(
@@ -261,7 +339,6 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
 
     ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
     if deblock_on:
-        qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
         zmv = jnp.zeros((mb_h * 4, mb_w * 4, 2), I32)
         z4 = jnp.zeros((mb_h * 4, mb_w * 4), I32)
         ry, ru, rv = odeblock.deblock_frame(

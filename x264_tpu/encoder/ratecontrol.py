@@ -180,15 +180,17 @@ class RateControl:
         Returns {'scenecut': bool, 'icost': float, 'pcost': float}."""
         import jax.numpy as jnp
         ynp = np.ascontiguousarray(y, dtype=np.uint8)
-        lows = lookahead.lowres_planes_flat(
-            jnp.asarray(ynp.ravel()), *ynp.shape)
-        low = lows[0]
-        h, w = low.shape
-        bh, bw = (h + 7) // 8, (w + 7) // 8
+        h2, w2 = ynp.shape[0] // 2 * 2 // 2, ynp.shape[1] // 2 * 2 // 2
+        bh, bw = (h2 + 7) // 8, (w2 + 7) // 8
         out = {"scenecut": False}
-        if self._prev_low is not None and self._prev_low.shape == lows.shape:
-            sums = np.asarray(lookahead.frame_costs_fused(
-                lows, self._prev_low, bh, bw, self._lowres_range))
+        have_prev = (self._prev_low is not None
+                     and self._prev_low.shape[1:] == (h2, w2))
+        lows, sums_d = lookahead.analyse_fused(
+            jnp.asarray(ynp.ravel()), ynp.shape[0], ynp.shape[1],
+            self._prev_low if have_prev else None,
+            True if have_prev else None, bh, bw, self._lowres_range)
+        if have_prev:
+            sums = np.asarray(sums_d)
             isum, psum = int(sums[0]), int(sums[1])
             out["icost"], out["pcost"] = float(isum), float(psum)
             # bias ramp (scenecut, slicetype.c:445-462)
@@ -208,9 +210,8 @@ class RateControl:
             if isum > 0 and psum >= (1.0 - bias) * isum:
                 out["scenecut"] = True
         else:
-            icost_p = lookahead.intra_cost_plane(low, bh, bw)
-            isum, psum = lookahead.frame_cost_sums(icost_p)
-            out["icost"] = out["pcost"] = float(isum)
+            sums = np.asarray(sums_d)
+            out["icost"] = out["pcost"] = float(int(sums[0]))
         self._prev_low = lows
         self.frame_cplx = max(out["pcost"], 1.0)
         return out

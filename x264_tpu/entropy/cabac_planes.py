@@ -145,6 +145,31 @@ def residual_block_ops8(coeffs, coded):
     return jnp.stack(slots, axis=1)
 
 
+def _dqp_slots(out, has_dqp, nmb):
+    """mb_qp_delta bins (x264_cabac_mb_qp_delta, encoder/cabac.c:271):
+    mapped-unary val (dqp>0 -> 2dqp-1 else -2dqp, folded mod 52) at
+    ctxs [60+c0, 62, 63, 63...], c0 = previous MB coded a nonzero dqp.
+    Returns a list of 1 or 4 slot arrays."""
+    dqp = out.get("dqp")
+    if dqp is None:
+        return [_sel(has_dqp, op(KIND_DECISION, jnp.full(nmb, 60, I32),
+                                 0))]
+    dqp_f = dqp.reshape(nmb).astype(I32)
+    c0 = out["dqp_prev_nz"].reshape(nmb).astype(I32)
+    val = jnp.where(dqp_f > 0, 2 * dqp_f - 1, -2 * dqp_f)
+    val = jnp.where((val >= 51) & (val != 52), 103 - val, val)
+    return [
+        _sel(has_dqp, op(KIND_DECISION, 60 + c0, val > 0)),
+        _sel(has_dqp & (val >= 1),
+             op(KIND_DECISION, jnp.full(nmb, 62, I32), val > 1)),
+        _sel(has_dqp & (val >= 3),
+             op(KIND_ONES, jnp.full(nmb, 63, I32),
+                jnp.clip(val - 2, 0, 4095))),
+        _sel(has_dqp & (val >= 2),
+             op(KIND_DECISION, jnp.full(nmb, 63, I32), 0)),
+    ]
+
+
 def _nbr_grids(flag_map, unavail):
     """(left, top) neighbor values on a grid; outside-frame = unavail."""
     a = jnp.full_like(flag_map, unavail)
@@ -274,10 +299,9 @@ def i16_slice_ops(out, mb_h: int, mb_w: int, t8_mode: bool = False):
                            cbp_chroma > 0)))
     h2.append(_sel(i4f & (cbp_chroma > 0),
                    op(KIND_DECISION, c1.reshape(nmb), cbp_chroma == 2)))
-    # dqp = 0 under CQP; ctx 60 since last_dqp == 0
-    # (x264_cabac_mb_qp_delta, encoder/cabac.c:271)
+    # mb_qp_delta (x264_cabac_mb_qp_delta, encoder/cabac.c:271)
     has_dqp = (~i4f) | (cbp_lf > 0) | (cbp_chroma > 0)
-    h2.append(_sel(has_dqp, op(KIND_DECISION, jnp.full(nmb, 60, I32), 0)))
+    h2.extend(_dqp_slots(out, has_dqp, nmb))
     header2 = jnp.stack(h2, axis=1)
 
     # ---- CBF neighbor contexts (cbf_ctxidxinc, encoder/cabac.c:508)
@@ -560,9 +584,9 @@ def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1,
     else:
         t8_f = jnp.zeros(nmb, bool)
 
-    # ---- mb_qp_delta (0 under CQP, ctx 60)
+    # ---- mb_qp_delta
     has_dqp = coded & (intra_f | (cbp_lf > 0) | (cbp_cf > 0))
-    slots.append(_sel(has_dqp, op(KIND_DECISION, jnp.full(nmb, 60, I32), 0)))
+    slots.extend(_dqp_slots(out, has_dqp, nmb))
 
     header = jnp.stack(slots, axis=1)
 

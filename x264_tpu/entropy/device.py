@@ -338,7 +338,10 @@ def i16_code_planes(out, mb_h: int, mb_w: int):
     h_l = h_l.at[:, 1].set(l1).at[:, 2].set(jnp.where(i4f, l2, 0))
     # dqp: always for I16; only with cbp for I4x4
     has_dqp = (~i4f) | (cbp_lf > 0) | (cbp_cf > 0)
-    qv, ql = se_codes(jnp.zeros(nmb, dtype=I32))
+    dqp = out.get("dqp")
+    dqp = (jnp.zeros(nmb, dtype=I32) if dqp is None
+           else dqp.reshape(nmb).astype(I32))
+    qv, ql = se_codes(dqp)
     dqp_v = qv[:, None]
     dqp_l = jnp.where(has_dqp, ql, 0)[:, None]
 
@@ -505,7 +508,10 @@ def p_code_planes(out, mb_h: int, mb_w: int, n_refs: int = 1):
     h_l = h_l.at[:, 9].set(jnp.where(intra, 0, bl))
 
     has_dqp = intra | (cbp_l > 0) | (cbp_c > 0)
-    qv, ql = se_codes(jnp.zeros(nmb, dtype=I32))
+    dqp = out.get("dqp")
+    dqp = (jnp.zeros(nmb, dtype=I32) if dqp is None
+           else dqp.reshape(nmb).astype(I32))
+    qv, ql = se_codes(dqp)
     h_v = h_v.at[:, 10].set(qv)
     h_l = h_l.at[:, 10].set(jnp.where(has_dqp, ql, 0))
 

@@ -86,17 +86,20 @@ def sa8d_16x16(a, b):
     return (s + 2) >> 2
 
 
-_H8_CACHE = None
+def _build_h8():
+    h = np.array([[1]])
+    for _ in range(3):
+        h = np.block([[h, h], [h, -h]])
+    return h.astype(np.int32)
+
+
+# cache the NumPy constant, not a jnp array: a jnp constant materialized
+# during a trace is a tracer and must never escape into module state
+_H8_NP = _build_h8()
 
 
 def _h8():
-    global _H8_CACHE
-    if _H8_CACHE is None:
-        h = np.array([[1]])
-        for _ in range(3):
-            h = np.block([[h, h], [h, -h]])
-        _H8_CACHE = jnp.asarray(h.astype(np.int32))
-    return _H8_CACHE
+    return jnp.asarray(_H8_NP)
 
 
 def var(pix, shift):

@@ -153,15 +153,17 @@ class EncoderParams:
             raise ValueError("ABR rate control requires a bitrate")
         if rc.i_vbv_max_bitrate > 0 and rc.i_vbv_buffer_size <= 0:
             rc.i_vbv_buffer_size = rc.i_vbv_max_bitrate
-        if rc.i_aq_mode != AQ_NONE:
-            # per-MB adaptive quant needs mb_qp_delta syntax in the
-            # device entropy writers — not implemented yet; log-off
-            # rather than silently ignore (validate-and-log contract)
-            if self.i_log_level >= 2:
-                import sys
-                print("x264_tpu [info]: adaptive quantization not yet "
-                      "implemented, disabling", file=sys.stderr)
+        rc.i_aq_mode = _clip(rc.i_aq_mode, 0, 1)
+        if rc.i_aq_mode != AQ_NONE and self.i_mb_row_shards > 1:
+            # bands would each need their own dqp forward-fill origin;
+            # not wired into the sharded path yet
+            self._log("AQ not yet in the sharded path, disabling")
             rc.i_aq_mode = AQ_NONE
+        if rc.i_aq_mode != AQ_NONE and self.analyse.i_trellis:
+            # trellis bit-cost tables are built per frame QP
+            self._log("AQ with trellis not yet supported; "
+                      "disabling trellis")
+            self.analyse.i_trellis = 0
         if rc.i_rc_method == RC_CQP:
             rc.i_aq_mode = AQ_NONE
             if rc.i_qp_constant == 0:
