@@ -137,3 +137,61 @@ def test_flush_promotes_trailing_b():
     stream, outs = encode_all(frames, cabac=False)
     types = [o.frame_type for o in outs]
     assert types == ["IDR", "P", "B", "P"], types
+
+
+@pytest.mark.parametrize("bframes", [2, 3])
+def test_b_runs_decode_bit_exact(bframes):
+    """Ib..bP runs (encoder/encoder.c:1444-1457 reorder): encode order
+    P-first then its B run in display order; decode must match the
+    reconstruction bit-exactly and display indices must cover 0..n-1."""
+    n = 9
+    frames = motion_clip(n)
+    stream, outs = encode_all(frames, cabac=True, bframes=bframes)
+    types = [o.frame_type for o in outs]
+    assert types[0] == "IDR"
+    assert types.count("B") >= bframes, types
+    # display-order coverage
+    disp = sorted(o.display_idx for o in outs)
+    assert disp == list(range(n)), disp
+
+    dec = Decoder()
+    for nal in split_annexb(stream):
+        dec.decode_nal(nal)
+    assert len(dec.frames) == len(outs)
+    # decoder emits in decode order == outs order
+    for i, (d, o) in enumerate(zip(dec.frames, outs)):
+        np.testing.assert_array_equal(
+            np.asarray(d.y, np.int64), np.asarray(o.recon.y, np.int64),
+            err_msg=f"frame {i} ({o.frame_type})")
+
+
+def test_b_run_closed_gop_at_idr():
+    """A forced IDR mid-run promotes the newest queued candidate to P
+    and drains the earlier ones as its B run (closing-GOP demotion,
+    slicetype.c:597-635)."""
+    frames = motion_clip(8)
+    p = EncoderParams(i_width=W, i_height=H, b_cabac=True,
+                      i_log_level=0, i_keyint_max=16, i_bframe=3,
+                      i_scenecut_threshold=0)
+    p.rc.i_rc_method = 0
+    p.rc.i_qp_constant = 28
+    enc = Encoder(p)
+    stream = enc.headers()
+    outs = []
+    for i, f in enumerate(frames):
+        ef = enc.encode(f, forced_type="IDR" if i == 5 else None)
+        if ef is not None:
+            outs.append(ef)
+    outs += enc.flush()
+    for ef in outs:
+        stream += ef.payload
+    types = [o.frame_type for o in outs]
+    assert types.count("IDR") == 2, types
+    dec = Decoder()
+    for nal in split_annexb(stream):
+        dec.decode_nal(nal)
+    assert len(dec.frames) == len(outs)
+    for i, (d, o) in enumerate(zip(dec.frames, outs)):
+        np.testing.assert_array_equal(
+            np.asarray(d.y, np.int64), np.asarray(o.recon.y, np.int64),
+            err_msg=f"frame {i} ({o.frame_type})")

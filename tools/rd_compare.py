@@ -53,6 +53,47 @@ def make_clip(path, w=352, h=288, n=24, seed=3):
             f.write(v.tobytes())
 
 
+def make_clip720(path, w=1280, h=720, n=16, seed=11):
+    """Richer 720p synthetic scene (no real footage ships in this
+    environment): multi-scale textured background with film grain, a
+    global pan, and two locally-moving high-detail objects — exercises
+    ME, partitions, AQ (flat sky vs detail) and the 8x8 transform."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    # background: sky gradient + hills (low freq) + grass band (high freq)
+    big = rng.normal(0, 1, (h // 16 + 8, w // 16 + 8))
+    big = np.repeat(np.repeat(big, 16, 0), 16, 1)
+    mid = rng.normal(0, 1, (h // 4 + 32, w // 4 + 32))
+    mid = np.repeat(np.repeat(mid, 4, 0), 4, 1)
+    fine = rng.normal(0, 1, (h + 64, w + 128))
+    obj = (rng.integers(0, 255, (64, 64)) // 2 + 64).astype(np.float64)
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode())
+        for t in range(n):
+            px = 3 * t                       # global pan
+            sky = 170 - yy * 60.0 / h
+            hills = 12 * big[8:8 + h, (px // 8):(px // 8) + w]
+            band = (yy > h * 0.62)
+            grass = band * (10 * mid[16:16 + h, (px // 2):(px // 2) + w]
+                            + 14 * fine[32:32 + h, px:px + w])
+            y = sky + hills + grass + rng.normal(0, 1.2, (h, w))
+            for k, (ox, oy) in enumerate(((200 + 7 * t, 150 + 2 * t),
+                                          (800 - 5 * t, 300 + 3 * t))):
+                y[oy:oy + 64, ox:ox + 64] = obj + 6 * np.sin(t + k)
+            y = np.clip(y, 0, 255).astype(np.uint8)
+            u = np.clip(128 - 25 * (1 - yy[::2, ::2] / h)
+                        + 6 * mid[:h // 2, px // 2:px // 2 + w // 2],
+                        0, 255).astype(np.uint8)
+            v = np.clip(118 + 18 * (yy[::2, ::2] / h)
+                        + 6 * mid[8:8 + h // 2,
+                                  px // 2:px // 2 + w // 2],
+                        0, 255).astype(np.uint8)
+            f.write(b"FRAME\n")
+            f.write(y.tobytes())
+            f.write(u.tobytes())
+            f.write(v.tobytes())
+
+
 def run_ref(binary, clip, qp, extra):
     out = subprocess.run(
         [binary, "-q", str(qp), "-o", "/dev/null", clip] + extra,
@@ -101,10 +142,15 @@ def main():
                     help="extra reference CLI args, space separated")
     ap.add_argument("--our-args", default="",
                     help="extra x264_tpu params, name=value space sep")
+    ap.add_argument("--res", default="cif", choices=("cif", "720p"),
+                    help="which synthetic clip to generate when --clip "
+                         "does not exist")
     args = ap.parse_args()
 
+    if args.res == "720p" and args.clip == "/tmp/rd_cif.y4m":
+        args.clip = "/tmp/rd_720p.y4m"
     if not os.path.exists(args.clip):
-        make_clip(args.clip)
+        (make_clip720 if args.res == "720p" else make_clip)(args.clip)
     qps = [int(q) for q in args.qps.split(",")]
     ref_extra = args.ref_args.split() if args.ref_args else []
     our_extra = args.our_args.split() if args.our_args else []

@@ -158,7 +158,7 @@ class Encoder:
         # encoder/encoder.c:1423-1457); _prev_ref is the past reference
         # (L0) once the future reference (L1 = _ref) is encoded
         self._bframes = p.i_bframe
-        self._bbuf = None
+        self._bqueue = []
         self._prev_ref = None
         self._ref_maps = None   # (ref4, mv4) of _ref, for B direct
         self._disp_since_idr = 0
@@ -210,31 +210,25 @@ class Encoder:
         disp_abs = self._disp_abs
         self._disp_abs += 1
         if self._bframes > 0:
-            # IbP orchestration: a non-sync frame waits in _bbuf until
-            # its future reference is encoded (x264 frames.next delay +
-            # reorder, encoder/encoder.c:1423-1457); an IDR closes the
-            # GOP by promoting the buffered frame to P first
-            if self._bbuf is not None:
-                g, g_qp, g_poc, g_disp = self._bbuf
-                self._bbuf = None
-                if is_idr:
-                    self._submit_ip(g, False, g_qp, g_poc, g_disp)
-                    self._advance_gop(True)
-                    self._submit_ip(frame, True, forced_qp, 0, disp_abs)
-                else:
-                    self._submit_ip(frame, False, forced_qp, disp_poc,
-                                    disp_abs)
-                    self._advance_gop(False)
-                    self._submit_b_disp(g, g_qp, g_poc, g_disp)
-            elif is_idr:
+            # Ib..bP orchestration: up to i_bframe non-sync frames wait
+            # in _bqueue until their future reference is encoded (x264
+            # frames.next delay + reorder, encoder/encoder.c:1423-1457);
+            # an IDR closes the GOP by promoting the newest queued
+            # candidate to P first (closing-GOP B->P demotion,
+            # slicetype.c:597-635)
+            if is_idr:
+                self._flush_bqueue()
                 self._advance_gop(True)
                 self._submit_ip(frame, True, forced_qp, 0, disp_abs)
-            elif forced_type == "P":
-                self._advance_gop(False)
+            elif (forced_type == "P"
+                  or len(self._bqueue) >= self._bframes):
                 self._submit_ip(frame, False, forced_qp, disp_poc,
                                 disp_abs)
+                self._advance_gop(False)
+                self._submit_bqueue()
             else:
-                self._bbuf = (frame, forced_qp, disp_poc, disp_abs)
+                self._bqueue.append((frame, forced_qp, disp_poc,
+                                     disp_abs))
                 self._advance_gop(False)
         else:
             if is_idr:
@@ -248,6 +242,26 @@ class Encoder:
         if len(self._pending) > self._delay:
             return self._finalize(self._pending.pop(0))
         return None
+
+    def _submit_bqueue(self):
+        """Encode the queued candidates as the B run between the
+        just-encoded reference pair, in display order, with
+        distance-scaled ME seeds from the P's MV field."""
+        q, self._bqueue = self._bqueue, []
+        span = len(q) + 1
+        for i, (g, g_qp, g_poc, g_disp) in enumerate(q):
+            self._submit_b_disp(g, g_qp, g_poc, g_disp,
+                                d0=i + 1, span=span)
+
+    def _flush_bqueue(self):
+        """Close the GOP: newest queued candidate becomes the P, the
+        earlier ones its B run (or everything drains P-less at open)."""
+        if not self._bqueue:
+            return
+        last = self._bqueue.pop()
+        self._submit_ip(last[0], self._ref is None, last[1], last[2],
+                        last[3])
+        self._submit_bqueue()
 
     def _advance_gop(self, to_idr: bool):
         """Display-order GOP bookkeeping."""
@@ -339,13 +353,13 @@ class Encoder:
         pend["fetch"] = (t, res)
 
     def _submit_b_disp(self, frame: Frame, forced_qp, poc: int,
-                       disp: int = -1):
+                       disp: int = -1, d0: int = 1, span: int = 2):
         qp = self.rc.start("B", frame_idx=self.frame_count)
         if forced_qp is not None:
             qp = max(0, min(51, int(forced_qp)))
             self.rc.last_qp = qp
         self.poc = poc
-        pend = self._submit_b(frame, qp)
+        pend = self._submit_b(frame, qp, d0, span)
         pend["ftype"] = "B"
         pend.update(frame=frame, qp=qp, disp=disp,
                     rc_rceq=self.rc.last_rceq, rc_satd=self.rc.last_satd)
@@ -355,11 +369,8 @@ class Encoder:
 
     def flush(self) -> list:
         """Drain delayed frames (the pic_in=NULL flush loop contract,
-        x264.c:870-873). A trailing buffered B candidate becomes a P."""
-        if self._bbuf is not None:
-            g, g_qp, g_poc, g_disp = self._bbuf
-            self._bbuf = None
-            self._submit_ip(g, self._ref is None, g_qp, g_poc, g_disp)
+        x264.c:870-873). The newest trailing B candidate becomes a P."""
+        self._flush_bqueue()
         out = []
         while self._pending:
             out.append(self._finalize(self._pending.pop(0)))
@@ -823,10 +834,16 @@ class Encoder:
         pend["recon"] = self._finish_frame(out, frame)
         return pend
 
-    def _submit_b(self, frame: Frame, qp: int) -> dict:
+    def _submit_b(self, frame: Frame, qp: int, d0: int = 1,
+                  span: int = 2) -> dict:
         """One non-reference B frame between _prev_ref (L0, past) and
         _ref (L1, future) — x264_encoder_encode B path with the
-        reordered reference lists of x264_reference_build_list."""
+        reordered reference lists of x264_reference_build_list.
+
+        d0/span: temporal position — the B sits d0 frames after L0 in a
+        run spanning `span` frames, so the P's MV field (covering the
+        full span) seeds each list scaled by its distance (the lowres
+        temporal-scaling trick, encoder/slicetype.c:153-166)."""
         import jax.numpy as jnp
         from ..headers import SLICE_B
         p = self.params
@@ -834,8 +851,10 @@ class Encoder:
         y, u, v = self._pad_input(frame)
         qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
         lam = int(tables.LAMBDA_TABLE[qp])
-        mvp_seed = (self._prev_mv if self._prev_mv is not None
-                    else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
+        pmv = (self._prev_mv if self._prev_mv is not None
+               else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
+        mvp_seed = pmv * d0 // span
+        mvp_seed_l1 = -(pmv * (span - d0)) // span
         l0 = self._prev_ref
         l1 = self._ref
         # colocated maps of RefPicList1[0] for spatial direct; an I/IDR
@@ -854,7 +873,8 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset, mvp_seed,
-                col_ref4, col_mv4, t8=self._t8, **self._crop)
+                col_ref4, col_mv4, t8=self._t8,
+                mvp_seed_l1=mvp_seed_l1, **self._crop)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=False, nal_type=NAL_SLICE,
                         nal_ref_idc=0, nmb=mb_h * mb_w)
@@ -870,7 +890,8 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset, mvp_seed,
-                col_ref4, col_mv4, **self._crop)
+                col_ref4, col_mv4, mvp_seed_l1=mvp_seed_l1,
+                **self._crop)
             pend = dict(kind="cavlc", out=out,
                         cap_words=pipeline.capacity_words(mb_h * mb_w),
                         nal_type=NAL_SLICE, nal_ref_idc=0)

@@ -594,7 +594,7 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
                   y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
                   qtab, lam, mvp_seed, subpel_steps=(2, 1),
                   lossless: bool = False,
-                  col_ref4=None, col_mv4=None):
+                  col_ref4=None, col_mv4=None, mvp_seed_l1=None):
     """Encode one B frame (pre-deblock): B_SKIP / B_Direct_16x16 plus
     the 16x16 L0 / L1 / BI modes plus intra — the B ladder of
     x264_mb_analyse_b (encoder/analyse.c b16x16:1549 + direct:1515).
@@ -627,14 +627,18 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
         + jnp.zeros((mb_h, 1), I32)
 
     # ---------------------------------------- stage 1: ME on both lists
-    def me_list(ry, ru, rv):
+    # (each list with its own distance-scaled seed; L1's points backward)
+    if mvp_seed_l1 is None:
+        mvp_seed_l1 = mvp_seed
+
+    def me_list(ry, ru, rv, seed):
         ref_pad = omc.pad_plane(ry.astype(I32))
         planes = omc.hpel_planes(ref_pad)
         mv_fp, sad_fp = ome.hier_search(y, ref_pad, mb_h, mb_w,
-                                        me_range, lam, mvp_seed)
+                                        me_range, lam, seed)
         if subpel_steps:
             mv, satd = ome.subpel_refine(y_tiles, planes, mv_fp, lam,
-                                         mvp_seed, steps=subpel_steps)
+                                         seed, steps=subpel_steps)
         else:
             mv, satd = mv_fp, sad_fp
         pred = omc.mc_luma(planes, ys, xs, mv, 16, 16)
@@ -644,13 +648,15 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
         pv = omc.mc_chroma(rv_pad, ys >> 1, xs >> 1, mv, 8, 8)
         return mv, satd, pred, pu, pv, (planes, ru_pad, rv_pad)
 
-    mv0, satd0, pred0, pu0, pv0, fetch0 = me_list(l0_y, l0_u, l0_v)
-    mv1, satd1, pred1, pu1, pv1, fetch1 = me_list(l1_y, l1_u, l1_v)
+    mv0, satd0, pred0, pu0, pv0, fetch0 = me_list(l0_y, l0_u, l0_v,
+                                                  mvp_seed)
+    mv1, satd1, pred1, pu1, pv1, fetch1 = me_list(l1_y, l1_u, l1_v,
+                                                  mvp_seed_l1)
     pred_bi = omc.avg(pred0, pred1)
     satd_bi = opix.satd(y_tiles, pred_bi)
 
     bits0 = ome.mv_cost_bits(mv0, mvp_seed)
-    bits1 = ome.mv_cost_bits(mv1, mvp_seed)
+    bits1 = ome.mv_cost_bits(mv1, mvp_seed_l1)
     # mb_type ue lengths: L0/L1 = 3 bits (ue 1/2), BI = 5 (ue 3)
     cost_l0 = satd0 + lam * (bits0 + 3)
     cost_l1 = satd1 + lam * (bits1 + 3)

@@ -366,7 +366,7 @@ def encode_b(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
              alpha_off, beta_off, chroma_qp_offset, mvp_seed,
              col_ref4=None, col_mv4=None,
              crop_w: int = 0, crop_h: int = 0,
-             with_metrics: bool = False):
+             with_metrics: bool = False, mvp_seed_l1=None):
     """B frame (CAVLC): two-list ME + direct/skip + L0/L1/BI decision
     + entropy + pack + deblock, fused. col_ref4/col_mv4: RefPicList1[0]
     colocated L0 maps for spatial direct (None disables direct)."""
@@ -378,7 +378,8 @@ def encode_b(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     out = inter.encode_b_body(mb_h, mb_w, me_range, y, u, v,
                               *l0, *l1, qtab, lam, mvp_seed,
                               subpel_steps,
-                              col_ref4=col_ref4, col_mv4=col_mv4)
+                              col_ref4=col_ref4, col_mv4=col_mv4,
+                              mvp_seed_l1=mvp_seed_l1)
 
     vals, lens = edev.b_code_planes(out, mb_h, mb_w)
     stop = jnp.ones((1,), I32)
@@ -415,7 +416,8 @@ def encode_b_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    alpha_off, beta_off, chroma_qp_offset, mvp_seed,
                    col_ref4=None, col_mv4=None,
                    crop_w: int = 0, crop_h: int = 0,
-                   with_metrics: bool = False, t8: bool = False):
+                   with_metrics: bool = False, t8: bool = False,
+                   mvp_seed_l1=None):
     """B frame with CABAC entropy: packed bin-op stream for the host
     arithmetic coder. col_ref4/col_mv4 as in encode_b."""
     from ..entropy import cabac_planes
@@ -428,7 +430,8 @@ def encode_b_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     out = inter.encode_b_body(mb_h, mb_w, me_range, y, u, v,
                               *l0, *l1, qtab, lam, mvp_seed,
                               subpel_steps,
-                              col_ref4=col_ref4, col_mv4=col_mv4)
+                              col_ref4=col_ref4, col_mv4=col_mv4,
+                              mvp_seed_l1=mvp_seed_l1)
 
     ops = cabac_planes.b_slice_ops(out, mb_h, mb_w, t8_mode=t8)
     cops, n_ops = cabac_planes.compact_ops(ops, cabac_capacity(mb_h * mb_w))

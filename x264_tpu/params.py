@@ -216,12 +216,11 @@ class EncoderParams:
                       "using --ref 1")
             self.i_frame_reference = 1
         self.i_bframe = _clip(self.i_bframe, 0, 16)
-        if self.i_bframe > 1:
-            # current B support: one non-reference B between references
-            # (B_16x16 L0/L1/BI; no pyramid/direct yet)
-            self._log("using --bframes 1 (longer B runs not yet "
-                      "implemented)")
-            self.i_bframe = 1
+        if self.i_bframe > 3:
+            # current B support: runs of up to 3 non-reference Bs
+            # between references (no B-pyramid)
+            self._log("using --bframes 3 (longer runs need B-pyramid)")
+            self.i_bframe = 3
         if self.i_bframe > 0 and self.i_mb_row_shards > 1:
             self._log("B-frames with MB-row sharding not yet supported; "
                       "using --bframes 0")
