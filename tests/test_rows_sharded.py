@@ -36,10 +36,11 @@ def make_frames(n=4, seed=3):
     return frames
 
 
-def encode(shards, deblock=True, qp=26, n=4, cabac=False):
+def encode(shards, deblock=True, qp=26, n=4, cabac=False, refs=1):
     p = EncoderParams(i_width=W, i_height=H, b_cabac=cabac,
                       b_deblocking_filter=deblock, i_log_level=0,
-                      i_keyint_max=8, i_mb_row_shards=shards)
+                      i_keyint_max=8, i_mb_row_shards=shards,
+                      i_frame_reference=refs)
     p.rc.i_rc_method = 0
     p.rc.i_qp_constant = qp
     enc = Encoder(p)
@@ -123,3 +124,23 @@ def test_sharded_cabac_deterministic():
     s1, _, _ = encode(shards=4, n=2, cabac=True)
     s2, _, _ = encode(shards=4, n=2, cabac=True)
     assert s1 == s2
+
+
+def test_sharded_cabac_multiref_decode():
+    """--ref 2 composes with the sharded CABAC path: both references'
+    halos ride the ppermute exchange and the per-band ref_idx syntax
+    decodes bit-exactly."""
+    assert len(jax.devices()) >= 4
+    stream, recons, enc = encode(shards=4, cabac=True, refs=2, n=4)
+    assert enc.params.i_frame_reference == 2
+    dec = Decoder()
+    for nal in split_annexb(stream):
+        dec.decode_nal(nal)
+    assert len(dec.frames) == len(recons)
+    for i, (df, (ry, ru, rv)) in enumerate(zip(dec.frames, recons)):
+        np.testing.assert_array_equal(
+            np.asarray(df.y, np.int64), np.asarray(ry, np.int64),
+            err_msg=f"frame {i} Y")
+        np.testing.assert_array_equal(
+            np.asarray(df.u, np.int64), np.asarray(ru, np.int64),
+            err_msg=f"frame {i} U")

@@ -559,12 +559,13 @@ class Encoder:
         return b"".join(payload)
 
     def _band_cabac_headers(self, qp: int, slice_type: int,
-                            nal_ref_idc: int, band: int, n: int):
+                            nal_ref_idc: int, band: int, n: int,
+                            n_ref_l0: int = 1):
         """Per-band CABAC slice headers incl. alignment bits."""
         p = self.params
         hdrs = []
         for k in range(n):
-            sh = self._slice_header(qp, slice_type)
+            sh = self._slice_header(qp, slice_type, n_ref_l0)
             sh.first_mb = k * band * p.mb_width
             sh.disable_deblock = 2 if p.b_deblocking_filter else 1
             hdr = BitWriter()
@@ -639,6 +640,9 @@ class Encoder:
             payload = self._assemble_band_nals(out, NAL_SLICE_IDR, 3,
                                                cap_words, n)
         recon = self._finish_frame(out, frame)
+        # IDR empties the DPB: the pre-IDR reference must never appear
+        # as L0[1] (no_output_of_prior_pics, spec 8.2.5.1)
+        self._prev_ref = None
         self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         self._last_mb_counts = (mb_h * mb_w, 0, 0)
         return payload, recon
@@ -659,8 +663,12 @@ class Encoder:
         mvp_seed = (self._prev_mv if self._prev_mv is not None
                     else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
         ry, ru, rv = self._ref
+        n_refs = (2 if p.i_frame_reference >= 2
+                  and self._prev_ref is not None and p.b_cabac else 1)
+        r2 = self._prev_ref if n_refs == 2 else (None, None, None)
         if p.b_cabac:
-            hdrs = self._band_cabac_headers(qp, SLICE_P, 2, band, n)
+            hdrs = self._band_cabac_headers(qp, SLICE_P, 2, band, n,
+                                            n_refs)
             cap_ops = pipeline.cabac_capacity(band * mb_w)
             out = prows.encode_p_rows_cabac(
                 self._rows_mesh, mb_h, mb_w, self._me_range, self._subpel,
@@ -668,7 +676,8 @@ class Encoder:
                 self._qtab_p(qp, qp_c), lam, qp,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
-                p.analyse.i_chroma_qp_offset, mvp_seed, cap_ops)
+                p.analyse.i_chroma_qp_offset, mvp_seed, cap_ops,
+                ref2_y=r2[0], ref2_u=r2[1], ref2_v=r2[2])
             payload = self._assemble_band_cabac_nals(
                 out, hdrs, False, qp, NAL_SLICE, 2, cap_ops)
         else:

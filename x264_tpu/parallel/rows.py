@@ -151,28 +151,43 @@ def encode_p_rows(mesh: Mesh, mb_h: int, mb_w: int, me_range: int,
                 nbits=nbits, mv=mv, intra_mb=intra_mb, skip=skip)
 
 
+def _ext_refs(ry, ru, rv, n):
+    """Halo-extend one reference's planes (vertical real halos via
+    ppermute + horizontal edge pad)."""
+    ry_ext = _halo_extend(ry.astype(I32), omc.PAD, n)
+    ru_ext = _halo_extend(ru.astype(I32), omc.PAD // 2, n)
+    rv_ext = _halo_extend(rv.astype(I32), omc.PAD // 2, n)
+    ry_ext = jnp.pad(ry_ext, ((0, 0), (omc.PAD, omc.PAD)), mode="edge")
+    ru_ext = jnp.pad(ru_ext, ((0, 0), (omc.PAD // 2,) * 2), mode="edge")
+    rv_ext = jnp.pad(rv_ext, ((0, 0), (omc.PAD // 2,) * 2), mode="edge")
+    return ry_ext, ru_ext, rv_ext
+
+
 @functools.lru_cache(maxsize=32)
 def _p_rows_cabac_fn(mesh: Mesh, band: int, mb_w: int, me_range: int,
                      subpel_steps, deblock_on: bool, cap_ops: int,
-                     parts: bool = True):
+                     parts: bool = True, n_refs: int = 1):
     n = mesh.shape[AXIS]
     from ..entropy import cabac_planes
 
-    def body(y, u, v, ry, ru, rv, mvp, qtab, lam, qp,
-             alpha_off, beta_off, cqp_off):
-        ry_ext = _halo_extend(ry.astype(I32), omc.PAD, n)
-        ru_ext = _halo_extend(ru.astype(I32), omc.PAD // 2, n)
-        rv_ext = _halo_extend(rv.astype(I32), omc.PAD // 2, n)
-        ry_ext = jnp.pad(ry_ext, ((0, 0), (omc.PAD, omc.PAD)), mode="edge")
-        ru_ext = jnp.pad(ru_ext, ((0, 0), (omc.PAD // 2,) * 2), mode="edge")
-        rv_ext = jnp.pad(rv_ext, ((0, 0), (omc.PAD // 2,) * 2), mode="edge")
+    def body(y, u, v, ry, ru, rv, *rest):
+        if n_refs == 2:
+            (r2y, r2u, r2v, mvp, qtab, lam, qp,
+             alpha_off, beta_off, cqp_off) = rest
+            r2 = _ext_refs(r2y, r2u, r2v, n)
+        else:
+            (mvp, qtab, lam, qp,
+             alpha_off, beta_off, cqp_off) = rest
+            r2 = (None, None, None)
+        ry_ext, ru_ext, rv_ext = _ext_refs(ry, ru, rv, n)
 
         out = einter.encode_p_body(
             band, mb_w, me_range, y.astype(I32), u.astype(I32),
             v.astype(I32), ry_ext, ru_ext, rv_ext, qtab, lam, mvp,
-            subpel_steps, ref_prepadded=True, parts=parts)
+            subpel_steps, ref_prepadded=True, parts=parts,
+            ref2_y=r2[0], ref2_u=r2[1], ref2_v=r2[2], n_refs=n_refs)
 
-        ops = cabac_planes.p_slice_ops(out, band, mb_w)
+        ops = cabac_planes.p_slice_ops(out, band, mb_w, n_refs)
         cops, n_ops = cabac_planes.compact_ops(ops, cap_ops)
 
         ryo, ruo, rvo = out["recon_y"], out["recon_u"], out["recon_v"]
@@ -189,10 +204,11 @@ def _p_rows_cabac_fn(mesh: Mesh, band: int, mb_w: int, me_range: int,
 
     row = P(AXIS)
     rep = P()
+    nref_specs = (row, row, row) if n_refs == 2 else ()
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(row, row, row, row, row, row, row,
-                  rep, rep, rep, rep, rep, rep),
+        in_specs=(row, row, row, row, row, row) + nref_specs
+        + (row, rep, rep, rep, rep, rep, rep),
         out_specs=(row, row, row, row, row, row, row, row),
         check_vma=False)
     return jax.jit(fn)
@@ -202,18 +218,23 @@ def encode_p_rows_cabac(mesh: Mesh, mb_h: int, mb_w: int, me_range: int,
                         subpel_steps, deblock_on: bool,
                         y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp,
                         alpha_off, beta_off, cqp_off,
-                        mvp_seed, cap_ops: int):
+                        mvp_seed, cap_ops: int,
+                        ref2_y=None, ref2_u=None, ref2_v=None):
     """P frame as n row-band CABAC slices: per-band compacted bin-op
     streams (contexts are per-slice, so the n host FSM runs are
-    independent). Returns ops (n, cap_ops), n_ops (n,), recon, maps."""
+    independent). ref2_* (optional) is L0[1] — its halo rides the same
+    ppermute exchange. Returns ops (n, cap_ops), n_ops (n,), recon,
+    maps."""
     n = mesh.shape[AXIS]
     assert mb_h % n == 0, (mb_h, n)
     band = mb_h // n
     assert band * 16 >= omc.PAD, f"band too short for halo ({band} MB rows)"
+    n_refs = 2 if ref2_y is not None else 1
     fn = _p_rows_cabac_fn(mesh, band, mb_w, me_range, tuple(subpel_steps),
-                          deblock_on, cap_ops)
+                          deblock_on, cap_ops, True, n_refs)
+    r2 = (ref2_y, ref2_u, ref2_v) if n_refs == 2 else ()
     ry, ru, rv, ops, n_ops, mv, intra_mb, skip = fn(
-        y, u, v, ref_y, ref_u, ref_v, mvp_seed,
+        y, u, v, ref_y, ref_u, ref_v, *r2, mvp_seed,
         qtab, jnp.asarray(lam, I32), jnp.asarray(qp, I32),
         jnp.asarray(alpha_off, I32), jnp.asarray(beta_off, I32),
         jnp.asarray(cqp_off, I32))

@@ -211,10 +211,12 @@ class EncoderParams:
             self._log("using --ref 2 (deeper reference lists not yet "
                       "implemented)")
             self.i_frame_reference = 2
-        if self.i_frame_reference > 1 and self.i_mb_row_shards > 1:
-            self._log("multi-ref with MB-row sharding not yet supported; "
-                      "using --ref 1")
+        if (self.i_frame_reference > 1 and self.i_mb_row_shards > 1
+                and not self.b_cabac):
+            self._log("multi-ref in the sharded CAVLC path not yet "
+                      "supported; using --ref 1")
             self.i_frame_reference = 1
+
         self.i_bframe = _clip(self.i_bframe, 0, 16)
         if self.i_bframe > 3:
             # current B support: runs of up to 3 non-reference Bs
