@@ -839,7 +839,7 @@ class Decoder:
         Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = np.clip(mb, 0, 255)
 
         cdc, cac = self._decode_chroma_res_cabac(
-            cd, my, mx, cbp_chroma, nnz_c, cdcnz, 0)
+            cd, my, mx, cbp_chroma, nnz_c, cdcnz, 0, row0)
         cdmf = qt.dequant4_mf[enc_tables.CQM_4PC, qpc % 6]
         for ch, (P, pred) in ((0, (U, pu)), (1, (V, pv))):
             dc_rec = (cdc[ch].reshape(2, 2) if self._bypass(qp)
