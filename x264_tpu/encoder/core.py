@@ -962,8 +962,7 @@ class Encoder:
         from ..entropy import cabac_tables as ctab
 
         out = pend["out"]
-        cap = pipeline.cabac_capacity(
-            pend["nmb"], self._lossless or pend["slice_is_i"])
+        cap = pipeline.cabac_capacity(pend["nmb"])
         if n_ops > cap:
             raise RuntimeError(
                 f"CABAC op stream overflowed device buffer ({n_ops} ops)")

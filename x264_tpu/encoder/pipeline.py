@@ -239,7 +239,7 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
 CABAC_OPS_PER_MB = 560
 
 
-def cabac_capacity(nmb: int, intra_or_lossless: bool = True) -> int:
+def cabac_capacity(nmb: int) -> int:
     return nmb * CABAC_OPS_PER_MB + 4096
 
 
