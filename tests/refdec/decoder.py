@@ -919,7 +919,8 @@ class Decoder:
             inc = 2 + (inc >> 1)
             assert val < 104
         dqp = (val + 1) // 2 if val & 1 else -(val // 2)
-        st["qp"] = st["qp"] + dqp
+        # spec 7.4.5: QPy = (QPy_prev + mb_qp_delta + 52) % 52 (8-bit)
+        st["qp"] = (st["qp"] + dqp + 52) % 52
         st["pnz"] = dqp != 0
         return st["qp"]
 
@@ -1073,7 +1074,7 @@ class Decoder:
         cbp_l_map[my, mx] = cbp
         cbp_c_map[my, mx] = cbp_chroma
 
-        if cbp:
+        if cbp or cbp_chroma:
             qp = self._read_dqp_cabac(cd)
         else:
             qp = self._skip_dqp_cabac()

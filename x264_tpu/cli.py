@@ -24,6 +24,9 @@ def build_argparser():
     ap.add_argument("input", help="input .y4m or raw .yuv (i420)")
     ap.add_argument("-o", "--output", required=True, help="output .264")
     ap.add_argument("--input-res", help="WxH for raw YUV input")
+    ap.add_argument("--threaded-input", action="store_true",
+                    help="read-ahead input thread (open_file_thread, "
+                    "muxers.c:441)")
     ap.add_argument("--fps", type=float, default=None)
     ap.add_argument("--frames", type=int, default=0,
                     help="max frames to encode (0 = all)")
@@ -154,6 +157,9 @@ def main(argv=None):
         width, height = int(w), int(h)
         fps_num, fps_den = 25, 1
         reader = YUVReader(args.input, width, height)
+    if args.threaded_input:
+        from .io.reader import ThreadedReader
+        reader = ThreadedReader(reader)
     if args.fps:
         fps_num, fps_den = int(args.fps * 1000), 1000
 
@@ -166,12 +172,16 @@ def main(argv=None):
     recons = []
     # output container dispatch on extension (the p_write_nalu /
     # mux fn-pointer slots of x264.c:68-78; .264 = write_nalu_bsf,
-    # .mkv = the matroska writer)
+    # .mkv = the matroska writer, .mp4 = the BMFF writer)
     mkv = None
     with open(args.output, "wb") as out:
         if args.output.endswith(".mkv"):
             from .io.mkv import MKVWriter
             mkv = MKVWriter(out, width, height, fps_num, fps_den)
+            mkv.set_headers(enc.headers())
+        elif args.output.endswith(".mp4"):
+            from .io.mp4 import MP4Writer
+            mkv = MP4Writer(out, width, height, fps_num, fps_den)
             mkv.set_headers(enc.headers())
         else:
             out.write(enc.headers())

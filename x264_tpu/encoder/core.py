@@ -115,6 +115,9 @@ class Encoder:
                           and p.rc.i_qp_constant == 0)
         sp = p.analyse.i_subpel_refine
         self._subpel = () if sp <= 1 else ((2,) if sp <= 3 else (2, 1))
+        # subme >= 6 enables the true RD-cost mode decision ladder
+        # (i_mbrd, x264_mb_analyse_init semantics)
+        self._rd = sp >= 6 and not self._lossless
         # MB-row sharding across devices: one slice per row band
         # (parallel/rows.py; the i_threads/slice-threading analogue)
         self._rows_mesh = None
@@ -129,10 +132,10 @@ class Encoder:
                 self._rows_mesh = prows.make_rows_mesh(n)
                 self._n_shards = n
             elif p.i_log_level >= 2:
-                import sys
-                print("x264_tpu [info]: mb-row sharding unavailable "
-                      f"(shards={p.i_mb_row_shards}, mb_h={p.mb_height}); "
-                      "encoding unsharded", file=sys.stderr)
+                from .. import log as xlog
+                xlog.log(xlog.LOG_INFO, "mb-row sharding unavailable "
+                         f"(shards={p.i_mb_row_shards}, "
+                         f"mb_h={p.mb_height}); encoding unsharded")
         self.stats = estats.Stats(
             p.i_width, p.i_height, p.i_fps_num / max(1, p.i_fps_den),
             b_psnr=p.analyse.b_psnr, b_ssim=p.analyse.b_ssim)
@@ -171,6 +174,41 @@ class Encoder:
         self._analyse_lowres = (p.rc.i_rc_method != RC_CQP
                                 or (p.i_scenecut_threshold > 0
                                     and p.i_keyint_max > 1))
+
+    # ----------------------------------------------------------- reconfig
+    def reconfig(self, new_params: EncoderParams) -> None:
+        """x264_encoder_reconfig (encoder/encoder.c:816-879): apply the
+        runtime-changeable subset of parameters mid-stream — analysis
+        strength, deblock offsets, ME range/subme and the RC targets.
+        Stream-structural fields (geometry, entropy coder, GOP layout,
+        profile-affecting features) keep their open-time values, as the
+        reference's copy-list does."""
+        p, q = self.params, new_params
+        a, b = p.analyse, q.analyse
+        a.i_me_range = max(4, min(64, b.i_me_range))
+        a.i_subpel_refine = max(1, min(9, b.i_subpel_refine))
+        a.i_me_method = b.i_me_method
+        a.b_psnr, a.b_ssim = b.b_psnr, b.b_ssim
+        a.f_psy_rd = b.f_psy_rd
+        p.i_deblocking_filter_alphac0 = max(
+            -6, min(6, q.i_deblocking_filter_alphac0))
+        p.i_deblocking_filter_beta = max(
+            -6, min(6, q.i_deblocking_filter_beta))
+        p.b_deblocking_filter = q.b_deblocking_filter
+        p.i_scenecut_threshold = q.i_scenecut_threshold
+        p.rc.i_qp_min = max(0, min(51, q.rc.i_qp_min))
+        p.rc.i_qp_max = max(p.rc.i_qp_min, min(51, q.rc.i_qp_max))
+        if p.rc.i_rc_method == q.rc.i_rc_method:
+            p.rc.i_qp_constant = max(0, min(51, q.rc.i_qp_constant))
+            p.rc.f_rf_constant = q.rc.f_rf_constant
+            self.rc.reconfig(p)
+        # derived state that tracks the reconfigured fields
+        self._me_range = min(a.i_me_range, 24)
+        sp = a.i_subpel_refine
+        self._subpel = () if sp <= 1 else ((2,) if sp <= 3 else (2, 1))
+        self._rd = sp >= 6 and not self._lossless
+        self._with_metrics = bool(a.b_psnr or a.b_ssim)
+        self._crop["with_metrics"] = self._with_metrics
 
     # ------------------------------------------------------------- headers
     def headers(self) -> bytes:
@@ -259,8 +297,11 @@ class Encoder:
         if not self._bqueue:
             return
         last = self._bqueue.pop()
-        self._submit_ip(last[0], self._ref is None, last[1], last[2],
-                        last[3])
+        is_idr = self._ref is None
+        # an IDR resets POC to 0 (spec 7.4.3); only a P keeps its
+        # buffered display POC
+        self._submit_ip(last[0], is_idr, last[1],
+                        0 if is_idr else last[2], last[3])
         self._submit_bqueue()
 
     def _advance_gop(self, to_idr: bool):
@@ -995,7 +1036,7 @@ class Encoder:
         self.rc.write_stats()
         summary = self.stats.summary()
         if self.params.i_log_level >= 1 and summary:
-            import sys
+            from .. import log as xlog
             for line in self.stats.report_lines():
-                print(f"x264_tpu [info]: {line}", file=sys.stderr)
+                xlog.log(xlog.LOG_INFO, line)
         return summary

@@ -169,6 +169,18 @@ class RateControl:
                 init_pass2(self.stat_read, self.bitrate / self.fps,
                            self.qcomp, self.qp_min, self.qp_max)
 
+    def reconfig(self, params: EncoderParams) -> None:
+        """Apply the runtime-changeable RC subset (the rc half of
+        x264_encoder_reconfig): QP bounds and the CQP/CRF targets.
+        The ABR long-term state is preserved — only targets move."""
+        rc = params.rc
+        self.qp_min, self.qp_max = rc.i_qp_min, rc.i_qp_max
+        if self.method == RC_CRF:
+            base_cplx = self.nmb * (80 if params.i_bframe == 0 else 120)
+            self.rate_factor_constant = (
+                pow(base_cplx, 1.0 - self.qcomp)
+                / qp2qscale(rc.f_rf_constant))
+
     # ------------------------------------------------------------- analyse
     def analyse_frame(self, y: np.ndarray, gop_size: int | None = None) \
             -> dict:

@@ -1,7 +1,9 @@
 """Y4M / raw YUV demux + raw Annex-B mux (muxers.c:63-214,533-570).
 
 The reference supports raw-YUV, Y4M and AVIS inputs and raw/.mp4/.mkv
-outputs; here Y4M + raw YUV in, raw .264 out (MP4/MKV writers planned).
+outputs; here Y4M + raw YUV in (optionally via the read-ahead thread
+wrapper in io/reader.py), raw .264 out here, MKV in io/mkv.py and MP4
+in io/mp4.py.
 """
 
 from __future__ import annotations

@@ -252,8 +252,8 @@ class EncoderParams:
                 if once in EncoderParams._logged_once:
                     return
                 EncoderParams._logged_once.add(once)
-            import sys
-            print(f"x264_tpu [info]: {msg}", file=sys.stderr)
+            from . import log as xlog
+            xlog.log(xlog.LOG_INFO, msg)
 
     # ------------------------------------------------------------------
     @property

@@ -1,4 +1,4 @@
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 # Mirrors X264_BUILD (reference x264.h:38): bumped on any change to the
 # public API or bitstream-affecting behavior.
