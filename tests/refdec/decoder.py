@@ -353,6 +353,7 @@ class Decoder:
         # neighbors, spec 6.4.8): nnz -> -1 (the _nc unavailable value),
         # ref -> -2 (outside), i4 pred modes -> 2 (DC, spec 8.3.1.1).
         saved = None
+        saved_l1 = None
         if row0 > 0:
             saved = (nnz_l[row0 * 4 - 1].copy(),
                      nnz_c[:, row0 * 2 - 1].copy(),
@@ -362,6 +363,9 @@ class Decoder:
             nnz_c[:, row0 * 2 - 1] = -1
             ref_f[row0 * 4 - 1] = -2
             i4grid[row0 * 4 - 1] = 2
+            if is_b:
+                saved_l1 = ref_f1[row0 * 4 - 1].copy()
+                ref_f1[row0 * 4 - 1] = -2
 
         qt = enc_tables.DEFAULT_QUANT
 
@@ -388,11 +392,9 @@ class Decoder:
             self._col = l1e[2]      # colocated (ref_f, mv_f) maps
 
         if pps.cabac and is_b:
-            assert first_mb == 0, "sharded B CABAC not supported"
-            self._decode_b_slice_cabac(br, rbsp, qp, qt, Y, U, V,
-                                       nnz_l, nnz_c, qp_mb, intra_mb,
-                                       mv_f, ref_f, mv_f1, ref_f1)
-            mb_end = nmb
+            mb_end = self._decode_b_slice_cabac(
+                br, rbsp, qp, qt, Y, U, V, nnz_l, nnz_c, qp_mb,
+                intra_mb, mv_f, ref_f, mv_f1, ref_f1, first_mb)
         elif is_b:
             assert self.dpb, "B slice with empty DPB"
             mb_i = first_mb
@@ -460,6 +462,8 @@ class Decoder:
                 mb_i += 1
             mb_end = mb_i
 
+        if saved_l1 is not None:
+            ref_f1[row0 * 4 - 1] = saved_l1
         if saved is not None:
             nnz_l[row0 * 4 - 1] = saved[0]
             nnz_c[:, row0 * 2 - 1] = saved[1]
@@ -680,13 +684,19 @@ class Decoder:
                             Y, U, V)
             return
 
-        # ---- inter P_L0: prefix bins select 16x16 / 16x8 / 8x16
-        # (x264_cabac_mb_type P branch, encoder/cabac.c:86-107)
+        # ---- inter P_L0: prefix bins select 16x16 / 16x8 / 8x16 /
+        # P_8x8 (x264_cabac_mb_type P branch, encoder/cabac.c:86-113)
         if cd.decision(15):
             ptype = 1 if cd.decision(17) else 2
         else:
-            assert cd.decision(16) == 0, "P_8x8 unsupported"
-            ptype = 0
+            ptype = 3 if cd.decision(16) else 0
+
+        # ---- sub_mb_type x4 (x264_cabac_mb_sub_p_partition:
+        # D_L0_8x8 = '1' bin at ctx 21)
+        if ptype == 3:
+            for _ in range(4):
+                assert cd.decision(21) == 1, \
+                    "only P_L0_8x8 sub partitions supported"
 
         # ---- ref_idx_l0 per partition (x264_cabac_mb_ref ctx 54+:
         # (refA>0) + 2*(refB>0); continuation ctx 58). Partition 0's
@@ -704,7 +714,19 @@ class Decoder:
             if cd.decision(ref_ctx(r0, c0)):
                 assert cd.decision(58) == 0, ">2 refs unsupported"
                 ref_idx = 1
-            if ptype:
+            if ptype == 3:
+                ref_f[r0:r0 + 2, c0:c0 + 2] = ref_idx
+                for k in range(1, 4):
+                    oy, ox = self.SUB_OFF[k]
+                    v = 1 if cd.decision(ref_ctx(r0 + oy, c0 + ox)) \
+                        else 0
+                    if v:
+                        assert cd.decision(58) == 0, ">2 refs"
+                    assert v == ref_idx, \
+                        "sub-blocks with distinct refs unsupported"
+                    ref_f[r0 + oy:r0 + oy + 2,
+                          c0 + ox:c0 + ox + 2] = ref_idx
+            elif ptype:
                 ref_f[r0:r0 + 4, c0:c0 + 4] = ref_idx
                 r1c, c1c = (r0 + 2, c0) if ptype == 1 else (r0, c0 + 2)
                 v = 1 if cd.decision(ref_ctx(r1c, c1c)) else 0
@@ -728,7 +750,22 @@ class Decoder:
                 out[comp] = self._decode_mvd_cabac(cd, base, inc)
             return out
 
-        if ptype == 0:
+        sub_mvs = None
+        if ptype == 3:
+            # sub-block mvds in scan order; each sub's mvd and mv enter
+            # the caches before the next sub's ctx/mvp read them
+            sub_mvs = []
+            for k, (oy, ox) in enumerate(self.SUB_OFF):
+                rr, cc = r0 + oy, c0 + ox
+                mvdk = read_mvd(rr, cc)
+                mvd_map[rr:rr + 2, cc:cc + 2] = mvdk
+                mvk = self._mvp_sub8(ref_f, mv_f, my, mx, k,
+                                     ref_idx) + mvdk
+                mv_f[rr:rr + 2, cc:cc + 2] = mvk
+                ref_f[rr:rr + 2, cc:cc + 2] = ref_idx
+                sub_mvs.append(mvk)
+            mv0, mv1 = sub_mvs[0], sub_mvs[1]
+        elif ptype == 0:
             mvd0 = read_mvd(r0, c0)
             mvd_map[r0:r0 + 4, c0:c0 + 4] = mvd0
             mv0 = self._mvp_16x16(ref_f, mv_f, my, mx, ref_idx) + mvd0
@@ -796,8 +833,11 @@ class Decoder:
             qp = self._skip_dqp_cabac()
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
-        py, pu, pv = self._inter_pred_mb(my, mx, ptype, mv0, mv1,
-                                         ref_idx)
+        if ptype == 3:
+            py, pu, pv = self._inter_pred_p8(my, mx, sub_mvs, ref_idx)
+        else:
+            py, pu, pv = self._inter_pred_mb(my, mx, ptype, mv0, mv1,
+                                             ref_idx)
         mb = py.astype(np.int64)
         if t8:
             dmf8 = qt.dequant8_mf[enc_tables.CQM_8PY, qp % 6]
@@ -1551,6 +1591,43 @@ class Decoder:
                 return mvc.copy()
         return self._mvp_rule(ra, mva, rb, mvb, rc, mvc, i_ref)
 
+    SUB_OFF = ((0, 0), (0, 2), (2, 0), (2, 2))
+
+    def _mvp_sub8(self, ref_f, mv_f, my, mx, k, i_ref=0):
+        """x264_mb_predict_mv for a width-2 P8x8 sub-block (pure median
+        rule, no directional early-outs); sub 3's C cache slot is never
+        written in raster order -> D (common/macroblock.c:28-94)."""
+        oy, ox = self.SUB_OFF[k]
+        r, c = my * 4 + oy, mx * 4 + ox
+        ra, mva = self._nbr(ref_f, mv_f, r, c - 1)
+        rb, mvb = self._nbr(ref_f, mv_f, r - 1, c)
+        if k == 3:
+            rc, mvc = self._nbr(ref_f, mv_f, r - 1, c - 1)
+        else:
+            rc, mvc = self._nbr(ref_f, mv_f, r - 1, c + 2)
+            if rc == -2:
+                rc, mvc = self._nbr(ref_f, mv_f, r - 1, c - 1)
+        return self._mvp_rule(ra, mva, rb, mvb, rc, mvc, i_ref)
+
+    def _inter_pred_p8(self, my, mx, sub_mvs, ref_idx=0):
+        """P_8x8 prediction: four 8x8 luma / 4x4 chroma quadrant MCs."""
+        refY, refU, refV = self._l0(ref_idx)
+        py = np.zeros((16, 16), np.int64)
+        pu = np.zeros((8, 8), np.int64)
+        pv = np.zeros((8, 8), np.int64)
+        for k, (oy, ox) in enumerate(self.SUB_OFF):
+            mvx, mvy = int(sub_mvs[k][0]), int(sub_mvs[k][1])
+            y0, x0 = oy * 4, ox * 4
+            py[y0:y0 + 8, x0:x0 + 8] = golden_mc.mc_luma(
+                refY, my * 16 + y0, mx * 16 + x0, mvx, mvy, 8, 8)
+            pu[y0 // 2:y0 // 2 + 4, x0 // 2:x0 // 2 + 4] = \
+                golden_mc.mc_chroma(refU, my * 8 + y0 // 2,
+                                    mx * 8 + x0 // 2, mvx, mvy, 4, 4)
+            pv[y0 // 2:y0 // 2 + 4, x0 // 2:x0 // 2 + 4] = \
+                golden_mc.mc_chroma(refV, my * 8 + y0 // 2,
+                                    mx * 8 + x0 // 2, mvx, mvy, 4, 4)
+        return py, pu, pv
+
     def _mv_pskip(self, ref_f, mv_f, my, mx):
         """x264_mb_predict_mv_pskip (common/macroblock.c:133)."""
         r, c = my * 4, mx * 4
@@ -1649,22 +1726,43 @@ class Decoder:
             intra_mb[my, mx] = True
             return self._decode_mb_i(br, my, mx, qp, qt, Y, U, V,
                                      nnz_l, nnz_c, mb_type - 5)
-        assert mb_type in (0, 1, 2), \
-            f"P_8x8 / sub-partitions unsupported, got {mb_type}"
+        assert mb_type in (0, 1, 2, 3), \
+            f"sub-partitions unsupported, got {mb_type}"
         ptype = mb_type
+        if ptype == 3:
+            # P_8x8: sub_mb_type x4, then all refs, then all mvds
+            # (7.3.5.2); only P_L0_8x8 subs are produced here
+            for _ in range(4):
+                assert br.ue() == 0, "only P_L0_8x8 subs supported"
         # ref_idx te(v) per partition when >1 active ref (7.3.5.1: all
         # ref_idx precede all mvd); with 2 refs te is one bit !ref
         ref_idx = 0
         if self._nref0 > 1:
             ref_idx = 1 - br.bit()
-            if ptype:
+            for _ in range(3 if ptype == 3 else (1 if ptype else 0)):
                 ref1 = 1 - br.bit()
                 assert ref1 == ref_idx, \
                     "partitions with distinct refs unsupported"
-        mvd0 = np.array([br.se(), br.se()], np.int64)
-        if ptype:
-            mvd1 = np.array([br.se(), br.se()], np.int64)
-        if ptype == 0:
+        sub_mvs = None
+        if ptype == 3:
+            r0, c0 = my * 4, mx * 4
+            sub_mvs = []
+            for k, (oy, ox) in enumerate(self.SUB_OFF):
+                mvdk = np.array([br.se(), br.se()], np.int64)
+                mvk = self._mvp_sub8(ref_f, mv_f, my, mx, k,
+                                     ref_idx) + mvdk
+                mv_f[r0 + oy:r0 + oy + 2, c0 + ox:c0 + ox + 2] = mvk
+                ref_f[r0 + oy:r0 + oy + 2, c0 + ox:c0 + ox + 2] = \
+                    ref_idx
+                sub_mvs.append(mvk)
+            mv0, mv1 = sub_mvs[0], sub_mvs[1]
+        else:
+            mvd0 = np.array([br.se(), br.se()], np.int64)
+            if ptype:
+                mvd1 = np.array([br.se(), br.se()], np.int64)
+        if ptype == 3:
+            pass
+        elif ptype == 0:
             mv0 = self._mvp_16x16(ref_f, mv_f, my, mx, ref_idx) + mvd0
             mv1 = mv0
             self._set_part_field(mv_f, ref_f, my, mx, 0, mv0, mv0,
@@ -1686,8 +1784,11 @@ class Decoder:
             qp = qp + br.se()
         qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
-        py, pu, pv = self._inter_pred_mb(my, mx, ptype, mv0, mv1,
-                                         ref_idx)
+        if ptype == 3:
+            py, pu, pv = self._inter_pred_p8(my, mx, sub_mvs, ref_idx)
+        else:
+            py, pu, pv = self._inter_pred_mb(my, mx, ptype, mv0, mv1,
+                                             ref_idx)
 
         # luma residual: full 4x4 blocks per coded 8x8 group
         dmf = qt.dequant4_mf[enc_tables.CQM_4PY, qp % 6]
@@ -1769,8 +1870,10 @@ class Decoder:
 
     def _decode_b_slice_cabac(self, br, rbsp, qp, qt, Y, U, V,
                               nnz_l, nnz_c, qp_mb, intra_mb,
-                              mv_f0, ref_f0, mv_f1, ref_f1):
-        """CABAC B slice decode (B_L0/L1/BI_16x16 + I16x16)."""
+                              mv_f0, ref_f0, mv_f1, ref_f1,
+                              first_mb=0):
+        """CABAC B slice decode (B_L0/L1/BI_16x16 + I16x16); band
+        slices (first_mb > 0) end at the end_of_slice terminal."""
         from x264_tpu.entropy.cabac import CabacDecoder
         from x264_tpu.entropy import cabac_tables as ctab
 
@@ -1791,12 +1894,14 @@ class Decoder:
         skip_map = np.zeros((mb_h, mb_w), bool)
         nds_map = np.zeros((mb_h, mb_w), bool)    # skip-or-direct
 
-        for my in range(mb_h):
-            for mx in range(mb_w):
+        row0 = first_mb // mb_w
+        mb_i = first_mb
+        while True:
+                my, mx = divmod(mb_i, mb_w)
                 inc = 24 \
                     + (1 if (mx > 0 and not skip_map[my, mx - 1])
                        else 0) \
-                    + (1 if (my > 0 and not skip_map[my - 1, mx])
+                    + (1 if (my > row0 and not skip_map[my - 1, mx])
                        else 0)
                 if cd.decision(inc):              # B_SKIP
                     skip_map[my, mx] = True
@@ -1820,21 +1925,26 @@ class Decoder:
                         cdcnz, cm_map, mvd_map0, mvd_map1, cbp_l_map,
                         cbp_c_map, nds_map)
                 qp_mb[my, mx] = qp
+                mb_i += 1
                 eos = cd.terminal()
-                is_last = (my == mb_h - 1) and (mx == mb_w - 1)
-                assert eos == (1 if is_last else 0), \
-                    f"end_of_slice at mb ({my},{mx})"
+                if eos:
+                    assert mb_i % mb_w == 0, \
+                        f"B slice ended mid-row at mb {mb_i}"
+                    return mb_i
+                assert mb_i < mb_h * mb_w, "missing end_of_slice"
 
     def _decode_mb_b_cabac(self, cd, my, mx, qp, qt, Y, U, V, nnz_l,
                            nnz_c, mv_f0, ref_f0, mv_f1, ref_f1, intra_mb,
                            dcnz, cdcnz, cm_map, mvd_map0, mvd_map1,
                            cbp_l_map, cbp_c_map, nds_map=None):
         pps = self.pps
-        avail_l, avail_t = mx > 0, my > 0
+        row0 = self._row0
+        avail_l, avail_t = mx > 0, my > row0
         r0b, c0b = my * 4, mx * 4
 
-        def nz_flag(m, gy, gx, unavail):
-            if gy < 0 or gx < 0:
+        def nz_flag(m, gy, gx, unavail, scale=4):
+            # maps are MB-grid (scale 1) or 4x4-grid (scale 4)
+            if gy < row0 * scale or gx < 0:
                 return unavail
             return 1 if m[gy, gx] else 0
 
@@ -1892,8 +2002,8 @@ class Decoder:
             assert cd.decision(60) == 0, "nonzero dqp unsupported (CQP)"
             qpc = _chroma_qp(qp, pps.chroma_qp_offset)
 
-            ctx_dc = 2 * nz_flag(dcnz, my - 1, mx, 1) \
-                + nz_flag(dcnz, my, mx - 1, 1)
+            ctx_dc = 2 * nz_flag(dcnz, my - 1, mx, 1, 1) \
+                + nz_flag(dcnz, my, mx - 1, 1, 1)
             dc_z = self._residual_cabac(cd, 0, ctx_dc, 16)
             dcnz[my, mx] = 1 if np.any(dc_z) else 0
 
@@ -1911,7 +2021,7 @@ class Decoder:
                 nnz_l[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
 
             cdc, cac = self._decode_chroma_res_cabac(
-                cd, my, mx, cbp_chroma, nnz_c, cdcnz, 1)
+                cd, my, mx, cbp_chroma, nnz_c, cdcnz, 1, row0)
             ref_f0[r0b:r0b + 4, c0b:c0b + 4] = -1
             ref_f1[r0b:r0b + 4, c0b:c0b + 4] = -1
             intra_mb[my, mx] = True
@@ -1940,7 +2050,7 @@ class Decoder:
                     a = abs(int(mvd_map[r0b, c0b - 1, comp])) \
                         if c0b - 1 >= 0 else 0
                     b = abs(int(mvd_map[r0b - 1, c0b, comp])) \
-                        if r0b - 1 >= 0 else 0
+                        if r0b - 1 >= row0 * 4 else 0
                     am = a + b
                     inc = (1 if am > 2 else 0) + (1 if am > 32 else 0)
                     out[comp] = self._decode_mvd_cabac(cd, base, inc)
@@ -1959,7 +2069,7 @@ class Decoder:
                                use0, mv0, use1, mv1)
 
         def cbp_nbr(m, gy, gx):
-            if gy < 0 or gx < 0:
+            if gy < row0 or gx < 0:
                 return -1
             return int(m[gy, gx])
 
@@ -2013,7 +2123,7 @@ class Decoder:
         Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = np.clip(mb, 0, 255)
 
         cdc, cac = self._decode_chroma_res_cabac(
-            cd, my, mx, cbp_chroma, nnz_c, cdcnz, 0)
+            cd, my, mx, cbp_chroma, nnz_c, cdcnz, 0, row0)
         cdmf = qt.dequant4_mf[enc_tables.CQM_4PC, qpc % 6]
         for ch, (P, pred) in ((0, (U, pu)), (1, (V, pv))):
             dc_rec = (cdc[ch].reshape(2, 2) if self._bypass(qp)

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from x264_tpu import Encoder, EncoderParams
+from x264_tpu.params import B_ADAPT_NONE
 from x264_tpu.encoder.core import Frame
 from refdec.decoder import Decoder
 from refdec.bits import split_annexb
@@ -34,6 +35,7 @@ def encode_all(frames, cabac, qp=30):
     p = EncoderParams(i_width=W, i_height=H, b_cabac=cabac,
                       b_deblocking_filter=True, i_log_level=0,
                       i_keyint_max=250, i_bframe=1)
+    p.i_bframe_adaptive = B_ADAPT_NONE
     p.rc.i_rc_method = 0
     p.rc.i_qp_constant = qp
     enc = Encoder(p)

@@ -37,6 +37,7 @@ def encode_all(frames, cabac, bframes=1, qp=28, keyint=16):
     p = EncoderParams(i_width=W, i_height=H, b_cabac=cabac,
                       i_log_level=0, i_keyint_max=keyint,
                       i_bframe=bframes, i_scenecut_threshold=0)
+    p.i_bframe_adaptive = B_ADAPT_NONE
     p.rc.i_rc_method = 0
     p.rc.i_qp_constant = qp
     enc = Encoder(p)
@@ -101,6 +102,7 @@ def test_closed_gop_at_idr():
     p = EncoderParams(i_width=W, i_height=H, b_cabac=True,
                       i_log_level=0, i_keyint_max=4, i_keyint_min=1,
                       i_bframe=1, i_scenecut_threshold=0)
+    p.i_bframe_adaptive = B_ADAPT_NONE
     p.rc.i_rc_method = 0
     p.rc.i_qp_constant = 30
     enc = Encoder(p)
@@ -173,6 +175,7 @@ def test_b_run_closed_gop_at_idr():
     p = EncoderParams(i_width=W, i_height=H, b_cabac=True,
                       i_log_level=0, i_keyint_max=16, i_bframe=3,
                       i_scenecut_threshold=0)
+    p.i_bframe_adaptive = B_ADAPT_NONE
     p.rc.i_rc_method = 0
     p.rc.i_qp_constant = 28
     enc = Encoder(p)

@@ -62,6 +62,41 @@ def build_argparser():
     ap.add_argument("--merange", type=int, default=16)
     ap.add_argument("--trellis", type=int, default=0)
     ap.add_argument("--aq-mode", type=int, default=1)
+    ap.add_argument("--aq-strength", type=float, default=1.0)
+    ap.add_argument("--psy-rd", type=float, default=1.0,
+                    help="psychovisual RD strength (needs subme >= 6)")
+    ap.add_argument("--b-adapt", type=int, default=1, choices=(0, 1, 2),
+                    help="adaptive B placement (0 off, 1 fast greedy)")
+    ap.add_argument("--b-bias", type=int, default=0,
+                    help="bias toward B frames (-100..100)")
+    ap.add_argument("--no-dct-decimate", action="store_true")
+    ap.add_argument("--no-fast-pskip", action="store_true")
+    ap.add_argument("--no-psnr", action="store_true")
+    ap.add_argument("--no-ssim", action="store_true")
+    ap.add_argument("--ipratio", type=float, default=1.4)
+    ap.add_argument("--pbratio", type=float, default=1.3)
+    ap.add_argument("--chroma-qp-offset", type=int, default=0)
+    ap.add_argument("--qpmin", type=int, default=10)
+    ap.add_argument("--qpmax", type=int, default=51)
+    ap.add_argument("--qpstep", type=int, default=4)
+    ap.add_argument("--ratetol", type=float, default=1.0)
+    ap.add_argument("--qcomp", type=float, default=0.6)
+    ap.add_argument("--vbv-maxrate", type=int, default=0)
+    ap.add_argument("--vbv-bufsize", type=int, default=0)
+    ap.add_argument("--vbv-init", type=float, default=0.9)
+    ap.add_argument("--deadzone-inter", type=int, default=21)
+    ap.add_argument("--deadzone-intra", type=int, default=11)
+    ap.add_argument("--level", type=int, default=-1,
+                    help="level_idc * 10 (e.g. 40 for 4.0); -1 = auto")
+    ap.add_argument("--deblock-params", default="0:0", metavar="A:B",
+                    help="deblock alpha:beta offsets (x264 -f)")
+    ap.add_argument("--shards", type=int, default=1,
+                    help="MB-row device shards (slice-per-band "
+                    "multi-chip path)")
+    ap.add_argument("-A", "--partitions", default="default",
+                    help="partitions: comma list of "
+                    "p8x8,p4x4,b8x8,i8x8,i4x4 / all / none "
+                    "(p8x8 covers 16x8/8x16/8x8, as x264)")
     ap.add_argument("--frame-parallel", type=int, default=2,
                     help="frames in flight (device compute overlaps the "
                     "host entropy tail; the i_threads frame-pipeline "
@@ -97,6 +132,59 @@ def params_from_args(args, width, height, fps_num, fps_den) -> EncoderParams:
     p.analyse.i_me_range = args.merange
     p.analyse.i_trellis = args.trellis
     p.rc.i_aq_mode = args.aq_mode
+    p.rc.f_aq_strength = args.aq_strength
+    p.analyse.f_psy_rd = args.psy_rd
+    p.i_bframe_adaptive = args.b_adapt
+    p.i_bframe_bias = max(-100, min(100, args.b_bias))
+    p.analyse.b_dct_decimate = not args.no_dct_decimate
+    p.analyse.b_fast_pskip = not args.no_fast_pskip
+    p.analyse.b_psnr = not args.no_psnr
+    p.analyse.b_ssim = not args.no_ssim
+    p.rc.f_ip_factor = args.ipratio
+    p.rc.f_pb_factor = args.pbratio
+    p.analyse.i_chroma_qp_offset = args.chroma_qp_offset
+    p.rc.i_qp_min = args.qpmin
+    p.rc.i_qp_max = args.qpmax
+    p.rc.i_qp_step = args.qpstep
+    p.rc.f_rate_tolerance = args.ratetol
+    p.rc.f_qcompress = args.qcomp
+    p.rc.i_vbv_max_bitrate = args.vbv_maxrate
+    p.rc.i_vbv_buffer_size = args.vbv_bufsize
+    p.rc.f_vbv_buffer_init = args.vbv_init
+    p.analyse.i_luma_deadzone = (args.deadzone_inter,
+                                 args.deadzone_intra)
+    p.i_level_idc = args.level
+    try:
+        a_off, b_off = args.deblock_params.split(":")
+        p.i_deblocking_filter_alphac0 = int(a_off)
+        p.i_deblocking_filter_beta = int(b_off)
+    except ValueError:
+        pass
+    p.i_mb_row_shards = args.shards
+    if args.partitions != "default":
+        from .params import (ANALYSE_I4x4, ANALYSE_I8x8,
+                             ANALYSE_PSUB16x16, ANALYSE_PSUB8x8,
+                             ANALYSE_BSUB16x16)
+        toks = {t.strip() for t in args.partitions.split(",")}
+        if "all" in toks:
+            flags = (ANALYSE_I4x4 | ANALYSE_I8x8 | ANALYSE_PSUB16x16
+                     | ANALYSE_PSUB8x8 | ANALYSE_BSUB16x16)
+        elif "none" in toks:
+            flags = 0
+        else:
+            flags = 0
+            if "i4x4" in toks:
+                flags |= ANALYSE_I4x4
+            if "i8x8" in toks:
+                flags |= ANALYSE_I8x8
+            if "p8x8" in toks:
+                flags |= ANALYSE_PSUB16x16
+            if "p4x4" in toks:
+                flags |= ANALYSE_PSUB16x16 | ANALYSE_PSUB8x8
+            if "b8x8" in toks:
+                flags |= ANALYSE_BSUB16x16
+        p.analyse.inter = flags
+        p.analyse.intra = flags & (ANALYSE_I4x4 | ANALYSE_I8x8)
     p.i_scenecut_threshold = args.scenecut
     p.i_frame_parallel = args.frame_parallel
     if args.rc_pass == 1:

@@ -94,6 +94,10 @@ class Encoder:
         # >=4 = half+quarter
         from ..params import ANALYSE_PSUB16x16, RC_CQP as _CQP
         self._parts = bool(p.analyse.inter & ANALYSE_PSUB16x16)
+        # P8x8 belongs to PSUB16x16 (x264.h: "p16x8, p8x16, p8x8") and
+        # is therefore on in the reference defaults; sub-8x8 splits
+        # (PSUB8x8) are not built (validate logs)
+        self._p8x8 = self._parts
         # adaptive 8x8 transform (High profile; CABAC P slices v1)
         self._t8 = bool(p.analyse.b_transform_8x8)
         # variance AQ (per-MB QP + mb_qp_delta syntax)
@@ -113,6 +117,8 @@ class Encoder:
         # encoder/macroblock.c:415-474)
         self._lossless = (p.rc.i_rc_method == _CQP
                           and p.rc.i_qp_constant == 0)
+        # 52-QP trellis const stacks (built lazily when AQ + trellis)
+        self._trellis_full = None
         sp = p.analyse.i_subpel_refine
         self._subpel = () if sp <= 1 else ((2,) if sp <= 3 else (2, 1))
         # subme >= 6 enables the true RD-cost mode decision ladder
@@ -162,6 +168,18 @@ class Encoder:
         # (L0) once the future reference (L1 = _ref) is encoded
         self._bframes = p.i_bframe
         self._bqueue = []
+        # adaptive B placement (b-adapt fast greedy over device lowres
+        # costs, slicetype.c:545-573) + lowres-seeded B ME; the
+        # B_ADAPT_TRELLIS request runs the same greedy (Viterbi path
+        # search not built — logged in validate)
+        from ..params import B_ADAPT_NONE
+        self._badapt = (self._bframes > 0
+                        and p.i_bframe_adaptive != B_ADAPT_NONE)
+        self._la_ref_lows = None    # lowres planes of last non-B ref
+        self._la_prev_lows = None   # ... of the reference before it
+        self._la_bh = p.mb_height
+        self._la_bw = p.mb_width
+        self._la_r = max(4, min(12, p.analyse.i_me_range // 2))
         self._prev_ref = None
         self._ref_maps = None   # (ref4, mv4) of _ref, for B direct
         self._disp_since_idr = 0
@@ -253,7 +271,8 @@ class Encoder:
             # frames.next delay + reorder, encoder/encoder.c:1423-1457);
             # an IDR closes the GOP by promoting the newest queued
             # candidate to P first (closing-GOP B->P demotion,
-            # slicetype.c:597-635)
+            # slicetype.c:597-635). With b-adapt the queue grows only
+            # while the lowres greedy says B pays (slicetype.c:545-573).
             if is_idr:
                 self._flush_bqueue()
                 self._advance_gop(True)
@@ -264,9 +283,12 @@ class Encoder:
                                 disp_abs)
                 self._advance_gop(False)
                 self._submit_bqueue()
+            elif self._badapt and self._ref is not None:
+                self._badapt_step(frame, forced_qp, disp_poc, disp_abs)
+                self._advance_gop(False)
             else:
                 self._bqueue.append((frame, forced_qp, disp_poc,
-                                     disp_abs))
+                                     disp_abs, None))
                 self._advance_gop(False)
         else:
             if is_idr:
@@ -281,15 +303,72 @@ class Encoder:
             return self._finalize(self._pending.pop(0))
         return None
 
+    def _lowres(self, frame: Frame):
+        """Phase lowres planes of a source frame (h2d as a flat array —
+        the cheap layout on tunneled devices)."""
+        from . import lookahead as la
+        y = np.asarray(frame.y, np.uint8)
+        return la.lowres_planes_flat(y.ravel(), y.shape[0], y.shape[1])
+
+    def _badapt_step(self, frame: Frame, fqp, poc: int, disp: int):
+        """One b-adapt-fast greedy step (slicetype.c:545-573) over the
+        device lowres costs: decide whether this frame extends the B
+        run, closes it as a P, or — at the first test — demotes the
+        queued candidate to P."""
+        from . import lookahead as la
+        lows = self._lowres(frame)
+        q = self._bqueue
+        if not q or self._la_ref_lows is None:
+            q.append((frame, fqp, poc, disp, lows))
+            return
+        bh, bw, r = self._la_bh, self._la_bw, self._la_r
+        if len(q) == 1:
+            c = np.asarray(la.badapt_first_fused(
+                q[0][4], lows, self._la_ref_lows, bh, bw, r))
+            cost1p0, cost2p0, cost1b1, cost2p1, n_intra2 = \
+                (int(x) for x in c)
+            nblk = ((bh - 2) * (bw - 2) if min(bh, bw) > 2
+                    else bh * bw)
+            if (n_intra2 > nblk // 2
+                    or cost1p0 + cost2p0 < cost1b1 + cost2p1):
+                # the candidate becomes a P; this frame starts the
+                # next segment's queue (slicetype.c no_b_frames)
+                f1 = q.pop(0)
+                self._submit_ip(f1[0], False, f1[1], f1[2], f1[3],
+                                lows=f1[4])
+                q.append((frame, fqp, poc, disp, lows))
+                return
+        j = len(q) + 1
+        c = np.asarray(la.badapt_ext_fused(lows, self._la_ref_lows,
+                                           bh, bw, r))
+        pcost, n_intra, nblk = (int(x) for x in c)
+        bias = self.params.i_bframe_bias
+        pthresh = max(la.INTER_THRESH - (50 - bias) * (j - 1),
+                      la.INTER_THRESH // 10)
+        if pcost > pthresh * nblk or n_intra > nblk // 3:
+            self._submit_ip(frame, False, fqp, poc, disp, lows=lows)
+            self._submit_bqueue()
+        else:
+            q.append((frame, fqp, poc, disp, lows))
+
     def _submit_bqueue(self):
         """Encode the queued candidates as the B run between the
-        just-encoded reference pair, in display order, with
-        distance-scaled ME seeds from the P's MV field."""
+        just-encoded reference pair, in display order. ME seeds come
+        from the candidates' own lowres MV fields against both lists
+        when available (slicetype.c:153-166), else distance-scaled
+        from the P's MV field."""
+        from . import lookahead as la
         q, self._bqueue = self._bqueue, []
         span = len(q) + 1
-        for i, (g, g_qp, g_poc, g_disp) in enumerate(q):
+        for i, (g, g_qp, g_poc, g_disp, g_lows) in enumerate(q):
+            seeds = None
+            if (g_lows is not None and self._la_prev_lows is not None
+                    and self._la_ref_lows is not None):
+                seeds = la.b_seed_mvs_fused(
+                    g_lows, self._la_prev_lows, self._la_ref_lows,
+                    self._la_bh, self._la_bw, self._la_r)
             self._submit_b_disp(g, g_qp, g_poc, g_disp,
-                                d0=i + 1, span=span)
+                                d0=i + 1, span=span, seeds=seeds)
 
     def _flush_bqueue(self):
         """Close the GOP: newest queued candidate becomes the P, the
@@ -301,7 +380,8 @@ class Encoder:
         # an IDR resets POC to 0 (spec 7.4.3); only a P keeps its
         # buffered display POC
         self._submit_ip(last[0], is_idr, last[1],
-                        0 if is_idr else last[2], last[3])
+                        0 if is_idr else last[2], last[3],
+                        lows=last[4])
         self._submit_bqueue()
 
     def _advance_gop(self, to_idr: bool):
@@ -316,8 +396,14 @@ class Encoder:
         self._disp_since_idr += 1
 
     def _submit_ip(self, frame: Frame, is_idr: bool, forced_qp, poc: int,
-                   disp: int = -1):
+                   disp: int = -1, lows=None):
         """Submit one reference frame (IDR or P) in encode order."""
+        if self._badapt:
+            # rotate the lookahead lowres state with the DPB: the lows
+            # of this frame become the L1 side of the next B run
+            self._la_prev_lows = self._la_ref_lows
+            self._la_ref_lows = (lows if lows is not None
+                                 else self._lowres(frame))
         qp = self.rc.start("I" if is_idr else "P",
                            frame_idx=self.frame_count)
         if forced_qp is not None:
@@ -394,13 +480,14 @@ class Encoder:
         pend["fetch"] = (t, res)
 
     def _submit_b_disp(self, frame: Frame, forced_qp, poc: int,
-                       disp: int = -1, d0: int = 1, span: int = 2):
+                       disp: int = -1, d0: int = 1, span: int = 2,
+                       seeds=None):
         qp = self.rc.start("B", frame_idx=self.frame_count)
         if forced_qp is not None:
             qp = max(0, min(51, int(forced_qp)))
             self.rc.last_qp = qp
         self.poc = poc
-        pend = self._submit_b(frame, qp, d0, span)
+        pend = self._submit_b(frame, qp, d0, span, seeds)
         pend["ftype"] = "B"
         pend.update(frame=frame, qp=qp, disp=disp,
                     rc_rceq=self.rc.last_rceq, rc_satd=self.rc.last_satd)
@@ -496,10 +583,58 @@ class Encoder:
                 qt["aq_strength"] = self._aq_strength
             if (p.analyse.i_trellis and p.b_cabac
                     and not self._lossless):
+                # trellis consts for every inter category the residual
+                # paths quantize (luma 4x4 / 8x8 / chroma AC+DC —
+                # x264_quant_{4x4,8x8,dc}_trellis, encoder/rdo.c:632-661)
                 from ..ops import trellis as otrellis
-                qt["trellis"] = otrellis.make_consts(
-                    qp_y, 2, tables.CQM_4PY, slice_is_i=False,
-                    cabac_init_idc=p.i_cabac_init_idc, qt=self.qt)
+                idc = p.i_cabac_init_idc
+                if self._aq:
+                    # variance AQ: one 52-QP const stack shared by all
+                    # frame QPs, row-gathered per MB on device
+                    if self._trellis_full is None:
+                        mk = lambda cat, lst: otrellis.make_consts_all_qp(
+                            cat, lst, False, idc, qt=self.qt)
+                        tf = dict(t4=mk(2, tables.CQM_4PY),
+                                  tc=mk(4, tables.CQM_4PC),
+                                  tcdc=mk(3, tables.CQM_4PC))
+                        if self._t8:
+                            tf["t8"] = mk(5, tables.CQM_8PY)
+                        self._trellis_full = tf
+                    tf = self._trellis_full
+                    qt["trellis"] = tf["t4"]
+                    qt["trellis_pc"] = tf["tc"]
+                    qt["trellis_pc_dc"] = tf["tcdc"]
+                    if self._t8:
+                        qt["trellis8"] = tf["t8"]
+                else:
+                    mk = lambda q, cat, lst: otrellis.make_consts(
+                        q, cat, lst, False, idc, qt=self.qt,
+                        state_qp=qp_y)
+                    qt["trellis"] = mk(qp_y, 2, tables.CQM_4PY)
+                    qt["trellis_pc"] = mk(qp_c, 4, tables.CQM_4PC)
+                    qt["trellis_pc_dc"] = mk(qp_c, 3, tables.CQM_4PC)
+                    if self._t8:
+                        qt["trellis8"] = mk(qp_y, 5, tables.CQM_8PY)
+            if self._rd:
+                # RD-ladder bit-cost tables (bits only — quant fields
+                # unused) + the x264_lambda2_tab lambda
+                from ..ops import trellis as otrellis
+                from ..ops import rdcost as ordc
+                import jax.numpy as jnp
+                idc = p.i_cabac_init_idc
+                qt["rdbits"] = {
+                    f"cat{c}": otrellis.make_consts(
+                        qp_y, c, tables.CQM_4PY if c != 5
+                        else tables.CQM_8PY, False, idc, qt=self.qt)
+                    for c in range(6)}
+                qt["rd_lam2"] = jnp.float32(ordc.lambda2_f8(qp_y))
+                if p.analyse.b_psy and p.analyse.f_psy_rd > 0:
+                    # ssd_plane psy scaling (encoder/rdo.c:127):
+                    # (satd * FIX8(f_psy_rd) * lambda + 128) >> 8
+                    # == satd * f_psy_rd * lambda
+                    qt["psy_rd"] = jnp.float32(
+                        p.analyse.f_psy_rd
+                        * float(tables.LAMBDA_TABLE[qp_y]))
             self._qtab_p_cache[key] = qt
         return self._qtab_p_cache[key]
 
@@ -665,7 +800,8 @@ class Encoder:
                 self._qtab(qp, qp_c), lam, qp,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
-                p.analyse.i_chroma_qp_offset, cap_ops)
+                p.analyse.i_chroma_qp_offset, cap_ops,
+                t8_mode=self._t8)
             payload = self._assemble_band_cabac_nals(
                 out, hdrs, True, qp, NAL_SLICE_IDR, 3, cap_ops)
         else:
@@ -718,7 +854,11 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset, mvp_seed, cap_ops,
-                ref2_y=r2[0], ref2_u=r2[1], ref2_v=r2[2])
+                ref2_y=r2[0], ref2_u=r2[1], ref2_v=r2[2],
+                t8=self._t8, decimate=p.analyse.b_dct_decimate,
+                rd=self._rd, p8x8=self._p8x8, aq=self._aq,
+                aq_qp_min=int(p.rc.i_qp_min),
+                aq_qp_max=int(p.rc.i_qp_max))
             payload = self._assemble_band_cabac_nals(
                 out, hdrs, False, qp, NAL_SLICE, 2, cap_ops)
         else:
@@ -735,6 +875,46 @@ class Encoder:
                                                cap_words, n)
         self._prev_mv = out["mv"]
         recon = self._finish_frame(out, frame)
+        n_intra = out["intra_mb"].sum()
+        n_skip = out["skip"].sum()
+        self._last_mb_counts = (n_intra, mb_h * mb_w - n_intra - n_skip,
+                                n_skip)
+        return payload, recon
+
+    def _encode_b_rows(self, frame: Frame, qp: int, mvp_seed,
+                       mvp_seed_l1, col_ref4, col_mv4):
+        """One non-reference B frame as n row-band CABAC slices."""
+        from ..parallel import rows as prows
+        from ..headers import SLICE_B
+        p = self.params
+        mb_w, mb_h = p.mb_width, p.mb_height
+        n = self._n_shards
+        band = mb_h // n
+        y, u, v = self._pad_input(frame)
+        y = y.reshape(mb_h * 16, mb_w * 16)
+        u = u.reshape(mb_h * 8, mb_w * 8)
+        v = v.reshape(mb_h * 8, mb_w * 8)
+        qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
+        lam = int(tables.LAMBDA_TABLE[qp])
+        qtab = self._qtab_p(qp, qp_c)
+        if self._aq and qtab.get("trellis") is not None:
+            # the 52-QP trellis stacks need per-shard QP rows the
+            # replicated qtab can't carry; sharded B stays deadzone
+            qtab = {k: v for k, v in qtab.items()
+                    if not k.startswith("trellis")}
+        hdrs = self._band_cabac_headers(qp, SLICE_B, 0, band, n)
+        cap_ops = pipeline.cabac_capacity(band * mb_w)
+        out = prows.encode_b_rows_cabac(
+            self._rows_mesh, mb_h, mb_w, self._me_range, self._subpel,
+            bool(p.b_deblocking_filter), y, u, v,
+            *self._prev_ref, *self._ref, qtab, lam, qp,
+            2 * p.i_deblocking_filter_alphac0,
+            2 * p.i_deblocking_filter_beta,
+            p.analyse.i_chroma_qp_offset, mvp_seed, col_ref4, col_mv4,
+            cap_ops, mvp_seed_l1=mvp_seed_l1, t8=self._t8)
+        payload = self._assemble_band_cabac_nals(
+            out, hdrs, False, qp, NAL_SLICE, 0, cap_ops)
+        recon = self._finish_frame(out, frame, is_ref=False)
         n_intra = out["intra_mb"].sum()
         n_skip = out["skip"].sum()
         self._last_mb_counts = (n_intra, mb_h * mb_w - n_intra - n_skip,
@@ -855,7 +1035,9 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset,
-                mvp_seed, r2y, r2u, r2v, t8=self._t8, **self._crop, **self._aq_kw)
+                mvp_seed, r2y, r2u, r2v, t8=self._t8,
+                decimate=p.analyse.b_dct_decimate, rd=self._rd,
+                p8x8=self._p8x8, **self._crop, **self._aq_kw)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=False, nal_type=NAL_SLICE,
                         nal_ref_idc=2, nmb=mb_h * mb_w)
@@ -874,8 +1056,9 @@ class Encoder:
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset,
-                mvp_seed, r2y, r2u, r2v, **self._crop,
-                **self._aq_kw)
+                mvp_seed, r2y, r2u, r2v,
+                decimate=p.analyse.b_dct_decimate, rd=self._rd,
+                p8x8=self._p8x8, **self._crop, **self._aq_kw)
             pend = dict(kind="cavlc", out=out,
                         cap_words=pipeline.capacity_words(mb_h * mb_w),
                         nal_type=NAL_SLICE, nal_ref_idc=2)
@@ -885,7 +1068,7 @@ class Encoder:
         return pend
 
     def _submit_b(self, frame: Frame, qp: int, d0: int = 1,
-                  span: int = 2) -> dict:
+                  span: int = 2, seeds=None) -> dict:
         """One non-reference B frame between _prev_ref (L0, past) and
         _ref (L1, future) — x264_encoder_encode B path with the
         reordered reference lists of x264_reference_build_list.
@@ -901,10 +1084,23 @@ class Encoder:
         y, u, v = self._pad_input(frame)
         qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
         lam = int(tables.LAMBDA_TABLE[qp])
-        pmv = (self._prev_mv if self._prev_mv is not None
-               else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
-        mvp_seed = pmv * d0 // span
-        mvp_seed_l1 = -(pmv * (span - d0)) // span
+        qtab_b = self._qtab_p(qp, qp_c)
+        if self._aq and qtab_b.get("trellis") is not None:
+            # AQ encoders carry 52-QP trellis stacks; B frames (no AQ
+            # yet) trellis at the frame QP via constant row maps
+            qtab_b = dict(qtab_b)
+            qtab_b["trellis_qp"] = jnp.full((mb_h, mb_w), qp, jnp.int32)
+            qtab_b["trellis_qpc"] = jnp.full((mb_h, mb_w), qp_c,
+                                             jnp.int32)
+        if seeds is not None:
+            # lowres MV fields searched against each list directly
+            # (one lowres 8x8 block == one MB; slicetype.c:153-166)
+            mvp_seed, mvp_seed_l1 = seeds
+        else:
+            pmv = (self._prev_mv if self._prev_mv is not None
+                   else jnp.zeros((mb_h, mb_w, 2), jnp.int32))
+            mvp_seed = pmv * d0 // span
+            mvp_seed_l1 = -(pmv * (span - d0)) // span
         l0 = self._prev_ref
         l1 = self._ref
         # colocated maps of RefPicList1[0] for spatial direct; an I/IDR
@@ -914,12 +1110,17 @@ class Encoder:
         else:
             col_ref4 = jnp.full((mb_h * 4, mb_w * 4), -1, jnp.int32)
             col_mv4 = jnp.zeros((mb_h * 4, mb_w * 4, 2), jnp.int32)
+        if self._rows_mesh is not None and p.b_cabac:
+            payload, recon = self._encode_b_rows(
+                frame, qp, mvp_seed, mvp_seed_l1, col_ref4, col_mv4)
+            return dict(kind="done", payload=payload, recon=recon,
+                        counts=self._last_mb_counts)
         if p.b_cabac:
             hdr_bytes = self._cabac_header(qp, SLICE_B, 0)
             out = pipeline.encode_b_cabac(
                 mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
                 self._subpel, y, u, v, *l0, *l1,
-                self._qtab_p(qp, qp_c), lam, qp, qp_c,
+                qtab_b, lam, qp, qp_c,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset, mvp_seed,
@@ -935,7 +1136,7 @@ class Encoder:
             out = pipeline.encode_b(
                 mb_h, mb_w, self._me_range, bool(p.b_deblocking_filter),
                 self._subpel, y, u, v, *l0, *l1,
-                self._qtab_p(qp, qp_c), lam, qp, qp_c,
+                qtab_b, lam, qp, qp_c,
                 hdr_vals, hdr_lens,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,

@@ -79,12 +79,15 @@ def median3(a, b, c):
 
 
 def inter_luma_residual(fenc_tiles, pred_tiles, qtab,
-                        lossless: bool = False):
+                        lossless: bool = False, decimate: bool = False):
     """Inter 16x16 luma residual: 16 full 4x4 DCT blocks, P-matrix quant
     (x264_macroblock_encode P path, encoder/macroblock.c:538-616). When
     qtab carries a "trellis" const dict, the deadzone quant is replaced
     by the batched CABAC trellis (x264_quant_4x4 b_trellis switch,
-    encoder/macroblock.c:87-95).
+    encoder/macroblock.c:87-95). decimate applies the DCT-decimation
+    rules (encoder/macroblock.c:700-730): an 8x8 group with
+    decimate-score < 4 is zeroed, a whole MB scoring < 6 loses all luma
+    residual.
 
     Returns (recon, blocks_z (mbh,mbw,16,16) zig-zag in z-scan block
     order, cbp_bits (mbh,mbw) 4-bit per-8x8 pattern)."""
@@ -109,11 +112,25 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab,
         zz = jnp.asarray(tables.ZIGZAG4)
         inv = jnp.asarray(np.argsort(tables.ZIGZAG4))
         cf = coef.reshape(-1, 16)
-        lv_scan = otrellis.trellis_4x4(cf[:, zz], qtab["trellis"])
+        tq = qtab.get("trellis_qp")   # per-MB QP rows (variance AQ)
+        qpi = None if tq is None else jnp.repeat(tq.reshape(-1), 16)
+        lv_scan = otrellis.trellis_scan(cf[:, zz], qtab["trellis"],
+                                        qp_idx=qpi)
         lv = lv_scan[:, inv].reshape(*lead, 16, 16)
     else:
         lv = oquant.quant(coef.reshape(*lead, 16, 16),
                           _q16(qtab["py_mf"]), _q16(qtab["py_bias"]))
+    if decimate:
+        zigd = jnp.asarray(tables.ZIGZAG4)
+        s = oquant.decimate_score(lv[..., zigd],
+                                  oquant.DECIMATE_TAB4)       # (*,16)
+        # raster block (row,col) -> 8x8 group (row//2, col//2)
+        g = s.reshape(*lead, 2, 2, 2, 2).sum(axis=(-3, -1))   # (*,2,2)
+        tot = g.sum(axis=(-2, -1))
+        kill_g = (g < 4) | (tot < 6)[..., None, None]
+        kill_blk = jnp.repeat(jnp.repeat(kill_g, 2, -2), 2, -1) \
+            .reshape(*lead, 16)
+        lv = jnp.where(kill_blk[..., None], 0, lv)
     nz_blk = jnp.any(lv != 0, axis=-1).reshape(*lead, 4, 4)  # raster grid
     # 8x8 group bit: quadrant q covers raster rows 2q_y.., cols 2q_x
     grp = nz_blk.reshape(*lead, 2, 2, 2, 2).any(axis=(-3, -1))  # (*,2,2)
@@ -130,10 +147,14 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab,
     return recon, blocks_z, cbp_bits
 
 
-def inter_luma_residual8(fenc_tiles, pred_tiles, qtab):
+def inter_luma_residual8(fenc_tiles, pred_tiles, qtab,
+                         decimate: bool = False):
     """Inter luma residual with the 8x8 transform (x264_macroblock_encode
     b_transform_8x8 branch, encoder/macroblock.c:538-558): 4 8x8 DCT
-    blocks per MB, CQM_8PY quantization.
+    blocks per MB, CQM_8PY quantization. decimate zeroes 8x8 blocks
+    scoring < 4 and the whole MB when the total scores < 6
+    (encoder/macroblock.c:643-667; skipped under trellis — 8x8 trellis
+    is inherently optimal decimation, :630).
 
     Returns (recon, blocks8_z (..., 4, 64) scan-order coefficients in
     2x2-raster block order, cbp_bits 4-bit per-8x8 pattern)."""
@@ -141,8 +162,26 @@ def inter_luma_residual8(fenc_tiles, pred_tiles, qtab):
     diff = fenc_tiles - pred_tiles
     blocks = diff.reshape(*lead, 2, 8, 2, 8).swapaxes(-3, -2)
     coef = odct.dct8x8(blocks)
-    lv = oquant.quant(coef.reshape(*lead, 4, 64),
-                      _q16(qtab["p8_mf"]), _q16(qtab["p8_bias"]))
+    if qtab.get("trellis8") is not None:
+        from ..ops import trellis as otrellis
+        z8 = jnp.asarray(tables.ZIGZAG8)
+        inv8 = jnp.asarray(np.argsort(tables.ZIGZAG8))
+        cf = coef.reshape(-1, 64)
+        tq = qtab.get("trellis_qp")
+        qpi = None if tq is None else jnp.repeat(tq.reshape(-1), 4)
+        lv_scan = otrellis.trellis_scan(cf[:, z8], qtab["trellis8"],
+                                        qp_idx=qpi)
+        lv = lv_scan[:, inv8].reshape(*lead, 4, 64)
+        decimate = False   # 8x8 trellis is optimal decimation (:630)
+    else:
+        lv = oquant.quant(coef.reshape(*lead, 4, 64),
+                          _q16(qtab["p8_mf"]), _q16(qtab["p8_bias"]))
+    if decimate:
+        z8d = jnp.asarray(tables.ZIGZAG8)
+        s = oquant.decimate_score(lv[..., z8d],
+                                  oquant.DECIMATE_TAB8)    # (*,4)
+        kill = (s < 4) | (s.sum(axis=-1) < 6)[..., None]
+        lv = jnp.where(kill[..., None], 0, lv)
     nz_blk = jnp.any(lv != 0, axis=-1)                    # (*, 4)
     cbp_bits = (nz_blk[..., 0] * 1 + nz_blk[..., 1] * 2
                 + nz_blk[..., 2] * 4 + nz_blk[..., 3] * 8).astype(I32)
@@ -162,7 +201,8 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                   parts: bool = True, lossless: bool = False,
                   ref2_y=None, ref2_u=None, ref2_v=None,
                   n_refs: int = 1, t8: bool = False,
-                  qp_map=None, qpc_map=None):
+                  qp_map=None, qpc_map=None, decimate: bool = False,
+                  rd: bool = False, p8x8: bool = False):
     """Encode one P frame (pre-deblock). All planes int32, MB-aligned;
     ref_* are the deblocked reference reconstruction. mvp_seed:
     (mb_h, mb_w, 2) qpel MV predictors for ME cost (previous frame's
@@ -197,6 +237,14 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         qtab_p = dict(qtab)
         qtab_p.update(eaq.qtab_rows(full, qp_map, qpc_map,
                                     intra_cqm=False, inter_tabs=True))
+        if qtab.get("trellis") is not None:
+            # AQ trellis: per-MB QP rows into the 52-QP const stacks
+            qtab_p["trellis_qp"] = qp_map
+            qtab_p["trellis_qpc"] = qpc_map
+        # the intra sweeps stay deadzone-quantized (the reference
+        # trellises intra too; deviation documented in ops/trellis.py)
+        for k in ("trellis", "trellis8", "trellis_pc", "trellis_pc_dc"):
+            qtab_i.pop(k, None)
     else:
         qtab_i = qtab_p = qtab
 
@@ -244,9 +292,11 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     # (inter_p16x8 / p8x16, encoder/analyse.c:1274-1404 — window search
     # seeded by the MB winner, then sub-pel SATD refine per partition)
     parts = parts and bool(subpel_steps)
+    p8x8 = p8x8 and parts
     if parts:
         pf = ome.partition_fullpel(y_tiles, refs_pad, mv_fp, lam,
-                                   mvp_seed, me_range, ref_sel=sel)
+                                   mvp_seed, me_range, ref_sel=sel,
+                                   with_8x8=p8x8)
         # both partitions of each split refined in ONE batched call
         # (leading axis 2), halving the gather/SATD dispatch count
         sel2s = None if sel is None else jnp.stack([sel, sel])
@@ -271,13 +321,35 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         cost_816 = satd_l + satd_r + lam * (
             ome.mv_cost_bits(mv_l, mvp_seed)
             + ome.mv_cost_bits(mv_r, mvp_seed) + 3 + 2 * ref_bits)
-        costs = jnp.stack([cost16, cost_168, cost_816])
+        cost_list = [cost16, cost_168, cost_816]
+        if p8x8:
+            # P8x8: one batched sub-pel refine over the 4 quadrants
+            # (x264_mb_analyse_inter_p8x8, encoder/analyse.c:1222-1272;
+            # sub_mb_type fixed at L0_8x8 — no sub-8x8 splits)
+            quads = jnp.stack([y_tiles[..., :8, :8], y_tiles[..., :8, 8:],
+                               y_tiles[..., 8:, :8], y_tiles[..., 8:, 8:]])
+            sel4 = None if sel is None else jnp.stack([sel] * 4)
+            mvp4 = jnp.stack([mvp_seed] * 4)
+            qys = jnp.stack([ys, ys, ys + 8, ys + 8])
+            qxs = jnp.stack([xs, xs + 8, xs, xs + 8])
+            mv_q, satd_q = ome.subpel_refine_blocks(
+                quads, planes,
+                jnp.stack([pf["q0"], pf["q1"], pf["q2"], pf["q3"]]),
+                lam, mvp4, qys, qxs, 8, 8, subpel_steps, ref_sel=sel4)
+            # mb_type ue(3)=5 bits + 4 sub_mb_type '1' bits
+            cost_8x8 = satd_q.sum(0) + lam * (
+                sum(ome.mv_cost_bits(mv_q[k], mvp_seed)
+                    for k in range(4)) + 9 + 4 * ref_bits)
+            cost_list.append(cost_8x8)
+        costs = jnp.stack(cost_list)
         ptype = jnp.argmin(costs, axis=0).astype(I32)
         cost_inter = jnp.min(costs, axis=0)
     else:
         mv_t = mv_b = mv_l = mv_r = mv
         ptype = jnp.zeros((mb_h, mb_w), I32)
         cost_inter = cost16
+    if not p8x8:
+        mv_q = jnp.stack([mv] * 4)
 
     # partition MVs as (mb_h, mb_w, 2 parts, 2) — slot 0/1 per ptype
     mv_p0 = jnp.where((ptype == 1)[..., None], mv_t,
@@ -295,6 +367,13 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                                 jnp.zeros((4, 4), bool)))
     mv_blk = jnp.where(in_p1[..., None], mv_p1[:, :, None, None, :],
                        mv_p0[:, :, None, None, :])   # (mbh,mbw,4,4,2)
+    # 4x4 cell -> 8x8 quadrant index (TL,TR,BL,BR)
+    quad_idx = ((br[:, None] >= 2).astype(I32) * 2
+                + (br[None, :] >= 2).astype(I32))    # (4,4)
+    if p8x8:
+        mv_q_mb = jnp.moveaxis(mv_q, 0, 2)           # (mbh,mbw,4,2)
+        mv_blk = jnp.where((ptype == 3)[..., None, None, None],
+                           mv_q_mb[:, :, quad_idx], mv_blk)
 
     # ------------------------------------------------- stage 2: inter path
     ref_u_pad = (ref_u.astype(I32) if ref_prepadded
@@ -346,31 +425,131 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
             axis=-1)
         pred_u = jnp.where(sel1, pu168, jnp.where(sel2, pu816, pred_u16))
         pred_v = jnp.where(sel1, pv168, jnp.where(sel2, pv816, pred_v16))
+        if p8x8:
+            py8 = jnp.concatenate([
+                jnp.concatenate([mcl(ys, xs, mv_q[0], 8, 8),
+                                 mcl(ys, xs + 8, mv_q[1], 8, 8)],
+                                axis=-1),
+                jnp.concatenate([mcl(ys + 8, xs, mv_q[2], 8, 8),
+                                 mcl(ys + 8, xs + 8, mv_q[3], 8, 8)],
+                                axis=-1)], axis=-2)
+            cy, cx = ys >> 1, xs >> 1
+
+            def cquad(cpad):
+                return jnp.concatenate([
+                    jnp.concatenate([mcc(cpad, cy, cx, mv_q[0], 4, 4),
+                                     mcc(cpad, cy, cx + 4, mv_q[1],
+                                         4, 4)], axis=-1),
+                    jnp.concatenate([mcc(cpad, cy + 4, cx, mv_q[2],
+                                         4, 4),
+                                     mcc(cpad, cy + 4, cx + 4, mv_q[3],
+                                         4, 4)], axis=-1)], axis=-2)
+
+            sel3 = (ptype == 3)[..., None, None]
+            pred_y = jnp.where(sel3, py8, pred_y)
+            pred_u = jnp.where(sel3, cquad(ref_u_pad), pred_u)
+            pred_v = jnp.where(sel3, cquad(ref_v_pad), pred_v)
     else:
         pred_y, pred_u, pred_v = pred16, pred_u16, pred_v16
 
+    decim = decimate and not lossless
+    rd = rd and not lossless and qtab.get("rdbits") is not None
+    if rd:
+        from ..ops import rdcost as ordc
+        rb = qtab["rdbits"]
+        lam2 = qtab["rd_lam2"]
+        # psy-RD (ssd_plane psy term, encoder/rdo.c:107-130): charge
+        # the absolute AC-complexity difference between source and
+        # reconstruction, scaled by f_psy_rd * lambda / 256
+        psy = qtab.get("psy_rd")
+        ce_psy = opix.ac_energy(y_tiles).astype(jnp.float32) \
+            if psy is not None else None
+
+        def psy_term(recon):
+            if psy is None:
+                return 0.0
+            return psy * jnp.abs(
+                opix.ac_energy(recon).astype(jnp.float32) - ce_psy)
     recon_inter_y, inter_blocks_z, inter_cbp = inter_luma_residual(
-        y_tiles, pred_y, qtab_p, lossless)
+        y_tiles, pred_y, qtab_p, lossless, decimate=decim)
+    if rd:
+        bits4 = ordc.residual_bits_f8(
+            inter_blocks_z.reshape(-1, 16), rb["cat2"]) \
+            .reshape(mb_h, mb_w, 16).sum(-1)
+        ssd4 = ordc.ssd_tiles(y_tiles, recon_inter_y) \
+            + psy_term(recon_inter_y)
     if t8 and not lossless:
         # adaptive transform size (x264_mb_analyse_transform,
-        # encoder/analyse.c:2109): SA8D-vs-SATD of the prediction
-        # residual picks 8x8, the 8x8 residual path replaces the 4x4
-        # one for those MBs
+        # encoder/analyse.c:2109 / _rd:2127): under the RD ladder the
+        # choice is true ssd + lambda2*bits of both residual codings;
+        # otherwise the SA8D-vs-SATD heuristic
         recon8, blocks8_z, cbp8 = inter_luma_residual8(
-            y_tiles, pred_y, qtab_p)
-        t8_sel = opix.sa8d_16x16(y_tiles, pred_y) \
-            < opix.satd(y_tiles, pred_y)
+            y_tiles, pred_y, qtab_p, decimate=decim)
+        if rd:
+            bits8 = ordc.residual_bits_f8(
+                blocks8_z.reshape(-1, 64), rb["cat5"]) \
+                .reshape(mb_h, mb_w, 4).sum(-1)
+            ssd8 = ordc.ssd_tiles(y_tiles, recon8) + psy_term(recon8)
+            t8_sel = ssd8 + lam2 * bits8 < ssd4 + lam2 * bits4
+        else:
+            t8_sel = opix.sa8d_16x16(y_tiles, pred_y) \
+                < opix.satd(y_tiles, pred_y)
         m8 = t8_sel[..., None, None]
         recon_inter_y = jnp.where(m8, recon8, recon_inter_y)
         inter_blocks_z = jnp.where(m8, 0, inter_blocks_z)
         inter_cbp = jnp.where(t8_sel, cbp8, inter_cbp)
+        if rd:
+            luma_bits_i = jnp.where(t8_sel, bits8, bits4)
+            luma_ssd_i = jnp.where(t8_sel, ssd8, ssd4)
     else:
         t8_sel = jnp.zeros((mb_h, mb_w), bool)
         blocks8_z = jnp.zeros((mb_h, mb_w, 4, 64), I32)
+        if rd:
+            luma_bits_i, luma_ssd_i = bits4, ssd4
+    if decim:
+        # joint two-channel chroma AC decimation, inter MBs only
+        # (encoder/macroblock.c:320-332: score < 7 zeroes the AC of
+        # both channels, the 2x2 DC always survives)
+        au = eintra.chroma_ac_scan(u_tiles, pred_u, qtab_p, "pc")
+        av = eintra.chroma_ac_scan(v_tiles, pred_v, qtab_p, "pc")
+        csc = (oquant.decimate_score(au[..., 1:],
+                                     oquant.DECIMATE_TAB4).sum(-1)
+               + oquant.decimate_score(av[..., 1:],
+                                       oquant.DECIMATE_TAB4).sum(-1))
+        ac_kill = csc < 7
+    else:
+        ac_kill = None
     iru, idcu, iacu, inzau, inzdu = eintra.chroma_residual(
-        u_tiles, pred_u, qtab_p, "pc", lossless)
+        u_tiles, pred_u, qtab_p, "pc", lossless, ac_kill=ac_kill)
     irv, idcv, iacv, inzav, inzdv = eintra.chroma_residual(
-        v_tiles, pred_v, qtab_p, "pc", lossless)
+        v_tiles, pred_v, qtab_p, "pc", lossless, ac_kill=ac_kill)
+    if rd:
+        # whole-MB inter RD cost (x264_rd_cost_mb, encoder/rdo.c:139):
+        # true SSD of the reconstruction + lambda2 * estimated bits of
+        # residual levels, chroma DC/AC, and the mode/ref/mvd header
+        cbits_i = (ordc.residual_bits_f8(
+                       iacu.reshape(-1, 16)[:, 1:], rb["cat4"])
+                   + ordc.residual_bits_f8(
+                       iacv.reshape(-1, 16)[:, 1:], rb["cat4"])) \
+            .reshape(mb_h, mb_w, 4).sum(-1)
+        cdcb_i = (ordc.residual_bits_f8(idcu.reshape(-1, 4), rb["cat3"])
+                  + ordc.residual_bits_f8(idcv.reshape(-1, 4),
+                                          rb["cat3"])) \
+            .reshape(mb_h, mb_w)
+        chroma_ssd_i = (ordc.ssd_tiles(u_tiles, iru)
+                        + ordc.ssd_tiles(v_tiles, irv))
+        hdr_bits = (ome.mv_cost_bits(mv_p0, mvp_seed) + 4 + ref_bits
+                    + jnp.where(ptype != 0,
+                                ome.mv_cost_bits(mv_p1, mvp_seed)
+                                + 2 + ref_bits, 0)).astype(jnp.float32)
+        if p8x8:
+            hdr8 = (sum(ome.mv_cost_bits(mv_q[k], mvp_seed)
+                        for k in range(4))
+                    + 9 + 4 * ref_bits).astype(jnp.float32)
+            hdr_bits = jnp.where(ptype == 3, hdr8, hdr_bits)
+        rd_cost_inter = (luma_ssd_i + chroma_ssd_i
+                         + lam2 * (luma_bits_i + cbits_i + cdcb_i
+                                   + 256.0 * hdr_bits))
 
     # ------------------- stage 3: intra-in-P by bounded-depth sweeps
     # The reference decides intra-vs-inter per MB inside the sequential
@@ -411,7 +590,7 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         topleft = lf(up(ty))[:, :, 15, 15].reshape(nK)
         lp = eintra.luma_i16_path(fenc_flat, top, left, topleft,
                                   ht_g, hl_g, qtab_i, lam, lossless,
-                                  mode_sel=mode_sel)
+                                  mode_sel=mode_sel, decimate=decim)
         pu = opred.predict_8x8c(up(tu)[:, :, 7, :].reshape(nK, 8),
                                 lf(tu)[:, :, :, 7].reshape(nK, 8),
                                 lf(up(tu))[:, :, 7, 7].reshape(nK),
@@ -448,9 +627,38 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
             mode_fix, cmode_fix = lp["mode"], cmode
         if intra_mb is None:
             # decision pass: fix the choice, then demote unresolvable
-            # deep chains (depth > K_SWEEPS)
-            choose = (lp["cost"] + lam * INTRA_PEN_BITS
-                      < cost_inter.reshape(nK)).reshape(mb_h, mb_w)
+            # deep chains (depth > K_SWEEPS). Under the RD ladder
+            # (subme >= 6) the comparison is true whole-MB
+            # ssd + lambda2*bits on both sides (x264_intra_rd,
+            # encoder/analyse.c:845); below it, SATD + lambda*bits.
+            if rd:
+                ibits = (ordc.residual_bits_f8(lp["dc_z"], rb["cat0"])
+                         + ordc.residual_bits_f8(
+                             lp["ac_z"].reshape(-1, 16)[:, 1:],
+                             rb["cat1"]).reshape(nK, 16).sum(-1)
+                         + ordc.residual_bits_f8(
+                             jnp.concatenate([acu, acv], 0)
+                             .reshape(-1, 16)[:, 1:], rb["cat4"])
+                         .reshape(2, nK, 4).sum(axis=(0, 2))
+                         + ordc.residual_bits_f8(
+                             jnp.concatenate([dcu, dcv], 0)
+                             .reshape(-1, 4), rb["cat3"])
+                         .reshape(2, nK).sum(0))
+                issd = (ordc.ssd_tiles(fenc_flat, lp["recon"])
+                        + ordc.ssd_tiles(fu_flat, ru)
+                        + ordc.ssd_tiles(fv_flat, rv))
+                if psy is not None:
+                    issd = issd + psy * jnp.abs(
+                        opix.ac_energy(lp["recon"]).astype(jnp.float32)
+                        - ce_psy.reshape(nK))
+                # ~9 bits of I16 mb_type (pred+cbp folded in, P-slice
+                # ue) + chroma pred mode
+                cost_i_rd = issd + lam2 * (ibits + 256.0 * 9)
+                choose = (cost_i_rd < rd_cost_inter.reshape(nK)) \
+                    .reshape(mb_h, mb_w)
+            else:
+                choose = (lp["cost"] + lam * INTRA_PEN_BITS
+                          < cost_inter.reshape(nK)).reshape(mb_h, mb_w)
             resolved = ~choose
             for _ in range(K_SWEEPS):
                 resolved = resolved | (choose
@@ -531,6 +739,19 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     else:
         mvd0 = mv16_final - mvp16
         mvd1 = jnp.zeros_like(mvd0)
+    if p8x8:
+        # P_8x8 sub-block mvds against the exact per-sub medians
+        mvp_subs = mvpred.predict_p8x8(ref4, mv4, i_ref=ref_sel_map)
+        is8 = (ptype_f == 3)[..., None, None]
+        mvd_sub = jnp.stack(
+            [mv_q_mb[:, :, k] - mvp_subs[k] for k in range(4)], axis=2)
+        mvd_sub = jnp.where(is8, mvd_sub, 0)
+        mv_sub = jnp.where(is8, mv_q_mb, 0)
+        mvd0 = jnp.where((ptype_f == 3)[..., None], 0, mvd0)
+        mvd1 = jnp.where((ptype_f == 3)[..., None], 0, mvd1)
+    else:
+        mvd_sub = jnp.zeros((mb_h, mb_w, 4, 2), I32)
+        mv_sub = jnp.zeros((mb_h, mb_w, 4, 2), I32)
     mvd0 = jnp.where(im1, 0, mvd0)
     # P_SKIP implies ref_idx 0 (spec 8.4.1.1) — a ref-1 MB cannot skip
     skip = (~intra_mb) & (ptype_f == 0) & (cbp_luma_bits == 0) \
@@ -543,6 +764,9 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     ns = (~skip)[..., None, None, None]
     mvd_blk = jnp.where(in_p1[..., None], mvd1[:, :, None, None, :],
                         mvd0[:, :, None, None, :]) * ns
+    if p8x8:
+        mvd_blk = jnp.where((ptype_f == 3)[..., None, None, None],
+                            mvd_sub[:, :, quad_idx], mvd_blk)
     mvd_blk = jnp.where(intra_mb[..., None, None, None], 0, mvd_blk)
     mvd4 = mvd_blk.swapaxes(1, 2).reshape(mb_h * 4, mb_w * 4, 2)
 
@@ -585,6 +809,7 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         chroma_dc=chroma_dc, chroma_ac=chroma_ac,
         cbp_luma_bits=cbp_luma_bits, cbp_chroma=cbp_chroma,
         mv=mv16_final, mvd=mvd0, mvd1=mvd1, ptype=ptype_f,
+        mv_sub=mv_sub, mvd_sub=mvd_sub,
         mvd4=mvd4, skip=skip,
         nnz4=nnz4, ref4=ref4, mv4=mv4, ref_idx=ref_sel_map,
     )
@@ -594,7 +819,8 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
                   y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
                   qtab, lam, mvp_seed, subpel_steps=(2, 1),
                   lossless: bool = False,
-                  col_ref4=None, col_mv4=None, mvp_seed_l1=None):
+                  col_ref4=None, col_mv4=None, mvp_seed_l1=None,
+                  ref_prepadded: bool = False):
     """Encode one B frame (pre-deblock): B_SKIP / B_Direct_16x16 plus
     the 16x16 L0 / L1 / BI modes plus intra — the B ladder of
     x264_mb_analyse_b (encoder/analyse.c b16x16:1549 + direct:1515).
@@ -632,7 +858,8 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
         mvp_seed_l1 = mvp_seed
 
     def me_list(ry, ru, rv, seed):
-        ref_pad = omc.pad_plane(ry.astype(I32))
+        ref_pad = (ry.astype(I32) if ref_prepadded
+                   else omc.pad_plane(ry.astype(I32)))
         planes = omc.hpel_planes(ref_pad)
         mv_fp, sad_fp = ome.hier_search(y, ref_pad, mb_h, mb_w,
                                         me_range, lam, seed)
@@ -642,8 +869,10 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
         else:
             mv, satd = mv_fp, sad_fp
         pred = omc.mc_luma(planes, ys, xs, mv, 16, 16)
-        ru_pad = omc.pad_plane(ru.astype(I32), omc.PAD // 2)
-        rv_pad = omc.pad_plane(rv.astype(I32), omc.PAD // 2)
+        ru_pad = (ru.astype(I32) if ref_prepadded
+                  else omc.pad_plane(ru.astype(I32), omc.PAD // 2))
+        rv_pad = (rv.astype(I32) if ref_prepadded
+                  else omc.pad_plane(rv.astype(I32), omc.PAD // 2))
         pu = omc.mc_chroma(ru_pad, ys >> 1, xs >> 1, mv, 8, 8)
         pv = omc.mc_chroma(rv_pad, ys >> 1, xs >> 1, mv, 8, 8)
         return mv, satd, pred, pu, pv, (planes, ru_pad, rv_pad)
@@ -675,9 +904,11 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
 
     # ------------------ stage 2: residual pass 1 (explicit modes only)
     # feeds the intra decision's neighbor reconstruction; the coded
-    # residual is produced by pass 2 after direct selection
+    # residual is produced by pass 2 after direct selection. B slices
+    # always DCT-decimate (b_decimate, encoder/macroblock.c:479)
+    decim = not lossless
     recon_inter_y, _, _ = inter_luma_residual(
-        y_tiles, pred_y, qtab, lossless)
+        y_tiles, pred_y, qtab, lossless, decimate=decim)
     iru, _, _, _, _ = eintra.chroma_residual(u_tiles, pred_u,
                                              qtab, "pc", lossless)
     irv, _, _, _, _ = eintra.chroma_residual(v_tiles, pred_v,
@@ -709,7 +940,7 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
         topleft = lf(up(ty))[:, :, 15, 15].reshape(nK)
         lp = eintra.luma_i16_path(fenc_flat, top, left, topleft,
                                   ht_g, hl_g, qtab, lam, lossless,
-                                  mode_sel=mode_sel)
+                                  mode_sel=mode_sel, decimate=decim)
         pu = opred.predict_8x8c(up(tu)[:, :, 7, :].reshape(nK, 8),
                                 lf(tu)[:, :, :, 7].reshape(nK, 8),
                                 lf(up(tu))[:, :, 7, 7].reshape(nK),
@@ -839,11 +1070,21 @@ def encode_b_body(mb_h: int, mb_w: int, me_range: int,
         pred_v = jnp.where(bi, omc.avg(qv0, qv1),
                            jnp.where(u0, qv0, qv1))
     recon_inter_y, inter_blocks_z, inter_cbp = inter_luma_residual(
-        y_tiles, pred_y, qtab, lossless)
-    iru, idcu, iacu, _, _ = eintra.chroma_residual(u_tiles, pred_u,
-                                                   qtab, "pc", lossless)
-    irv, idcv, iacv, _, _ = eintra.chroma_residual(v_tiles, pred_v,
-                                                   qtab, "pc", lossless)
+        y_tiles, pred_y, qtab, lossless, decimate=decim)
+    if decim:
+        au = eintra.chroma_ac_scan(u_tiles, pred_u, qtab, "pc")
+        av = eintra.chroma_ac_scan(v_tiles, pred_v, qtab, "pc")
+        csc = (oquant.decimate_score(au[..., 1:],
+                                     oquant.DECIMATE_TAB4).sum(-1)
+               + oquant.decimate_score(av[..., 1:],
+                                       oquant.DECIMATE_TAB4).sum(-1))
+        ac_kill = csc < 7
+    else:
+        ac_kill = None
+    iru, idcu, iacu, _, _ = eintra.chroma_residual(
+        u_tiles, pred_u, qtab, "pc", lossless, ac_kill=ac_kill)
+    irv, idcv, iacv, _, _ = eintra.chroma_residual(
+        v_tiles, pred_v, qtab, "pc", lossless, ac_kill=ac_kill)
 
     # --------------- stage 3.7: intra value sweeps (decision fixed)
     ty, tu, tv = recon_inter_y, iru, irv

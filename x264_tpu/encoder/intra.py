@@ -62,7 +62,8 @@ def _unblocks4(blocks, n):
 
 
 def luma_i16_path(fenc, top, left, topleft, has_top, has_left, qtab, lam,
-                  lossless: bool = False, mode_sel=None):
+                  lossless: bool = False, mode_sel=None,
+                  decimate: bool = False):
     """I16x16 luma: mode decision + residual + reconstruction for a batch
     of MBs (x264_mb_analyse_intra, encoder/analyse.c:612 +
     x264_mb_encode_i16x16, encoder/macroblock.c:184).
@@ -116,6 +117,14 @@ def luma_i16_path(fenc, top, left, topleft, has_top, has_left, qtab, lam,
     ac_lv = oquant.quant(
         ac.reshape(K, 16, 16), _q16(qtab["y_mf"]), _q16(qtab["y_bias"])
     ).reshape(K, 4, 4, 4, 4)
+    if decimate:
+        # I16x16 AC decimation in P/B slices (x264_mb_encode_i16x16,
+        # encoder/macroblock.c:193-241): total score15 < 6 zeroes the
+        # AC of the whole MB (the DC plane always survives)
+        s = oquant.decimate_score(
+            ac_lv.reshape(K, 16, 16)[..., zig][..., 1:],
+            oquant.DECIMATE_TAB4).sum(-1)
+        ac_lv = jnp.where((s < 6)[:, None, None, None, None], 0, ac_lv)
     blk_nz = jnp.any(ac_lv != 0, axis=(-2, -1))  # (K,4,4)
     cbp_luma = jnp.any(blk_nz, axis=(-2, -1))    # (K,)
 
@@ -145,12 +154,16 @@ def luma_i16_path(fenc, top, left, topleft, has_top, has_left, qtab, lam,
                 dc_z=dc_z, ac_z=ac_z, cbp=cbp_luma)
 
 
-def chroma_residual(fencc, cpred, qtab, pfx="c", lossless: bool = False):
+def chroma_residual(fencc, cpred, qtab, pfx="c", lossless: bool = False,
+                    ac_kill=None):
     """Chroma 8x8 residual path for one channel, arbitrary leading dims
     (x264_mb_encode_8x8_chroma, encoder/macroblock.c:272).
 
     Returns (recon, dc_out (*,4), ac_out (*,4,16) zig-zag, nz_ac, nz_dc).
     qtab keys are read with the given prefix ("c" intra, "pc" inter).
+    ac_kill: optional per-MB bool (lead dims) zeroing the AC levels —
+    the chroma DCT-decimation decision (encoder/macroblock.c:332), made
+    jointly over both channels by the caller (see chroma_ac_scan).
     """
     zig = jnp.asarray(tables.ZIGZAG4)
     lead = fencc.shape[:-2]
@@ -169,18 +182,46 @@ def chroma_residual(fencc, cpred, qtab, pfx="c", lossless: bool = False):
     ccoef = odct.dct4x4(cblocks)
     cdc = ccoef[..., 0, 0]                    # (*,2,2)
     cac = ccoef.at[..., 0, 0].set(0)
-    cac_lv = oquant.quant(
-        cac.reshape(*lead, 4, 16), _q16(qtab[f"{pfx}_mf"]),
-        _q16(qtab[f"{pfx}_bias"])
-    ).reshape(*lead, 2, 2, 4, 4)
+    tc_ac = qtab.get(f"trellis_{pfx}")
+    if tc_ac is not None:
+        # chroma AC trellis (x264_quant_4x4_trellis DCT_CHROMA_AC,
+        # encoder/macroblock.c:310-311): cat 4, scan positions 1..15
+        from ..ops import trellis as otrellis
+        sc = cac.reshape(-1, 16)[:, zig]
+        tq = qtab.get("trellis_qpc")
+        qpi = None if tq is None else jnp.repeat(tq.reshape(-1), 4)
+        lv15 = otrellis.trellis_scan(sc[:, 1:], tc_ac, qp_idx=qpi)
+        lv_scan = jnp.concatenate(
+            [jnp.zeros_like(lv15[:, :1]), lv15], axis=1)
+        inv = jnp.asarray(np.argsort(tables.ZIGZAG4))
+        cac_lv = lv_scan[:, inv].reshape(*lead, 2, 2, 4, 4)
+    else:
+        cac_lv = oquant.quant(
+            cac.reshape(*lead, 4, 16), _q16(qtab[f"{pfx}_mf"]),
+            _q16(qtab[f"{pfx}_bias"])
+        ).reshape(*lead, 2, 2, 4, 4)
+    if ac_kill is not None:
+        cac_lv = jnp.where(ac_kill[..., None, None, None, None],
+                           0, cac_lv)
     cnz_ac = jnp.any(cac_lv != 0, axis=(-4, -3, -2, -1))   # (*,)
     cac_deq = oquant.dequant(
         cac_lv.reshape(*lead, 4, 16), _q16(qtab[f"{pfx}_dmf"]),
         _qc(qtab[f"{pfx}_qpdiv6"], 2), 4
     ).reshape(*lead, 2, 2, 4, 4)
     cdc_had = odct.hadamard2x2(cdc)
-    cdc_lv = oquant.quant_dc(cdc_had, _qc(qtab[f"{pfx}_mf_dc"], 2),
-                             _qc(qtab[f"{pfx}_bias_dc"], 2))
+    tc_dc = qtab.get(f"trellis_{pfx}_dc")
+    if tc_dc is not None:
+        # chroma DC trellis (x264_quant_dc_trellis DCT_CHROMA_DC,
+        # encoder/macroblock.c:325-326): cat 3, 4 coefs, raster scan
+        from ..ops import trellis as otrellis
+        tq = qtab.get("trellis_qpc")
+        qpi = None if tq is None else tq.reshape(-1)
+        cdc_lv = otrellis.trellis_scan(
+            cdc_had.reshape(-1, 4), tc_dc,
+            qp_idx=qpi).reshape(cdc_had.shape)
+    else:
+        cdc_lv = oquant.quant_dc(cdc_had, _qc(qtab[f"{pfx}_mf_dc"], 2),
+                                 _qc(qtab[f"{pfx}_bias_dc"], 2))
     cnz_dc = jnp.any(cdc_lv != 0, axis=(-2, -1))
     cdc_rec = oquant.dequant_2x2_dc(
         odct.hadamard2x2(cdc_lv), _qc(qtab[f"{pfx}_dmf0"], 2),
@@ -195,6 +236,32 @@ def chroma_residual(fencc, cpred, qtab, pfx="c", lossless: bool = False):
     cdc_out = cdc_lv.reshape(*lead, 4)
     cac_out = cac_lv.reshape(*lead, 4, 16)[..., zig]
     return crecon, cdc_out, cac_out, cnz_ac, cnz_dc
+
+
+def chroma_ac_scan(fencc, cpred, qtab, pfx="pc"):
+    """Quantized chroma AC levels in zig-zag scan, (*, 4, 16) — the
+    inputs to the joint two-channel decimate-score decision
+    (encoder/macroblock.c:320-332). The DCT+quant (or trellis) here
+    duplicates the chroma_residual computation verbatim so XLA CSE
+    folds them."""
+    zig = jnp.asarray(tables.ZIGZAG4)
+    lead = fencc.shape[:-2]
+    cblocks = _blocks4_raster(fencc - cpred, 2)
+    ccoef = odct.dct4x4(cblocks)
+    cac = ccoef.at[..., 0, 0].set(0)
+    tc_ac = qtab.get(f"trellis_{pfx}")
+    if tc_ac is not None:
+        from ..ops import trellis as otrellis
+        sc = cac.reshape(-1, 16)[:, zig]
+        tq = qtab.get("trellis_qpc")
+        qpi = None if tq is None else jnp.repeat(tq.reshape(-1), 4)
+        lv15 = otrellis.trellis_scan(sc[:, 1:], tc_ac, qp_idx=qpi)
+        lv_scan = jnp.concatenate(
+            [jnp.zeros_like(lv15[:, :1]), lv15], axis=1)
+        return lv_scan.reshape(*lead, 4, 16)
+    lv = oquant.quant(cac.reshape(*lead, 4, 16), _q16(qtab[f"{pfx}_mf"]),
+                      _q16(qtab[f"{pfx}_bias"]))
+    return lv[..., zig]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 7, 8))

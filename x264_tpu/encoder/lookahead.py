@@ -239,3 +239,99 @@ def frame_cost_sums(icost, pcost=None):
         return isum, isum
     pc = jnp.minimum(pcost[inner], ic)
     return isum, int(pc.sum())
+
+
+# ---------------------------------------------------------------- b-adapt
+# x264_slicetype_analyse B_ADAPT_FAST greedy (slicetype.c:545-573):
+# untuned constants from the reference
+INTER_THRESH = 300
+
+
+def _fetch_blocks(planes, mv_hp, bh: int, bw: int, r: int):
+    """(bh, bw, 8, 8) predicted blocks at half-pel lowres MVs through
+    the exact phase planes (same trick as the re-score window)."""
+    m = r + 1
+    refs = jnp.stack([jnp.pad(_pad8(planes[k], bh, bw), m, mode="edge")
+                      for k in range(4)])
+    mvx, mvy = mv_hp[..., 0], mv_hp[..., 1]
+    fx, fy = mvx >> 1, mvy >> 1          # arithmetic shift floors
+    phase = (mvy & 1) * 2 + (mvx & 1)
+    by = (jnp.arange(bh, dtype=I32) * 8)[:, None] \
+        + jnp.clip(fy, -r, r) + m
+    bx = (jnp.arange(bw, dtype=I32) * 8)[None, :] \
+        + jnp.clip(fx, -r, r) + m
+
+    def one(p, y0, x0):
+        return jax.lax.dynamic_slice(refs, (p, y0, x0), (1, 8, 8))[0]
+
+    return jax.vmap(one)(phase.reshape(-1), by.reshape(-1),
+                         bx.reshape(-1)).reshape(bh, bw, 8, 8)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def badapt_first_fused(lows1, lows2, planes0, bh: int, bw: int, r: int):
+    """The 4-cost first-B test (slicetype.c:546-556) as one program.
+
+    lows1/lows2: phase planes of the first queued candidate and the
+    newly arrived frame; planes0: phase planes of the last non-B
+    reference. The B cost includes the bidirectional average candidate
+    (x264_slicetype_mb_cost bi branch, slicetype.c:120-150) — the term
+    that makes Bs strictly win on noisy content by averaging the two
+    references' noise. Returns int32 [cost1p0, cost2p0, cost1b1,
+    cost2p1, n_intra2] (interior sums; n_intra2 = blocks of frame2
+    that go intra when predicted across the 2-gap)."""
+    low1, low2 = lows1[0], lows2[0]
+    i1 = intra_cost_plane(low1, bh, bw)
+    i2 = intra_cost_plane(low2, bh, bw)
+    c10, mv10 = inter_cost_plane(low1, planes0, bh, bw, r)
+    c12, mv12 = inter_cost_plane(low1, lows2, bh, bw, r)
+    c21, _ = inter_cost_plane(low2, lows1, bh, bw, r)
+    c20, _ = inter_cost_plane(low2, planes0, bh, bw, r)
+    # bi candidate: average of the two lists' best predictions
+    pa = _fetch_blocks(planes0, mv10, bh, bw, r)
+    pb = _fetch_blocks(lows2, mv12, bh, bw, r)
+    cur1 = _pad8(low1, bh, bw).reshape(bh, 8, bw, 8).swapaxes(1, 2)
+    pen = (ome.se_bits(mv10[..., 0]) + ome.se_bits(mv10[..., 1])
+           + ome.se_bits(mv12[..., 0]) + ome.se_bits(mv12[..., 1]))
+    bi = opix.satd(cur1, (pa + pb + 1) >> 1) + pen
+    inner = (slice(1, -1), slice(1, -1)) if min(bh, bw) > 2 \
+        else (slice(None), slice(None))
+    cost1p0 = jnp.minimum(c10, i1)[inner].sum()
+    cost2p0 = jnp.minimum(c21, i2)[inner].sum()
+    cost2p1 = jnp.minimum(c20, i2)[inner].sum()
+    cost1b1 = jnp.minimum(jnp.minimum(jnp.minimum(c10, c12), bi),
+                          i1)[inner].sum()
+    n_intra2 = (i2 < c20)[inner].sum()
+    return jnp.stack([cost1p0, cost2p0, cost1b1, cost2p1,
+                      n_intra2]).astype(I32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def badapt_ext_fused(lows_f, planes0, bh: int, bw: int, r: int):
+    """Run-extension test (slicetype.c:563-572): P cost of the new
+    frame across the whole would-be span + its intra share. Returns
+    int32 [pcost_sum, n_intra, n_blocks]."""
+    low = lows_f[0]
+    i_ = intra_cost_plane(low, bh, bw)
+    c, _ = inter_cost_plane(low, planes0, bh, bw, r)
+    inner = (slice(1, -1), slice(1, -1)) if min(bh, bw) > 2 \
+        else (slice(None), slice(None))
+    pc = jnp.minimum(c, i_)[inner]
+    return jnp.stack([pc.sum(), (i_ < c)[inner].sum(),
+                      jnp.int32(pc.size)]).astype(I32)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def b_seed_mvs_fused(lows_b, planes_l0, planes_l1, bh: int, bw: int,
+                     r: int):
+    """Lowres MV fields of a B candidate against both reference lists
+    (the slicetype.c:153-166 lowres seeding trick): one lowres 8x8
+    block == one fullres MB, and a lowres half-pel unit == one fullres
+    pel, so mv*4 seeds the fullres qpel search directly. Returns
+    (mv_l0, mv_l1), each (bh, bw, 2) int32 in fullres qpel units."""
+    low = lows_b[0]
+    _, mv0 = inter_cost_plane(low, planes_l0, bh, bw, r)
+    _, mv1 = inter_cost_plane(low, planes_l1, bh, bw, r)
+    # mv is in lowres half-pel units; one lowres half-pel step is one
+    # fullres pel = 4 qpel units
+    return mv0 * 4, mv1 * 4

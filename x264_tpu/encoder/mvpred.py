@@ -228,3 +228,35 @@ def predict_8x16(ref4, mv4, i_ref=0):
     med1 = _predict(ref_a1, mv_a1, ref_b1, mv_b1, ref_c1, mv_c1, i_ref)
     mvp1 = jnp.where((ref_c1 == i_ref)[..., None], mv_c1, med1)
     return mvp0, mvp1
+
+
+def predict_p8x8(ref4, mv4, i_ref=0):
+    """MVPs for the four 8x8 sub-blocks of a P_8x8 MB
+    (x264_mb_predict_mv with i_width 2 at scan8 idx 0/2/8/10 — no
+    directional early-outs for 8x8, pure median rule). In-MB neighbor
+    reads hit earlier sub-blocks only (final maps == sequential cache);
+    sub 3's C slot is never written in raster order -> always D.
+    Returns a list of four (mb_h, mb_w, 2) arrays in quadrant order
+    TL, TR, BL, BR."""
+    mb_h, mb_w = ref4.shape[0] // 4, ref4.shape[1] // 4
+    refp, mvp = _pad_maps(ref4, mv4)
+    gy = jnp.arange(mb_h, dtype=I32)[:, None] * 4 \
+        + jnp.zeros((1, mb_w), I32)
+    gx = jnp.arange(mb_w, dtype=I32)[None, :] * 4 \
+        + jnp.zeros((mb_h, 1), I32)
+    out = []
+    for k, (oy, ox) in enumerate(((0, 0), (0, 2), (2, 0), (2, 2))):
+        by, bx = gy + oy, gx + ox
+        ref_a, mv_a = _gather(refp, mvp, by, bx - 1)
+        ref_b, mv_b = _gather(refp, mvp, by - 1, bx)
+        ref_d, mv_d = _gather(refp, mvp, by - 1, bx - 1)
+        if k == 3:
+            ref_c, mv_c = ref_d, mv_d
+        else:
+            ref_c, mv_c = _gather(refp, mvp, by - 1, bx + 2)
+            use_d = ref_c == -2
+            ref_c = jnp.where(use_d, ref_d, ref_c)
+            mv_c = jnp.where(use_d[..., None], mv_d, mv_c)
+        out.append(_predict(ref_a, mv_a, ref_b, mv_b, ref_c, mv_c,
+                            i_ref))
+    return out

@@ -163,7 +163,8 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
                    static_argnames=("crop_w", "crop_h", "with_metrics",
-                                    "aq", "aq_qp_min", "aq_qp_max"))
+                                    "aq", "aq_qp_min", "aq_qp_max",
+                                    "decimate", "rd", "p8x8"))
 def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
              subpel_steps, parts, lossless, n_refs,
              y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
@@ -171,7 +172,9 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
              mvp_seed, ref2_y=None, ref2_u=None, ref2_v=None,
              crop_w: int = 0, crop_h: int = 0,
              with_metrics: bool = False, aq: bool = False,
-             aq_qp_min: int = 10, aq_qp_max: int = 51):
+             aq_qp_min: int = 10, aq_qp_max: int = 51,
+             decimate: bool = False, rd: bool = False,
+             p8x8: bool = False):
     """P frame: ME + inter/intra decision + entropy + pack + deblock,
     fused. ref_* is the deblocked reconstruction of the reference frame
     (int32, MB-aligned); with n_refs=2, ref2_* is L0[1] (the older
@@ -196,7 +199,8 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                               lossless=lossless,
                               ref2_y=ref2_y, ref2_u=ref2_u,
                               ref2_v=ref2_v, n_refs=n_refs,
-                              qp_map=qp_map, qpc_map=qpc_map)
+                              qp_map=qp_map, qpc_map=qpc_map,
+                              decimate=decimate, rd=rd, p8x8=p8x8)
     qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
     if aq:
         has_dqp = (~out["skip"]) & (out["intra_mb"]
@@ -291,7 +295,8 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
                    static_argnames=("crop_w", "crop_h", "with_metrics",
-                                    "t8", "aq", "aq_qp_min", "aq_qp_max"))
+                                    "t8", "aq", "aq_qp_min", "aq_qp_max",
+                                    "decimate", "rd", "p8x8"))
 def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    subpel_steps, parts, lossless, n_refs,
                    y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
@@ -300,7 +305,8 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    crop_w: int = 0, crop_h: int = 0,
                    with_metrics: bool = False, t8: bool = False,
                    aq: bool = False, aq_qp_min: int = 10,
-                   aq_qp_max: int = 51):
+                   aq_qp_max: int = 51, decimate: bool = False,
+                   rd: bool = False, p8x8: bool = False):
     """P frame with CABAC entropy: same encode as encode_p, emitting the
     packed bin-op stream for the host arithmetic coder. n_refs=2 takes
     ref2_* as L0[1]."""
@@ -323,7 +329,8 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                               lossless=lossless,
                               ref2_y=ref2_y, ref2_u=ref2_u,
                               ref2_v=ref2_v, n_refs=n_refs, t8=t8,
-                              qp_map=qp_map, qpc_map=qpc_map)
+                              qp_map=qp_map, qpc_map=qpc_map,
+                              decimate=decimate, rd=rd, p8x8=p8x8)
     qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
     if aq:
         has_dqp = (~out["skip"]) & (out["intra_mb"]

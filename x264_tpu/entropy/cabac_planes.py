@@ -471,15 +471,17 @@ def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1,
     slots.append(op(KIND_DECISION, skip_ctx, skip_f))
 
     # ---- mb_type: P_L0 prefix bins (x264_cabac_mb_type P branch,
-    # encoder/cabac.c:86-107): 16x16 = (14,0)(15,0)(16,0);
-    # 16x8 = (14,0)(15,1)(17,1); 8x16 = (14,0)(15,1)(17,0)
+    # encoder/cabac.c:86-113): 16x16 = (14,0)(15,0)(16,0);
+    # 16x8 = (14,0)(15,1)(17,1); 8x16 = (14,0)(15,1)(17,0);
+    # P_8x8 = (14,0)(15,0)(16,1)
+    p8_f = ptype_f == 3
     slots.append(_sel(coded, op(KIND_DECISION, jnp.full(nmb, 14, I32),
                                 intra_f)))
     slots.append(_sel(inter_f, op(KIND_DECISION, jnp.full(nmb, 15, I32),
-                                  ptype_f != 0)))
-    slots.append(_sel(inter_f & (ptype_f == 0),
-                      op(KIND_DECISION, jnp.full(nmb, 16, I32), 0)))
-    slots.append(_sel(inter_f & (ptype_f != 0),
+                                  (ptype_f == 1) | (ptype_f == 2))))
+    slots.append(_sel(inter_f & ((ptype_f == 0) | p8_f),
+                      op(KIND_DECISION, jnp.full(nmb, 16, I32), p8_f)))
+    slots.append(_sel(inter_f & ((ptype_f == 1) | (ptype_f == 2)),
                       op(KIND_DECISION, jnp.full(nmb, 17, I32),
                          ptype_f == 1)))
     slots.append(_sel(intra_f, op(KIND_DECISION, jnp.full(nmb, 17, I32), 1)))
@@ -507,14 +509,26 @@ def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1,
     slots.append(_sel(intra_f & (cm > 1),
                       op(KIND_DECISION, jnp.full(nmb, 67, I32), cm > 2)))
 
+    # ---- sub_mb_type x4 (x264_cabac_mb_sub_p_partition: D_L0_8x8 is
+    # one '1' bin at ctx 21; encoder/cabac.c:309-312,877-880)
+    p8_g = ptype_g == 3
+    for _ in range(4):
+        slots.append(_sel(inter_f & p8_f,
+                          op(KIND_DECISION, jnp.full(nmb, 21, I32), 1)))
+
     gy4 = jnp.arange(mb_h, dtype=I32)[:, None] * 4 \
         + jnp.zeros((1, mb_w), I32)
     gx4 = jnp.arange(mb_w, dtype=I32)[None, :] * 4 \
         + jnp.zeros((mb_h, 1), I32)
-    # first block of each partition: p0 at (4Y, 4X); p1 at (4Y+2, 4X)
-    # for 16x8, (4Y, 4X+2) for 8x16
+    # first block of each partition/sub-block: p0 at (4Y, 4X); p1 at
+    # (4Y+2, 4X) for 16x8, (4Y, 4X+2) for 8x16 and P8x8 sub 1;
+    # P8x8 subs 2/3 at (4Y+2, 4X) / (4Y+2, 4X+2)
     pr1 = jnp.where(ptype_g == 1, gy4 + 2, gy4)
-    pc1 = jnp.where(ptype_g == 2, gx4 + 2, gx4)
+    pc1 = jnp.where((ptype_g == 2) | p8_g, gx4 + 2, gx4)
+    part_pos = ((gy4, gx4), (pr1, pc1),
+                (gy4 + 2, gx4), (gy4 + 2, gx4 + 2))
+    part_act = (inter_f, inter_f & (ptype_f != 0),
+                inter_f & p8_f, inter_f & p8_f)
 
     if n_refs > 1:
         # ---- ref_idx_l0 per partition (x264_cabac_mb_ref,
@@ -526,8 +540,7 @@ def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1,
         ref_idx = out["ref_idx"].reshape(nmb).astype(I32)
         ref4 = out["ref4"]
         ref4p = jnp.pad(ref4, ((1, 1), (1, 1)), constant_values=-1)
-        for act, pr, pc in ((inter_f, gy4, gx4),
-                            (inter_f & (ptype_f != 0), pr1, pc1)):
+        for act, (pr, pc) in zip(part_act, part_pos):
             ra = ref4p[pr + 1, pc] > 0           # (pr, pc-1)
             rb = ref4p[pr, pc + 1] > 0           # (pr-1, pc)
             rctx = (54 + ra.astype(I32)
@@ -541,8 +554,14 @@ def p_slice_ops(out, mb_h: int, mb_w: int, n_refs: int = 1,
     # partition's left/top 4x4 neighbor |mvd| (x264_cabac_mb_mvd_cpn
     # amvd, encoder/cabac.c:397-401, from the 4x4 mvd cache)
     mvd4p = jnp.pad(mvd4, ((1, 1), (1, 1), (0, 0)))
-    part_list = ((mvd, inter_f, gy4, gx4),
-                 (mvd1, inter_f & (ptype_f != 0), pr1, pc1))
+    mvd_sub = out.get("mvd_sub")
+    mvd_sub = (jnp.zeros((nmb, 4, 2), I32) if mvd_sub is None
+               else out["mvd_sub"].reshape(nmb, 4, 2))
+    mvd_k = (jnp.where(p8_f[:, None], mvd_sub[:, 0], mvd),
+             jnp.where(p8_f[:, None], mvd_sub[:, 1], mvd1),
+             mvd_sub[:, 2], mvd_sub[:, 3])
+    part_list = tuple(
+        (mvd_k[k], part_act[k], *part_pos[k]) for k in range(4))
     for mvdp, act, pr, pc in part_list:
         for comp, base in ((0, 40), (1, 47)):
             a_n = jnp.abs(mvd4p[pr + 1, pc, comp])        # (pr, pc-1)

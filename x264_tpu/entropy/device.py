@@ -466,14 +466,20 @@ def p_code_planes(out, mb_h: int, mb_w: int, n_refs: int = 1):
         jax.lax.associative_scan(jnp.maximum, coded_idx)[:-1]])
     run = idx - prev_coded - 1
 
-    h_v = jnp.zeros((nmb, 11), dtype=I32)
-    h_l = jnp.zeros((nmb, 11), dtype=I32)
+    mvd_sub = out.get("mvd_sub")
+    mvd_sub = (jnp.zeros((nmb, 4, 2), I32) if mvd_sub is None
+               else out["mvd_sub"].reshape(nmb, 4, 2))
+    p8 = ptype == 3
+
+    NSLOT = 21
+    h_v = jnp.zeros((nmb, NSLOT), dtype=I32)
+    h_l = jnp.zeros((nmb, NSLOT), dtype=I32)
     rv, rl = ue_codes(run)
     h_v = h_v.at[:, 0].set(rv)
     h_l = h_l.at[:, 0].set(rl)
 
-    # mb_type: inter P_L0 ue(partition 0/1/2); intra I16 offset 5
-    # (x264_macroblock_write_cavlc, encoder/cavlc.c:379-430)
+    # mb_type: inter P_L0 ue(partition 0/1/2), P_8x8 ue(3); intra I16
+    # offset 5 (x264_macroblock_write_cavlc, encoder/cavlc.c:379-430)
     i16_type = 5 + 1 + mode16 + 4 * cbp_c + 12 * (cbp_l > 0).astype(I32)
     tv_, tl_ = ue_codes(jnp.where(intra, i16_type, ptype))
     h_v = h_v.at[:, 1].set(tv_)
@@ -483,37 +489,49 @@ def p_code_planes(out, mb_h: int, mb_w: int, n_refs: int = 1):
     h_v = h_v.at[:, 2].set(cv)
     h_l = h_l.at[:, 2].set(jnp.where(intra, cl, 0))
 
-    if n_refs > 1:
-        # ref_idx_l0 per partition, te(v) with cMax=1: one bit !ref
-        ref_idx = out["ref_idx"].reshape(nmb).astype(I32)
-        h_v = h_v.at[:, 3].set(1 - ref_idx)
-        h_l = h_l.at[:, 3].set(jnp.where(intra, 0, 1))
-        h_v = h_v.at[:, 4].set(1 - ref_idx)
-        h_l = h_l.at[:, 4].set(
-            jnp.where((~intra) & (ptype > 0), 1, 0))
+    # sub_mb_type x4 (7.3.5.2; P_L0_8x8 only -> ue(0) = one '1' bit)
+    for k in range(4):
+        h_v = h_v.at[:, 3 + k].set(1)
+        h_l = h_l.at[:, 3 + k].set(
+            jnp.where((~intra) & p8, 1, 0))
 
-    for k in range(2):
-        mv_, ml_ = se_codes(mvd[:, k])
-        h_v = h_v.at[:, 5 + k].set(mv_)
-        h_l = h_l.at[:, 5 + k].set(jnp.where(intra, 0, ml_))
-    for k in range(2):     # second-partition mvd (16x8 / 8x16 only)
-        mv_, ml_ = se_codes(mvd1[:, k])
-        h_v = h_v.at[:, 7 + k].set(mv_)
-        h_l = h_l.at[:, 7 + k].set(
-            jnp.where((~intra) & (ptype > 0), ml_, 0))
+    # per-partition/sub-block activity: slot 0 = first partition,
+    # slot 1 = second partition (16x8/8x16) or sub 1 (P8x8),
+    # slots 2-3 = subs 2-3 (P8x8 only)
+    act = [(~intra),
+           (~intra) & (ptype > 0),
+           (~intra) & p8,
+           (~intra) & p8]
+    if n_refs > 1:
+        # ref_idx_l0 te(v) with cMax=1: one bit !ref (all partitions
+        # carry the MB's reference)
+        ref_idx = out["ref_idx"].reshape(nmb).astype(I32)
+        for k in range(4):
+            h_v = h_v.at[:, 7 + k].set(1 - ref_idx)
+            h_l = h_l.at[:, 7 + k].set(jnp.where(act[k], 1, 0))
+
+    mvd_k = [jnp.where(p8[:, None], mvd_sub[:, 0], mvd),
+             jnp.where(p8[:, None], mvd_sub[:, 1], mvd1),
+             mvd_sub[:, 2], mvd_sub[:, 3]]
+    for k in range(4):
+        for comp in range(2):
+            mv_, ml_ = se_codes(mvd_k[k][:, comp])
+            h_v = h_v.at[:, 11 + 2 * k + comp].set(mv_)
+            h_l = h_l.at[:, 11 + 2 * k + comp].set(
+                jnp.where(act[k], ml_, 0))
 
     cbp_code = _t(CBP_TO_GOLOMB_INTER)[cbp_c * 16 + cbp_l]
     bv, bl = ue_codes(cbp_code)
-    h_v = h_v.at[:, 9].set(bv)
-    h_l = h_l.at[:, 9].set(jnp.where(intra, 0, bl))
+    h_v = h_v.at[:, 19].set(bv)
+    h_l = h_l.at[:, 19].set(jnp.where(intra, 0, bl))
 
     has_dqp = intra | (cbp_l > 0) | (cbp_c > 0)
     dqp = out.get("dqp")
     dqp = (jnp.zeros(nmb, dtype=I32) if dqp is None
            else dqp.reshape(nmb).astype(I32))
     qv, ql = se_codes(dqp)
-    h_v = h_v.at[:, 10].set(qv)
-    h_l = h_l.at[:, 10].set(jnp.where(has_dqp, ql, 0))
+    h_v = h_v.at[:, 20].set(qv)
+    h_l = h_l.at[:, 20].set(jnp.where(has_dqp, ql, 0))
 
     h_l = h_l * coded[:, None]
 

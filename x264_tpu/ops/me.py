@@ -303,7 +303,7 @@ def subpel_refine(cur_tiles, planes, mv_qpel, lam, mvp_qpel,
 
 def partition_fullpel(cur_tiles, ref_pad, mv16_qpel, lam, mvp_qpel,
                       me_range: int, m: int = 3, pad: int = omc.PAD,
-                      ref_sel=None):
+                      ref_sel=None, with_8x8: bool = False):
     """Best full-pel MVs for the 16x8 and 8x16 partitions of every MB,
     searched in a (2m+1)^2 window around the 16x16 full-pel winner (the
     reference seeds partition searches from the MB-level result too,
@@ -331,17 +331,25 @@ def partition_fullpel(cur_tiles, ref_pad, mv16_qpel, lam, mvp_qpel,
         win = _win_slices_planes(ref_pad, ref_sel, by, bx, wn, wn) \
             .astype(I32)
     # per-candidate diff reduced immediately into the four partition
-    # half-sums (top/bottom rows, left/right cols) — no candidate stack
+    # half-sums (top/bottom rows, left/right cols) and, when requested,
+    # the four 8x8 quadrant sums (P8x8 sub-blocks) — no candidate stack
     part_sads = {"t": [], "b": [], "l": [], "r": []}
+    if with_8x8:
+        for k in range(4):
+            part_sads[f"q{k}"] = []
     for oy in range(2 * m + 1):
         for ox in range(2 * m + 1):
             d = jnp.abs(cur_tiles - win[..., oy:oy + 16, ox:ox + 16])
-            rows_s = d.sum(axis=-1)        # (mb_h, mb_w, 16)
-            cols_s = d.sum(axis=-2)
-            part_sads["t"].append(rows_s[..., :8].sum(-1))
-            part_sads["b"].append(rows_s[..., 8:].sum(-1))
-            part_sads["l"].append(cols_s[..., :8].sum(-1))
-            part_sads["r"].append(cols_s[..., 8:].sum(-1))
+            hs = d.reshape(*d.shape[:-2], 2, 8, 2, 8).sum(axis=(-3, -1))
+            part_sads["t"].append(hs[..., 0, :].sum(-1))
+            part_sads["b"].append(hs[..., 1, :].sum(-1))
+            part_sads["l"].append(hs[..., :, 0].sum(-1))
+            part_sads["r"].append(hs[..., :, 1].sum(-1))
+            if with_8x8:
+                part_sads["q0"].append(hs[..., 0, 0])
+                part_sads["q1"].append(hs[..., 0, 1])
+                part_sads["q2"].append(hs[..., 1, 0])
+                part_sads["q3"].append(hs[..., 1, 1])
     offs = jnp.asarray([(ox, oy)
                         for oy in range(-m, m + 1)
                         for ox in range(-m, m + 1)], dtype=I32)

@@ -146,3 +146,34 @@ def ssim_sum(a, b):
     den = ((f1 * f1 + f2 * f2 + _SSIM_C1).astype(jnp.float32)
            * (vars_ + _SSIM_C2).astype(jnp.float32))
     return (num / den).sum()
+
+
+def hadamard_ac(pix):
+    """x264_pixel_hadamard_ac (common/pixel.c:306-358) batched over
+    (..., H, W) tiles with H, W in {8, 16}: per 8x8 quadrant, sum of
+    |4x4 Hadamard| coefs and |8x8 Hadamard| coefs, each minus the DC
+    sum; quadrants added, then the macro's final >>1 (satd) / >>2
+    (sa8d) shifts. Returns (satd_ac, sa8d_ac), each (...,) int32 —
+    the complexity pair psy-RD differences (encoder/rdo.c:97-130)."""
+    p = pix.astype(I32)
+    *lead, hh, ww = p.shape
+    t8 = p.reshape(*lead, hh // 8, 8, ww // 8, 8).swapaxes(-3, -2)
+    h8 = _h8()
+    had8 = jnp.matmul(jnp.matmul(h8, t8), h8)
+    sum8 = jnp.abs(had8).sum(axis=(-2, -1))          # per 8x8 quadrant
+    h4 = jnp.asarray(_H4)
+    t4 = _tile44(t8)                                  # (.., qh, qw, 2,2,4,4)
+    had4 = jnp.matmul(jnp.matmul(h4, t4), h4)
+    sum4 = jnp.abs(had4).sum(axis=(-4, -3, -2, -1))
+    dc = t8.sum(axis=(-2, -1))                        # == both DC sums
+    satd_ac = (sum4 - dc).sum(axis=(-2, -1)) >> 1
+    sa8d_ac = (sum8 - dc).sum(axis=(-2, -1)) >> 2
+    return satd_ac, sa8d_ac
+
+
+def ac_energy(tiles):
+    """AC complexity of (..., 16, 16) tiles for the MB-level psy-RD
+    term (the PIXEL_16x16 branch of ssd_plane, encoder/rdo.c:122-125):
+    SATD(pix, 0) - (pixel_sum >> 1)."""
+    z = jnp.zeros_like(tiles)
+    return satd(tiles, z) - (tiles.astype(I32).sum(axis=(-2, -1)) >> 1)

@@ -7,6 +7,7 @@ in as arrays so a single jitted encoder supports any QP via gather).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 I32 = jnp.int32
@@ -85,3 +86,32 @@ def dequant_2x2_dc(hadamard_out, dmf0, qp_div6):
 def nonzero(level, axis=None):
     """1 if any coefficient is nonzero (the nz flags of quant_*)."""
     return jnp.any(level != 0, axis=axis)
+
+
+# decimate-score run-cost tables (x264_decimate_table4/8,
+# common/quant.c:203-210)
+DECIMATE_TAB4 = (3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+DECIMATE_TAB8 = (3, 3, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1,
+                 1, 1, 1, 1, 1, 1, 1, 1) + (0,) * 40
+
+
+def decimate_score(levels_scan, table):
+    """Batched x264_decimate_score_internal (common/quant.c:212-241):
+    per block, 9 if any |level| > 1, else the sum over nonzero
+    coefficients of table[run-of-zeros-below]. levels_scan: (..., C)
+    int32 in scan order; table: tuple of run costs (len >= C). Returns
+    (...,) int32 scores; a zero block scores 0."""
+    C = levels_scan.shape[-1]
+    nz = levels_scan != 0
+    pos = jnp.arange(C, dtype=I32)
+    # index of the previous nonzero strictly below each position
+    marks = jnp.where(nz, pos, -1)
+    prev_nz = jnp.concatenate(
+        [jnp.full((*marks.shape[:-1], 1), -1, I32),
+         jax.lax.cummax(marks, axis=marks.ndim - 1)[..., :-1]], axis=-1)
+    run = pos - prev_nz - 1
+    tab = jnp.asarray(table[:C], dtype=I32)
+    per_coef = jnp.where(nz, tab[jnp.clip(run, 0, C - 1)], 0)
+    score = per_coef.sum(axis=-1)
+    big = jnp.any(jnp.abs(levels_scan) > 1, axis=-1)
+    return jnp.where(big, 9, score)

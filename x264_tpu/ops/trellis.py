@@ -46,9 +46,19 @@ L1_CTX = np.array([1, 2, 3, 4, 0, 0, 0, 0], np.int32)
 GT1_CTX = np.array([5, 5, 5, 5, 6, 7, 8, 9], np.int32)
 NODE_TRANS = np.array([[1, 2, 3, 3, 4, 5, 6, 7],
                        [4, 4, 4, 4, 5, 6, 7, 7]], np.int32)
-SIG_BASE = np.array([105, 120, 134, 149, 152], np.int32)
-LAST_BASE = np.array([166, 181, 195, 210, 213], np.int32)
-LVL_BASE = np.array([227, 237, 247, 257, 266], np.int32)
+# per-category context bases + coefficient counts (spec 9.3.3.1.1.9;
+# cat 5 = luma 8x8 with the Table 9-43 shared significance contexts)
+CAT_C = np.array([16, 15, 16, 4, 15, 64], np.int32)
+SIG_BASE = np.array([105, 120, 134, 149, 152, 402], np.int32)
+LAST_BASE = np.array([166, 181, 195, 210, 213, 417], np.int32)
+LVL_BASE = np.array([227, 237, 247, 257, 266, 426], np.int32)
+SIG_MAP8 = np.array([
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12],
+    np.int32)
+LAST_MAP8 = np.minimum(np.arange(63) >> 2, 8).astype(np.int32)
 
 # inverse-squared 4x4 DCT scale factors in raster order
 # (row norms^2 of the core transform are 4 and 10; FIX8 of
@@ -57,6 +67,16 @@ _N2 = np.array([4, 10, 4, 10], np.float64)
 DCT4_WEIGHT2 = np.round(
     256.0 * 800.0 / (_N2[:, None] * _N2[None, :]) / 16.0
 ).astype(np.int32).reshape(16)
+
+# inverse-squared 8x8 DCT scale factors, raster order
+# (x264_dct8_weight2_tab semantics, common/dct.h:67-84, re-derived
+# numerically from THIS repo's dct8x8 basis row norms: per-axis class
+# values {1.0, 0.78466, 2.56, 0.88581, 1.6, 1.4173} in the period-4
+# even/odd pattern of the 8-point transform)
+_W8_AXIS = np.array([1.0, 0.941175, 1.6 ** 0.5, 0.941175] * 2)
+DCT8_WEIGHT2 = np.round(
+    256.0 * (_W8_AXIS[:, None] * _W8_AXIS[None, :]) ** 2
+).astype(np.int32).reshape(64)
 
 
 @functools.lru_cache()
@@ -121,30 +141,53 @@ def _ue_big_f8(v):
     return (2 * bl + 1) << CABAC_SIZE_BITS
 
 
-def make_consts(qp: int, cat: int, cqm_list: int, slice_is_i: bool,
-                cabac_init_idc: int = 0, intra: bool = False,
-                qt: tables.QuantTables | None = None):
-    """Host-side static inputs for trellis_4x4 at one (qp, category):
-    quant/unquant/weights in scan order + bit-cost tables from the
-    slice-initial CABAC states."""
-    qt = qt or tables.DEFAULT_QUANT
-    states = CT.init_states(slice_is_i, qp, cabac_init_idc)
+def _consts_np(qp: int, cat: int, cqm_list: int, slice_is_i: bool,
+               cabac_init_idc: int, intra: bool,
+               qt: tables.QuantTables, state_qp: int | None = None):
+    """NumPy consts for one (qp, category) — see make_consts.
+    state_qp: QP used for the CABAC context initialization (the SLICE
+    QP — chroma categories quantize at the chroma QP but the live
+    contexts the reference reads were initialized at the slice QP)."""
+    states = CT.init_states(slice_is_i,
+                            qp if state_qp is None else state_qp,
+                            cabac_init_idc)
     ent = entropy_f8()
-    C = 15 if cat in (1, 4) else 16
-    zz = tables.ZIGZAG4
-    if cat == 1:          # AC block: scan positions 1..15
-        order = zz[1:]
+    C = int(CAT_C[cat])
+    dc = cat in (0, 3)
+    if cat == 5:
+        order = tables.ZIGZAG8
+        qmf = qt.quant8_mf[cqm_list, qp][order].astype(np.int64)
+        uqmf = qt.unquant8_mf[cqm_list, qp][order].astype(np.int64)
+        w2 = DCT8_WEIGHT2[order].astype(np.int64)
     else:
-        order = zz
-    qmf = qt.quant4_mf[cqm_list, qp][order].astype(np.int64)
-    uqmf = qt.unquant4_mf[cqm_list, qp][order].astype(np.int64)
-    w2 = DCT4_WEIGHT2[order].astype(np.int64)
+        zz = tables.ZIGZAG4
+        order = (zz[1:] if cat in (1, 4)       # AC: scan 1..15
+                 else (np.arange(4) if cat == 3 else zz))
+        if dc:
+            # DC trellis quant/unquant (quant_trellis_cabac dc path,
+            # encoder/rdo.c:498,551): mf[0]>>1, unquant[0]<<1, flat
+            # SSD weight 256
+            qmf = np.full(C, qt.quant4_mf[cqm_list, qp][0] >> 1,
+                          np.int64)
+            uqmf = np.full(C, qt.unquant4_mf[cqm_list, qp][0] << 1,
+                           np.int64)
+            w2 = np.full(C, 256, np.int64)
+        else:
+            qmf = qt.quant4_mf[cqm_list, qp][order].astype(np.int64)
+            uqmf = qt.unquant4_mf[cqm_list, qp][order].astype(np.int64)
+            w2 = DCT4_WEIGHT2[order].astype(np.int64)
 
     sig_bits = np.zeros((C, 2), np.int32)
     last_bits = np.zeros((C, 2), np.int32)
     for i in range(C - 1):
-        sig_bits[i] = ent[states[SIG_BASE[cat] + i]]
-        last_bits[i] = ent[states[LAST_BASE[cat] + i]]
+        if cat == 5:
+            si, li = SIG_MAP8[i], LAST_MAP8[i]
+        elif cat == 3:
+            si = li = min(i, 2)   # chroma DC ctxIdxInc = Min(i, 2)
+        else:
+            si = li = i
+        sig_bits[i] = ent[states[SIG_BASE[cat] + si]]
+        last_bits[i] = ent[states[LAST_BASE[cat] + li]]
 
     base = LVL_BASE[cat]
     l1_bits = np.zeros((8, 2), np.int32)     # [node][prefix>0]
@@ -154,26 +197,77 @@ def make_consts(qp: int, cat: int, cqm_list: int, slice_is_i: bool,
         un_node[j] = size_unary()[:, states[base + GT1_CTX[j]]]
     lam2 = lambda2(qp, intra)
     lam2f = lam2 / (1 << (CABAC_SIZE_BITS - LAMBDA_BITS))
-    return dict(qmf=jnp.asarray(qmf), uqmf=jnp.asarray(uqmf),
-                w2=jnp.asarray(w2, np.float32),
-                sig=jnp.asarray(sig_bits, np.float32),
-                last=jnp.asarray(last_bits, np.float32),
-                l1=jnp.asarray(l1_bits, np.float32),
-                unary=jnp.asarray(un_node, np.float32),
-                lam2=jnp.float32(lam2f))
+    return dict(qmf=qmf, uqmf=uqmf, w2=np.asarray(w2, np.float32),
+                sig=np.asarray(sig_bits, np.float32),
+                last=np.asarray(last_bits, np.float32),
+                l1=np.asarray(l1_bits, np.float32),
+                unary=np.asarray(un_node, np.float32),
+                lam2=np.float32(lam2f))
 
 
-def trellis_4x4(coefs_scan, tc, C: int = 16):
+def make_consts(qp: int, cat: int, cqm_list: int, slice_is_i: bool,
+                cabac_init_idc: int = 0, intra: bool = False,
+                qt: tables.QuantTables | None = None,
+                state_qp: int | None = None):
+    """Host-side static inputs for trellis_scan at one (qp, category):
+    quant/unquant/weights in scan order + bit-cost tables from the
+    slice-initial CABAC states. Categories (spec ctxBlockCat): 0 luma
+    DC, 1 luma AC, 2 luma 4x4, 3 chroma DC (2x2), 4 chroma AC,
+    5 luma 8x8."""
+    qt = qt or tables.DEFAULT_QUANT
+    c = _consts_np(qp, cat, cqm_list, slice_is_i, cabac_init_idc,
+                   intra, qt, state_qp)
+    return {k: (jnp.asarray(v) if isinstance(v, np.ndarray)
+                else jnp.float32(v)) for k, v in c.items()}
+
+
+def make_consts_all_qp(cat: int, cqm_list: int, slice_is_i: bool,
+                       cabac_init_idc: int = 0, intra: bool = False,
+                       qt: tables.QuantTables | None = None):
+    """All 52 QPs stacked on a leading axis — the per-MB-QP (variance
+    AQ) form; trellis_scan row-gathers with qp_idx."""
+    qt = qt or tables.DEFAULT_QUANT
+    rows = [_consts_np(q, cat, cqm_list, slice_is_i, cabac_init_idc,
+                       intra, qt) for q in range(52)]
+    return {k: jnp.asarray(np.stack([r[k] for r in rows]))
+            for k in rows[0]}
+
+
+def trellis_scan(coefs_scan, tc, C: int = None, qp_idx=None):
     """Run the batched trellis. coefs_scan: (N, C) int32 raw forward-DCT
     coefficients in scan order; tc: the make_consts dict (arrays may be
-    traced — every per-position constant is indexed statically). Returns
-    (N, C) int32 optimal signed levels in scan order."""
+    traced — every per-position constant is indexed statically).
+    qp_idx: optional (N,) int32 per-block QP rows into a
+    make_consts_all_qp dict (the variance-AQ form). Returns (N, C)
+    int32 optimal signed levels in scan order."""
     N = coefs_scan.shape[0]
+    if qp_idx is not None:
+        tc = {k: v[qp_idx] for k, v in tc.items()}    # (N, ...) rows
+    shared = tc["qmf"].ndim == 1
+    C = coefs_scan.shape[1] if C is None else C
     assert coefs_scan.shape[1] == C
+
+    def at(name, i, b=None):
+        t = tc[name]
+        if b is None:
+            return t[i] if shared else t[:, i]
+        return t[i, b] if shared else t[:, i, b]
+
+    def at_l1(j, b):
+        return tc["l1"][j, b] if shared else tc["l1"][:, j, b]
+
+    def at_unary(j, prefix):
+        if shared:
+            return tc["unary"][j][jnp.clip(prefix, 0, 14)]
+        return jnp.take_along_axis(
+            tc["unary"][:, j], jnp.clip(prefix, 0, 14)[:, None],
+            axis=1)[:, 0]
+
     sign = jnp.where(coefs_scan < 0, -1, 1).astype(I32)
     ac = jnp.abs(coefs_scan)
     f = 1 << 15
-    q = ((ac.astype(jnp.int64) * tc["qmf"][None, :] + f) >> 16) \
+    qmf = tc["qmf"] if not shared else tc["qmf"][None, :]
+    q = ((ac.astype(jnp.int64) * qmf + f) >> 16) \
         .astype(I32)                                  # no deadzone
 
     BIG = jnp.float32(1e30)
@@ -182,20 +276,16 @@ def trellis_4x4(coefs_scan, tc, C: int = 16):
     hist_lvl = []
     hist_par = []
 
-    l1 = tc["l1"]          # (8,2)
-    unary = tc["unary"]    # (8,15)
-    tr = jnp.asarray(NODE_TRANS)
-
-    lam2f = tc["lam2"]
+    lam2f = tc["lam2"]     # scalar, or (N,) in the per-MB-QP form
     zerof = jnp.float32(0.0)
 
     for i in range(C - 1, -1, -1):
         qi = q[:, i]                                   # (N,)
         ci = ac[:, i]
-        sig0 = tc["sig"][i, 0] if i < C - 1 else zerof
-        sig1 = tc["sig"][i, 1] if i < C - 1 else zerof
-        last0 = tc["last"][i, 0] if i < C - 1 else zerof
-        last1 = tc["last"][i, 1] if i < C - 1 else zerof
+        sig0 = at("sig", i, 0) if i < C - 1 else zerof
+        sig1 = at("sig", i, 1) if i < C - 1 else zerof
+        last0 = at("last", i, 0) if i < C - 1 else zerof
+        last1 = at("last", i, 1) if i < C - 1 else zerof
 
         # per destination node: list of (score, lvl, par) contributions;
         # the j -> dest map is STATIC within each of the 3 transition
@@ -205,10 +295,10 @@ def trellis_4x4(coefs_scan, tc, C: int = 16):
 
         for cand in range(2):                          # q, q-1
             lvl = jnp.maximum(qi - cand, 0)            # (N,)
-            unq = ((tc["uqmf"][i] * lvl.astype(jnp.int64) + 128) >> 8) \
+            unq = ((at("uqmf", i) * lvl.astype(jnp.int64) + 128) >> 8) \
                 .astype(I32)
             d = (ci - unq).astype(F32)
-            ssd = d * d * tc["w2"][i]
+            ssd = d * d * at("w2", i)
             is1 = lvl == 1
             isg = lvl > 1
             isz = lvl == 0
@@ -222,10 +312,10 @@ def trellis_4x4(coefs_scan, tc, C: int = 16):
                 isz = isz & (qi > 0)
             for j in range(8):
                 last_j = last1 if j == 0 else last0
-                b1 = sig1 + last_j + l1[j, 1] \
-                    + unary[j][jnp.clip(prefix, 0, 14)] \
+                b1 = sig1 + last_j + at_l1(j, 1) \
+                    + at_unary(j, prefix) \
                     + ue_f8                              # lvl > 1
-                bA = sig1 + last_j + l1[j, 0] \
+                bA = sig1 + last_j + at_l1(j, 0) \
                     + jnp.float32(1 << CABAC_SIZE_BITS)  # lvl == 1
                 bZ = sig0 if j > 0 else zerof            # lvl == 0
                 base = score[j] + ssd
@@ -266,3 +356,7 @@ def trellis_4x4(coefs_scan, tc, C: int = 16):
         levels.append(lv)
     out = jnp.stack(levels, axis=1)                    # (N, C) pos 0..C-1
     return out * sign
+
+
+# back-compat name (cat-2 4x4 was the first user)
+trellis_4x4 = trellis_scan

@@ -166,9 +166,15 @@ def _ext_refs(ry, ru, rv, n):
 @functools.lru_cache(maxsize=32)
 def _p_rows_cabac_fn(mesh: Mesh, band: int, mb_w: int, me_range: int,
                      subpel_steps, deblock_on: bool, cap_ops: int,
-                     parts: bool = True, n_refs: int = 1):
+                     parts: bool = True, n_refs: int = 1,
+                     t8: bool = False, decimate: bool = False,
+                     rd: bool = False, p8x8: bool = False,
+                     aq: bool = False, aq_qp_min: int = 10,
+                     aq_qp_max: int = 51):
     n = mesh.shape[AXIS]
     from ..entropy import cabac_planes
+    from ..encoder import aq as eaq
+    from ..encoder.pipeline import _aq_maps
 
     def body(y, u, v, ry, ru, rv, *rest):
         if n_refs == 2:
@@ -180,25 +186,44 @@ def _p_rows_cabac_fn(mesh: Mesh, band: int, mb_w: int, me_range: int,
              alpha_off, beta_off, cqp_off) = rest
             r2 = (None, None, None)
         ry_ext, ru_ext, rv_ext = _ext_refs(ry, ru, rv, n)
+        y, u, v = y.astype(I32), u.astype(I32), v.astype(I32)
+        if aq:
+            # per-band AQ: each band IS a slice, so its dqp forward
+            # fill starts at the slice QP — exactly spec 7.4.5
+            qp_map, qpc_map = _aq_maps(y, u, v, band, mb_w, qp, qtab,
+                                       aq_qp_min, aq_qp_max, cqp_off)
+        else:
+            qp_map = qpc_map = None
 
         out = einter.encode_p_body(
-            band, mb_w, me_range, y.astype(I32), u.astype(I32),
-            v.astype(I32), ry_ext, ru_ext, rv_ext, qtab, lam, mvp,
-            subpel_steps, ref_prepadded=True, parts=parts,
-            ref2_y=r2[0], ref2_u=r2[1], ref2_v=r2[2], n_refs=n_refs)
+            band, mb_w, me_range, y, u, v, ry_ext, ru_ext, rv_ext,
+            qtab, lam, mvp, subpel_steps, ref_prepadded=True,
+            parts=parts, ref2_y=r2[0], ref2_u=r2[1], ref2_v=r2[2],
+            n_refs=n_refs, t8=t8, qp_map=qp_map, qpc_map=qpc_map,
+            decimate=decimate, rd=rd, p8x8=p8x8)
 
-        ops = cabac_planes.p_slice_ops(out, band, mb_w, n_refs)
+        qp_mb = jnp.broadcast_to(qp, (band, mb_w)).astype(I32)
+        if aq:
+            has_dqp = (~out["skip"]) & (out["intra_mb"]
+                                        | (out["cbp_luma_bits"] > 0)
+                                        | (out["cbp_chroma"] > 0))
+            dqp, qp_eff, pnz = eaq.dqp_syntax(qp_map, has_dqp, qp)
+            out["dqp"], out["dqp_prev_nz"] = dqp, pnz
+            qp_mb = qp_eff
+
+        ops = cabac_planes.p_slice_ops(out, band, mb_w, n_refs,
+                                       t8_mode=t8)
         cops, n_ops = cabac_planes.compact_ops(ops, cap_ops)
 
         ryo, ruo, rvo = out["recon_y"], out["recon_u"], out["recon_v"]
         if deblock_on:
-            qp_mb = jnp.broadcast_to(qp, (band, mb_w)).astype(I32)
             zmv = jnp.zeros((band * 4, mb_w * 4, 2), I32)
             z4 = jnp.zeros((band * 4, mb_w * 4), I32)
             ryo, ruo, rvo = odeblock.deblock_frame(
                 band, mb_w, ryo, ruo, rvo, qp_mb, out["intra_mb"],
                 out["nnz4"], out["ref4"], out["mv4"], z4, zmv, False,
-                alpha_off, beta_off, cqp_off)
+                alpha_off, beta_off, cqp_off,
+                t8_mb=out.get("t8_mb") if t8 else None)
         return (ryo, ruo, rvo, cops[None], n_ops[None], out["mv"],
                 out["intra_mb"], out["skip"])
 
@@ -219,19 +244,26 @@ def encode_p_rows_cabac(mesh: Mesh, mb_h: int, mb_w: int, me_range: int,
                         y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp,
                         alpha_off, beta_off, cqp_off,
                         mvp_seed, cap_ops: int,
-                        ref2_y=None, ref2_u=None, ref2_v=None):
+                        ref2_y=None, ref2_u=None, ref2_v=None,
+                        t8: bool = False, decimate: bool = False,
+                        rd: bool = False, p8x8: bool = False,
+                        aq: bool = False, aq_qp_min: int = 10,
+                        aq_qp_max: int = 51):
     """P frame as n row-band CABAC slices: per-band compacted bin-op
     streams (contexts are per-slice, so the n host FSM runs are
     independent). ref2_* (optional) is L0[1] — its halo rides the same
-    ppermute exchange. Returns ops (n, cap_ops), n_ops (n,), recon,
-    maps."""
+    ppermute exchange. t8/decimate/rd/p8x8/aq compose as in the
+    unsharded pipeline (AQ dqp state is per band == per slice).
+    Returns ops (n, cap_ops), n_ops (n,), recon, maps."""
     n = mesh.shape[AXIS]
     assert mb_h % n == 0, (mb_h, n)
     band = mb_h // n
     assert band * 16 >= omc.PAD, f"band too short for halo ({band} MB rows)"
     n_refs = 2 if ref2_y is not None else 1
     fn = _p_rows_cabac_fn(mesh, band, mb_w, me_range, tuple(subpel_steps),
-                          deblock_on, cap_ops, True, n_refs)
+                          deblock_on, cap_ops, True, n_refs,
+                          t8, decimate, rd, p8x8,
+                          aq, aq_qp_min, aq_qp_max)
     r2 = (ref2_y, ref2_u, ref2_v) if n_refs == 2 else ()
     ry, ru, rv, ops, n_ops, mv, intra_mb, skip = fn(
         y, u, v, ref_y, ref_u, ref_v, *r2, mvp_seed,
@@ -244,14 +276,18 @@ def encode_p_rows_cabac(mesh: Mesh, mb_h: int, mb_w: int, me_range: int,
 
 @functools.lru_cache(maxsize=32)
 def _i_rows_cabac_fn(mesh: Mesh, band: int, mb_w: int, i4x4: bool,
-                     deblock_on: bool, cap_ops: int):
+                     deblock_on: bool, cap_ops: int,
+                     t8_mode: bool = False):
     from ..entropy import cabac_planes
 
     def body(y, u, v, qtab, lam, qp, alpha_off, beta_off, cqp_off):
         out = eintra.encode_i16_frame(band, mb_w, y.astype(I32),
                                       u.astype(I32), v.astype(I32),
                                       qtab, lam, i4x4)
-        ops = cabac_planes.i16_slice_ops(out, band, mb_w)
+        # t8_mode: the PPS signals transform_8x8_mode, so I_NxN MBs
+        # carry a transform_size_8x8_flag even in I band slices
+        ops = cabac_planes.i16_slice_ops(out, band, mb_w,
+                                         t8_mode=t8_mode)
         cops, n_ops = cabac_planes.compact_ops(ops, cap_ops)
 
         ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
@@ -278,12 +314,14 @@ def _i_rows_cabac_fn(mesh: Mesh, band: int, mb_w: int, i4x4: bool,
 
 def encode_i_rows_cabac(mesh: Mesh, mb_h: int, mb_w: int, i4x4: bool,
                         deblock_on: bool, y, u, v, qtab, lam, qp,
-                        alpha_off, beta_off, cqp_off, cap_ops: int):
+                        alpha_off, beta_off, cqp_off, cap_ops: int,
+                        t8_mode: bool = False):
     """IDR frame as n row-band CABAC slices."""
     n = mesh.shape[AXIS]
     assert mb_h % n == 0, (mb_h, n)
     band = mb_h // n
-    fn = _i_rows_cabac_fn(mesh, band, mb_w, i4x4, deblock_on, cap_ops)
+    fn = _i_rows_cabac_fn(mesh, band, mb_w, i4x4, deblock_on, cap_ops,
+                          t8_mode)
     ry, ru, rv, ops, n_ops = fn(
         y, u, v, qtab, jnp.asarray(lam, I32), jnp.asarray(qp, I32),
         jnp.asarray(alpha_off, I32), jnp.asarray(beta_off, I32),
@@ -346,3 +384,70 @@ def encode_i_rows(mesh: Mesh, mb_h: int, mb_w: int, i4x4: bool,
         jnp.asarray(cqp_off, I32))
     return dict(recon_y=ry, recon_u=ru, recon_v=rv, words=words,
                 nbits=nbits)
+
+
+@functools.lru_cache(maxsize=32)
+def _b_rows_cabac_fn(mesh: Mesh, band: int, mb_w: int, me_range: int,
+                     subpel_steps, deblock_on: bool, cap_ops: int,
+                     t8: bool = False):
+    n = mesh.shape[AXIS]
+    from ..entropy import cabac_planes
+
+    def body(y, u, v, l0y, l0u, l0v, l1y, l1u, l1v, col_ref4, col_mv4,
+             mvp, mvp_l1, qtab, lam, qp, alpha_off, beta_off, cqp_off):
+        l0 = _ext_refs(l0y, l0u, l0v, n)
+        l1 = _ext_refs(l1y, l1u, l1v, n)
+        out = einter.encode_b_body(
+            band, mb_w, me_range, y.astype(I32), u.astype(I32),
+            v.astype(I32), *l0, *l1, qtab, lam, mvp, subpel_steps,
+            col_ref4=col_ref4, col_mv4=col_mv4, mvp_seed_l1=mvp_l1,
+            ref_prepadded=True)
+        ops = cabac_planes.b_slice_ops(out, band, mb_w, t8_mode=t8)
+        cops, n_ops = cabac_planes.compact_ops(ops, cap_ops)
+        ryo, ruo, rvo = out["recon_y"], out["recon_u"], out["recon_v"]
+        if deblock_on:
+            qp_mb = jnp.broadcast_to(qp, (band, mb_w)).astype(I32)
+            ryo, ruo, rvo = odeblock.deblock_frame(
+                band, mb_w, ryo, ruo, rvo, qp_mb, out["intra_mb"],
+                out["nnz4"], out["ref4"], out["mv4"],
+                out["ref4_l1"], out["mv4_l1"], True,
+                alpha_off, beta_off, cqp_off)
+        return (ryo, ruo, rvo, cops[None], n_ops[None],
+                out["intra_mb"], out["skip"])
+
+    row = P(AXIS)
+    rep = P()
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(row,) * 13 + (rep,) * 6,
+        out_specs=(row,) * 7,
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def encode_b_rows_cabac(mesh: Mesh, mb_h: int, mb_w: int, me_range: int,
+                        subpel_steps, deblock_on: bool,
+                        y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
+                        qtab, lam, qp, alpha_off, beta_off, cqp_off,
+                        mvp_seed, col_ref4, col_mv4, cap_ops: int,
+                        mvp_seed_l1=None, t8: bool = False):
+    """Non-reference B frame as n row-band CABAC slices: both
+    references' halos ride the ppermute exchange; the spatial-direct
+    derivation stays band-local (bands are slices, so cross-band
+    neighbors are unavailable by the spec's own slice rules)."""
+    n = mesh.shape[AXIS]
+    assert mb_h % n == 0, (mb_h, n)
+    band = mb_h // n
+    assert band * 16 >= omc.PAD, f"band too short for halo ({band} MB rows)"
+    fn = _b_rows_cabac_fn(mesh, band, mb_w, me_range,
+                          tuple(subpel_steps), deblock_on, cap_ops, t8)
+    if mvp_seed_l1 is None:
+        mvp_seed_l1 = mvp_seed
+    ry, ru, rv, ops, n_ops, intra_mb, skip = fn(
+        y, u, v, l0_y, l0_u, l0_v, l1_y, l1_u, l1_v,
+        col_ref4, col_mv4, mvp_seed, mvp_seed_l1,
+        qtab, jnp.asarray(lam, I32), jnp.asarray(qp, I32),
+        jnp.asarray(alpha_off, I32), jnp.asarray(beta_off, I32),
+        jnp.asarray(cqp_off, I32))
+    return dict(recon_y=ry, recon_u=ru, recon_v=rv, ops=ops,
+                n_ops=n_ops, intra_mb=intra_mb, skip=skip)

@@ -154,16 +154,13 @@ class EncoderParams:
         if rc.i_vbv_max_bitrate > 0 and rc.i_vbv_buffer_size <= 0:
             rc.i_vbv_buffer_size = rc.i_vbv_max_bitrate
         rc.i_aq_mode = _clip(rc.i_aq_mode, 0, 1)
-        if rc.i_aq_mode != AQ_NONE and self.i_mb_row_shards > 1:
-            # bands would each need their own dqp forward-fill origin;
-            # not wired into the sharded path yet
-            self._log("AQ not yet in the sharded path, disabling")
+        if (rc.i_aq_mode != AQ_NONE and self.i_mb_row_shards > 1
+                and not self.b_cabac):
+            # the sharded CAVLC packer has no dqp/AQ plumbing (the
+            # CABAC band path composes with AQ — bands are slices, so
+            # each gets its own dqp forward-fill origin)
+            self._log("AQ not in the sharded CAVLC path, disabling")
             rc.i_aq_mode = AQ_NONE
-        if rc.i_aq_mode != AQ_NONE and self.analyse.i_trellis:
-            # trellis bit-cost tables are built per frame QP
-            self._log("AQ with trellis not yet supported; "
-                      "disabling trellis")
-            self.analyse.i_trellis = 0
         if rc.i_rc_method == RC_CQP:
             rc.i_aq_mode = AQ_NONE
             if rc.i_qp_constant == 0:
@@ -185,14 +182,20 @@ class EncoderParams:
             # interleave (x264_zigzag_interleave) is not built yet
             self._log("8x8 transform requires CABAC here, disabling")
             a.b_transform_8x8 = False
-        if a.b_transform_8x8 and self.i_mb_row_shards > 1:
-            self._log("8x8 transform not yet in the sharded path, "
-                      "disabling")
-            a.b_transform_8x8 = False
         a.intra &= ~ANALYSE_I8x8    # I8x8 predictors not built yet
         a.inter &= ~ANALYSE_I8x8
+        if a.inter & ANALYSE_PSUB8x8:
+            self._log("sub-8x8 partitions (p4x4/p8x4/4x8) not built; "
+                      "using 8x8 sub-blocks only", once="psub8")
+            a.inter &= ~ANALYSE_PSUB8x8
         a.i_me_method = _clip(a.i_me_method, ME_DIA, ME_TESA)
         a.i_subpel_refine = _clip(a.i_subpel_refine, 1, 9)
+        if a.i_subpel_refine < 6 and a.f_psy_rd > 0:
+            # psy-RD needs the RD ladder's true-distortion comparison
+            # (x264_validate_parameters: subme<6 zeroes psy)
+            a.f_psy_rd = 0.0
+        if not a.b_psy:
+            a.f_psy_rd = a.f_psy_trellis = 0.0
         a.i_me_range = _clip(a.i_me_range, 4, 64)
         if a.i_mv_range <= 0:
             a.i_mv_range = 512  # level 4+ default; level logic narrows this
@@ -203,7 +206,35 @@ class EncoderParams:
             self._log("trellis requires CABAC, disabling")
             a.i_trellis = 0
 
+        # knobs with no TPU counterpart: every one either acts, is
+        # clamped, or logs that it does nothing (the validate-and-log
+        # contract of x264_validate_parameters)
+        if self.b_interlaced:
+            self._log("interlaced coding not supported; using "
+                      "progressive", once="interlaced")
+            self.b_interlaced = False
+        if a.i_noise_reduction:
+            self._log("noise reduction not implemented; ignoring "
+                      "--nr", once="nr")
+            a.i_noise_reduction = 0
+        if a.b_mixed_references:
+            self._log("mixed references not implemented (one ref per "
+                      "MB); ignoring", once="mixedref")
+            a.b_mixed_references = False
+        if not a.b_fast_pskip:
+            # the batched pipeline always derives P_SKIP exactly after
+            # full analysis — there is no early-skip shortcut to turn
+            # off, so no-fast-pskip is already the behavior
+            self._log("fast_pskip has no effect (skip is derived "
+                      "exactly in the batched path)", once="pskip")
+        if not self.b_deterministic:
+            self._log("encoding is always deterministic on this "
+                      "backend; ignoring --non-deterministic",
+                      once="determ")
+            self.b_deterministic = True
+
         self.i_frame_reference = _clip(self.i_frame_reference, 1, 16)
+        self.i_dpb_size = max(self.i_dpb_size, self.i_frame_reference)
         if self.i_frame_reference > 2:
             # 2 L0 references supported (per-MB ref choice + ref_idx
             # syntax); deeper DPBs not yet
@@ -218,14 +249,19 @@ class EncoderParams:
             self.i_frame_reference = 1
 
         self.i_bframe = _clip(self.i_bframe, 0, 16)
+        if self.i_bframe_adaptive == B_ADAPT_TRELLIS:
+            self._log("b-adapt 2 (Viterbi) not built; using the "
+                      "b-adapt 1 greedy", once="badapt")
+            self.i_bframe_adaptive = B_ADAPT_FAST
         if self.i_bframe > 3:
             # current B support: runs of up to 3 non-reference Bs
             # between references (no B-pyramid)
             self._log("using --bframes 3 (longer runs need B-pyramid)")
             self.i_bframe = 3
-        if self.i_bframe > 0 and self.i_mb_row_shards > 1:
-            self._log("B-frames with MB-row sharding not yet supported; "
-                      "using --bframes 0")
+        if (self.i_bframe > 0 and self.i_mb_row_shards > 1
+                and not self.b_cabac):
+            self._log("B-frames in the sharded CAVLC path not "
+                      "supported; using --bframes 0")
             self.i_bframe = 0
         if self.i_bframe == 0:
             self.b_bframe_pyramid = False
@@ -295,6 +331,28 @@ class EncoderParams:
         "aq-mode": ("rc.i_aq_mode", int),
         "aq-strength": ("rc.f_aq_strength", float),
         "fps": ("i_fps_num", int),
+        "psy-rd": ("analyse.f_psy_rd", float),
+        "b-bias": ("i_bframe_bias", int),
+        "dct-decimate": ("analyse.b_dct_decimate",
+                         lambda v: bool(int(v))),
+        "fast-pskip": ("analyse.b_fast_pskip", lambda v: bool(int(v))),
+        "psnr": ("analyse.b_psnr", lambda v: bool(int(v))),
+        "ssim": ("analyse.b_ssim", lambda v: bool(int(v))),
+        "ipratio": ("rc.f_ip_factor", float),
+        "pbratio": ("rc.f_pb_factor", float),
+        "chroma-qp-offset": ("analyse.i_chroma_qp_offset", int),
+        "qpmin": ("rc.i_qp_min", int),
+        "qpmax": ("rc.i_qp_max", int),
+        "qpstep": ("rc.i_qp_step", int),
+        "ratetol": ("rc.f_rate_tolerance", float),
+        "qcomp": ("rc.f_qcompress", float),
+        "vbv-maxrate": ("rc.i_vbv_max_bitrate", int),
+        "vbv-bufsize": ("rc.i_vbv_buffer_size", int),
+        "vbv-init": ("rc.f_vbv_buffer_init", float),
+        "level": ("i_level_idc", int),
+        "scenecut": ("i_scenecut_threshold", int),
+        "nr": ("analyse.i_noise_reduction", int),
+        "interlaced": ("b_interlaced", lambda v: bool(int(v))),
     }
 
     def parse(self, name: str, value: str) -> "EncoderParams":
