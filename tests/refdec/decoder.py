@@ -344,6 +344,7 @@ class Decoder:
         nnz_l, nnz_c = pic["nnz_l"], pic["nnz_c"]
         qp_mb, intra_mb = pic["qp_mb"], pic["intra_mb"]
         mv_f, ref_f = pic["mv_f"], pic["ref_f"]
+        mv_f1, ref_f1 = pic["mv_f1"], pic["ref_f1"]
         i4grid = pic["i4grid"]
 
         row0 = first_mb // mb_w

@@ -144,3 +144,40 @@ def test_sharded_cabac_multiref_decode():
         np.testing.assert_array_equal(
             np.asarray(df.u, np.int64), np.asarray(ru, np.int64),
             err_msg=f"frame {i} U")
+
+
+def test_sharded_cabac_composed_b_aq_t8():
+    """The composed sharded config (VERDICT round-4 item 5): B runs +
+    8x8 transform + variance AQ + 2 refs on the CABAC band path, with
+    decode closure (per-band dqp origins == per-slice QP state)."""
+    from x264_tpu.params import B_ADAPT_NONE
+    p = EncoderParams(i_width=W, i_height=H, b_cabac=True,
+                      i_log_level=0, i_keyint_max=8,
+                      i_mb_row_shards=4, i_frame_reference=2,
+                      i_bframe=2, i_scenecut_threshold=0)
+    p.i_bframe_adaptive = B_ADAPT_NONE
+    p.rc.i_aq_mode = 1
+    p.analyse.b_transform_8x8 = True
+    p.analyse.i_subpel_refine = 5
+    enc = Encoder(p)
+    assert enc._rows_mesh is not None
+    stream = enc.headers()
+    recons = []
+    for f in make_frames(6):
+        ef = enc.encode(f)
+        if ef is not None:
+            stream += ef.payload
+            recons.append(ef.recon)
+    for ef in enc.flush():
+        stream += ef.payload
+        recons.append(ef.recon)
+    dec = Decoder()
+    for nal in split_annexb(stream):
+        dec.decode_nal(nal)
+    assert len(dec.frames) == len(recons)
+    for i, (d, r) in enumerate(zip(dec.frames, recons)):
+        for pl in ("y", "u", "v"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(d, pl), np.int64),
+                np.asarray(getattr(r, pl), np.int64),
+                err_msg=f"frame {i} plane {pl}")
