@@ -147,3 +147,38 @@ def test_encoder_reconfig():
     assert enc._rd is False
     assert enc.params.i_deblocking_filter_alphac0 == 2
     assert enc.params.rc.i_qp_max == 40
+
+
+def test_sps_full_vui_roundtrip():
+    """Full VUI write (SAR + signal type + bitstream restriction,
+    encoder/set.c:285-362): the SPS grows, stays parseable, and the
+    e2e stream still decodes."""
+    from x264_tpu.params import EncoderParams
+    from x264_tpu.encoder.core import Encoder, Frame
+    from refdec.decoder import decode_annexb
+
+    p = EncoderParams(i_width=64, i_height=48, i_log_level=0)
+    p.rc.i_rc_method = 0
+    p.rc.i_qp_constant = 30
+    p.analyse.i_subpel_refine = 5
+    base = Encoder(p).headers()
+
+    q = EncoderParams(i_width=64, i_height=48, i_log_level=0)
+    q.rc.i_rc_method = 0
+    q.rc.i_qp_constant = 30
+    q.analyse.i_subpel_refine = 5
+    q.vui_sar_width, q.vui_sar_height = 16, 11   # idc 4
+    q.vui_b_fullrange = True
+    enc = Encoder(q)
+    hdr = enc.headers()
+    assert hdr != base
+    z = np.full((48, 64), 128, np.uint8)
+    c = np.full((24, 32), 128, np.uint8)
+    stream = hdr
+    ef = enc.encode(Frame(z, c, c))
+    stream += ef.payload
+    decoded = decode_annexb(stream)
+    assert len(decoded) == 1
+    np.testing.assert_array_equal(
+        np.asarray(decoded[0].y, np.int64),
+        np.asarray(ef.recon.y, np.int64))

@@ -90,6 +90,10 @@ def build_argparser():
                     help="level_idc * 10 (e.g. 40 for 4.0); -1 = auto")
     ap.add_argument("--deblock-params", default="0:0", metavar="A:B",
                     help="deblock alpha:beta offsets (x264 -f)")
+    ap.add_argument("--sar", default=None, metavar="W:H",
+                    help="sample aspect ratio (VUI)")
+    ap.add_argument("--fullrange", action="store_true",
+                    help="full-range samples (VUI)")
     ap.add_argument("--shards", type=int, default=1,
                     help="MB-row device shards (slice-per-band "
                     "multi-chip path)")
@@ -161,6 +165,13 @@ def params_from_args(args, width, height, fps_num, fps_den) -> EncoderParams:
     except ValueError:
         pass
     p.i_mb_row_shards = args.shards
+    if args.sar:
+        try:
+            sw, sh = args.sar.split(":")
+            p.vui_sar_width, p.vui_sar_height = int(sw), int(sh)
+        except ValueError:
+            pass
+    p.vui_b_fullrange = args.fullrange
     if args.partitions != "default":
         from .params import (ANALYSE_I4x4, ANALYSE_I8x8,
                              ANALYSE_PSUB16x16, ANALYSE_PSUB8x8,

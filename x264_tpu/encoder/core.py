@@ -104,12 +104,16 @@ class Encoder:
         from ..params import AQ_NONE
         self._aq = p.rc.i_aq_mode != AQ_NONE
         self._full_tabs = None
-        if self._aq:
+        if self._aq or (p.rc.i_vbv_buffer_size > 0
+                        and p.rc.i_vbv_max_bitrate > 0):
+            # full 52-QP table stacks: needed for per-MB QP rows by
+            # variance AQ and/or the row-RC VBV profile
             from . import aq as eaq
             import jax.numpy as jnp
             self._full_tabs = eaq.full_tables(self.qt)
             self._aq_strength = jnp.float32(p.rc.f_aq_strength)
-            self._aq_kw = dict(aq=True, aq_qp_min=int(p.rc.i_qp_min),
+            self._aq_kw = dict(aq=self._aq,
+                               aq_qp_min=int(p.rc.i_qp_min),
                                aq_qp_max=int(p.rc.i_qp_max))
         else:
             self._aq_kw = {}
@@ -117,6 +121,11 @@ class Encoder:
         # encoder/macroblock.c:415-474)
         self._lossless = (p.rc.i_rc_method == _CQP
                           and p.rc.i_qp_constant == 0)
+        # per-row VBV QP adaptation (x264_ratecontrol_mb analogue,
+        # planned pre-encode; P frames, unsharded path)
+        self._rowrc = (p.rc.i_vbv_buffer_size > 0
+                       and p.rc.i_vbv_max_bitrate > 0
+                       and p.i_mb_row_shards <= 1)
         # 52-QP trellis const stacks (built lazily when AQ + trellis)
         self._trellis_full = None
         sp = p.analyse.i_subpel_refine
@@ -578,8 +587,9 @@ class Encoder:
         if key not in self._qtab_p_cache:
             qt = inter.make_qtab_p(qp_y, qp_c, self.qt)
             p = self.params
-            if self._aq:
+            if self._full_tabs is not None:
                 qt["full"] = self._full_tabs
+            if self._aq:
                 qt["aq_strength"] = self._aq_strength
             if (p.analyse.i_trellis and p.b_cabac
                     and not self._lossless):
@@ -588,9 +598,9 @@ class Encoder:
                 # x264_quant_{4x4,8x8,dc}_trellis, encoder/rdo.c:632-661)
                 from ..ops import trellis as otrellis
                 idc = p.i_cabac_init_idc
-                if self._aq:
-                    # variance AQ: one 52-QP const stack shared by all
-                    # frame QPs, row-gathered per MB on device
+                if self._aq or self._rowrc:
+                    # per-MB QP (AQ / row-RC): one 52-QP const stack
+                    # shared by all frame QPs, row-gathered on device
                     if self._trellis_full is None:
                         mk = lambda cat, lst: otrellis.make_consts_all_qp(
                             cat, lst, False, idc, qt=self.qt)
@@ -1025,6 +1035,11 @@ class Encoder:
                   and self._prev_ref is not None else 1)
         r2y, r2u, r2v = (self._prev_ref if n_refs == 2
                          else (None, None, None))
+        row_off = None
+        if self._rowrc:
+            ro = self.rc.row_qp_offsets("P", qp, mb_h)
+            if ro is not None:
+                row_off = jnp.asarray(ro)
         if p.b_cabac:
             hdr_bytes = self._cabac_header(qp, SLICE_P, 2, n_refs)
             out = pipeline.encode_p_cabac(
@@ -1037,7 +1052,8 @@ class Encoder:
                 p.analyse.i_chroma_qp_offset,
                 mvp_seed, r2y, r2u, r2v, t8=self._t8,
                 decimate=p.analyse.b_dct_decimate, rd=self._rd,
-                p8x8=self._p8x8, **self._crop, **self._aq_kw)
+                p8x8=self._p8x8, row_qp_off=row_off,
+                **self._crop, **self._aq_kw)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=False, nal_type=NAL_SLICE,
                         nal_ref_idc=2, nmb=mb_h * mb_w)
@@ -1058,7 +1074,8 @@ class Encoder:
                 p.analyse.i_chroma_qp_offset,
                 mvp_seed, r2y, r2u, r2v,
                 decimate=p.analyse.b_dct_decimate, rd=self._rd,
-                p8x8=self._p8x8, **self._crop, **self._aq_kw)
+                p8x8=self._p8x8, row_qp_off=row_off,
+                **self._crop, **self._aq_kw)
             pend = dict(kind="cavlc", out=out,
                         cap_words=pipeline.capacity_words(mb_h * mb_w),
                         nal_type=NAL_SLICE, nal_ref_idc=2)
@@ -1085,7 +1102,8 @@ class Encoder:
         qp_c = tables.chroma_qp(qp, p.analyse.i_chroma_qp_offset)
         lam = int(tables.LAMBDA_TABLE[qp])
         qtab_b = self._qtab_p(qp, qp_c)
-        if self._aq and qtab_b.get("trellis") is not None:
+        if ((self._aq or self._rowrc)
+                and qtab_b.get("trellis") is not None):
             # AQ encoders carry 52-QP trellis stacks; B frames (no AQ
             # yet) trellis at the frame QP via constant row maps
             qtab_b = dict(qtab_b)

@@ -105,6 +105,23 @@ def _aq_maps(y, u, v, mb_h, mb_w, qp, qtab, qp_min, qp_max,
                                   qp_min, qp_max, chroma_qp_offset)
 
 
+def _apply_row_rc(qp_map, qpc_map, row_qp_off, mb_h, mb_w, qp, qp_min,
+                  qp_max, chroma_qp_offset):
+    """Fold the per-row VBV QP profile (x264_ratecontrol_mb analogue —
+    planned pre-encode, see RateControl.row_qp_offsets) into the per-MB
+    QP map; activates the AQ dqp machinery when AQ itself is off."""
+    from .. import tables as _tab
+    if row_qp_off is None:
+        return qp_map, qpc_map
+    base = (qp_map if qp_map is not None
+            else jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32))
+    qp_map = jnp.clip(base + row_qp_off.astype(I32)[:, None],
+                      qp_min, qp_max)
+    cqp = jnp.asarray(_tab.CHROMA_QP_TABLE)
+    qpc_map = cqp[jnp.clip(qp_map + chroma_qp_offset, 0, 51)]
+    return qp_map, qpc_map
+
+
 def capacity_words(nmb: int) -> int:
     return (nmb * CAP_BITS_PER_MB + edev.HDR_SLOTS * 32 + 4096) // 32
 
@@ -174,7 +191,7 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
              with_metrics: bool = False, aq: bool = False,
              aq_qp_min: int = 10, aq_qp_max: int = 51,
              decimate: bool = False, rd: bool = False,
-             p8x8: bool = False):
+             p8x8: bool = False, row_qp_off=None):
     """P frame: ME + inter/intra decision + entropy + pack + deblock,
     fused. ref_* is the deblocked reconstruction of the reference frame
     (int32, MB-aligned); with n_refs=2, ref2_* is L0[1] (the older
@@ -193,6 +210,9 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                                    chroma_qp_offset)
     else:
         qp_map = qpc_map = None
+    qp_map, qpc_map = _apply_row_rc(qp_map, qpc_map, row_qp_off, mb_h,
+                                    mb_w, qp, aq_qp_min, aq_qp_max,
+                                    chroma_qp_offset)
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
                               ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
                               subpel_steps, parts=parts,
@@ -202,7 +222,7 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                               qp_map=qp_map, qpc_map=qpc_map,
                               decimate=decimate, rd=rd, p8x8=p8x8)
     qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
-    if aq:
+    if qp_map is not None:
         has_dqp = (~out["skip"]) & (out["intra_mb"]
                                     | (out["cbp_luma_bits"] > 0)
                                     | (out["cbp_chroma"] > 0))
@@ -306,7 +326,8 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    with_metrics: bool = False, t8: bool = False,
                    aq: bool = False, aq_qp_min: int = 10,
                    aq_qp_max: int = 51, decimate: bool = False,
-                   rd: bool = False, p8x8: bool = False):
+                   rd: bool = False, p8x8: bool = False,
+                   row_qp_off=None):
     """P frame with CABAC entropy: same encode as encode_p, emitting the
     packed bin-op stream for the host arithmetic coder. n_refs=2 takes
     ref2_* as L0[1]."""
@@ -323,6 +344,9 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                                    chroma_qp_offset)
     else:
         qp_map = qpc_map = None
+    qp_map, qpc_map = _apply_row_rc(qp_map, qpc_map, row_qp_off, mb_h,
+                                    mb_w, qp, aq_qp_min, aq_qp_max,
+                                    chroma_qp_offset)
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
                               ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
                               subpel_steps, parts=parts,
@@ -332,7 +356,7 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                               qp_map=qp_map, qpc_map=qpc_map,
                               decimate=decimate, rd=rd, p8x8=p8x8)
     qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
-    if aq:
+    if qp_map is not None:
         has_dqp = (~out["skip"]) & (out["intra_mb"]
                                     | (out["cbp_luma_bits"] > 0)
                                     | (out["cbp_chroma"] > 0))

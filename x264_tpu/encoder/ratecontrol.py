@@ -371,6 +371,38 @@ class RateControl:
                 break
         return max(qp2qscale(self.qp_min), min(qp2qscale(self.qp_max), q))
 
+    def row_qp_offsets(self, frame_type: str, qp: int,
+                       mb_h: int) -> "np.ndarray | None":
+        """Per-MB-row QP offsets under VBV — the x264_ratecontrol_mb
+        role (encoder/ratecontrol.c:922-1006) re-staged for the batched
+        pipeline: instead of bumping QP row-by-row DURING the encode,
+        the whole row-QP profile is planned BEFORE the frame from the
+        frame-size predictor and the buffer state, and rides the same
+        per-MB-QP (dqp) machinery AQ uses.
+
+        When the predicted size at the frame QP exceeds the safe buffer
+        room, later rows ramp up by up to +8 QP so the predicted total
+        fits (bits scale ~2^(-d/6) per QP step, the qscale model).
+        Returns (mb_h,) int32 offsets, or None when flat."""
+        if not self.vbv:
+            return None
+        pred = self.pred[frame_type if frame_type in self.pred else "P"]
+        bits = pred.predict(qp2qscale(qp), self.last_satd)
+        room = max(self.buffer_fill + self.buffer_rate
+                   - 0.25 * self.vbv_buffer_size, self.buffer_rate * 0.3)
+        if bits <= room or bits <= 0:
+            return None
+        # linear 0..D ramp; mean shrink factor of the ramp must reach
+        # room/bits; search the smallest sufficient D
+        target = room / bits
+        for D in range(1, 9):
+            ramp = np.round(np.linspace(0.0, D, mb_h))
+            if float(np.mean(2.0 ** (-ramp / 6.0))) <= target:
+                break
+        off = np.round(np.linspace(0.0, D, mb_h)).astype(np.int32)
+        off = np.minimum(off, self.qp_max - int(qp))
+        return off if off.any() else None
+
     def _accum_p_update(self, qp: float, frame_type: str):
         """accum_p_qp_update (ratecontrol.c:776-786): decayed average of
         P-equivalent QPs, used as the I-frame quant base."""

@@ -65,6 +65,18 @@ class SPS:
     direct8x8_inference: bool = True
     fps_num: int = 0          # VUI timing (0 = no VUI)
     fps_den: int = 1
+    # VUI (x264_sps_init vui section, encoder/set.c:146-212)
+    sar_width: int = 0        # 0 = unspecified (no aspect_ratio_info)
+    sar_height: int = 0
+    vidformat: int = 5        # unspecified
+    fullrange: bool = False
+    colorprim: int = 2        # unspecified
+    transfer: int = 2
+    colmatrix: int = 2
+    chroma_loc: int = 0
+    num_reorder_frames: int = 0
+    max_dec_frame_buffering: int = 1
+    mv_range: int = 512
 
     @classmethod
     def from_params(cls, p: EncoderParams) -> "SPS":
@@ -82,6 +94,18 @@ class SPS:
                 p.rc.i_rc_method == 0 and p.rc.i_qp_constant == 0),
             fps_num=p.i_fps_num,
             fps_den=p.i_fps_den,
+            sar_width=p.vui_sar_width,
+            sar_height=p.vui_sar_height,
+            vidformat=p.vui_i_vidformat,
+            fullrange=p.vui_b_fullrange,
+            colorprim=p.vui_i_colorprim,
+            transfer=p.vui_i_transfer,
+            colmatrix=p.vui_i_colmatrix,
+            chroma_loc=p.vui_i_chroma_loc,
+            num_reorder_frames=1 if p.i_bframe else 0,
+            max_dec_frame_buffering=max(
+                p.i_frame_reference, 1 + (1 if p.i_bframe else 0)),
+            mv_range=max(p.analyse.i_mv_range, 64),
         )
 
     def write(self) -> bytes:
@@ -118,13 +142,43 @@ class SPS:
             bs.ue(0)
             bs.ue(self.crop_bottom // 2)
         if self.fps_num > 0:
-            # VUI with timing info (x264_sps_write VUI section,
-            # encoder/set.c:240-330; time_scale is in half-tick units)
+            # full VUI (x264_sps_write VUI section, encoder/set.c:
+            # 285-362: SAR, signal type, chroma loc, timing, bitstream
+            # restriction; the 2009 reference writes no HRD either)
             bs.bit(1)   # vui_parameters_present
-            bs.bit(0)   # aspect_ratio_info_present
+            have_sar = self.sar_width > 0 and self.sar_height > 0
+            bs.bit(int(have_sar))   # aspect_ratio_info_present
+            if have_sar:
+                SAR_IDC = {(1, 1): 1, (12, 11): 2, (10, 11): 3,
+                           (16, 11): 4, (40, 33): 5, (24, 11): 6,
+                           (20, 11): 7, (32, 11): 8, (80, 33): 9,
+                           (18, 11): 10, (15, 11): 11, (64, 33): 12,
+                           (160, 99): 13}
+                idc = SAR_IDC.get((self.sar_width, self.sar_height))
+                if idc is not None:
+                    bs.put(idc, 8)
+                else:
+                    bs.put(255, 8)      # Extended_SAR
+                    bs.put(self.sar_width, 16)
+                    bs.put(self.sar_height, 16)
             bs.bit(0)   # overscan_info_present
-            bs.bit(0)   # video_signal_type_present
-            bs.bit(0)   # chroma_loc_info_present
+            color_desc = (self.colorprim != 2 or self.transfer != 2
+                          or self.colmatrix != 2)
+            signal_type = (self.vidformat != 5 or self.fullrange
+                           or color_desc)
+            bs.bit(int(signal_type))  # video_signal_type_present
+            if signal_type:
+                bs.put(self.vidformat, 3)
+                bs.bit(int(self.fullrange))
+                bs.bit(int(color_desc))
+                if color_desc:
+                    bs.put(self.colorprim, 8)
+                    bs.put(self.transfer, 8)
+                    bs.put(self.colmatrix, 8)
+            bs.bit(int(self.chroma_loc != 0))  # chroma_loc_info_present
+            if self.chroma_loc != 0:
+                bs.ue(self.chroma_loc)
+                bs.ue(self.chroma_loc)
             bs.bit(1)   # timing_info_present
             bs.put(self.fps_den, 32)       # num_units_in_tick
             bs.put(self.fps_num * 2, 32)   # time_scale
@@ -132,7 +186,16 @@ class SPS:
             bs.bit(0)   # nal_hrd_parameters_present
             bs.bit(0)   # vcl_hrd_parameters_present
             bs.bit(0)   # pic_struct_present
-            bs.bit(0)   # bitstream_restriction
+            bs.bit(1)   # bitstream_restriction (as the reference,
+                        # encoder/set.c:202)
+            bs.bit(1)   # motion_vectors_over_pic_boundaries
+            bs.ue(0)    # max_bytes_per_pic_denom
+            bs.ue(0)    # max_bits_per_mb_denom
+            log2mv = max(1, (self.mv_range * 4 - 1).bit_length())
+            bs.ue(min(log2mv, 16))   # log2_max_mv_length_horizontal
+            bs.ue(min(log2mv, 16))   # log2_max_mv_length_vertical
+            bs.ue(self.num_reorder_frames)
+            bs.ue(self.max_dec_frame_buffering)
         else:
             bs.bit(0)   # vui_parameters_present
         bs.rbsp_trailing()

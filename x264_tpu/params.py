@@ -131,6 +131,15 @@ class EncoderParams:
     i_mb_row_shards: int = 1
     i_frame_parallel: int = 1
     b_deterministic: bool = True
+    # VUI (x264_param_t vui struct, x264.h:186-199)
+    vui_sar_width: int = 0
+    vui_sar_height: int = 0
+    vui_i_vidformat: int = 5      # undefined
+    vui_b_fullrange: bool = False
+    vui_i_colorprim: int = 2      # undefined
+    vui_i_transfer: int = 2
+    vui_i_colmatrix: int = 2
+    vui_i_chroma_loc: int = 0
     # logging
     i_log_level: int = 2
 
@@ -353,6 +362,12 @@ class EncoderParams:
         "scenecut": ("i_scenecut_threshold", int),
         "nr": ("analyse.i_noise_reduction", int),
         "interlaced": ("b_interlaced", lambda v: bool(int(v))),
+        "fullrange": ("vui_b_fullrange", lambda v: v in ("1", "on")),
+        "videoformat": ("vui_i_vidformat", int),
+        "colorprim": ("vui_i_colorprim", int),
+        "transfer": ("vui_i_transfer", int),
+        "colormatrix": ("vui_i_colmatrix", int),
+        "chromaloc": ("vui_i_chroma_loc", int),
     }
 
     def parse(self, name: str, value: str) -> "EncoderParams":
