@@ -154,7 +154,8 @@ def test_sharded_cabac_composed_b_aq_t8():
     p = EncoderParams(i_width=W, i_height=H, b_cabac=True,
                       i_log_level=0, i_keyint_max=8,
                       i_mb_row_shards=4, i_frame_reference=2,
-                      i_bframe=2, i_scenecut_threshold=0)
+                      i_bframe=2, i_scenecut_threshold=0,
+                      i_frame_parallel=2)   # band path pipelines too
     p.i_bframe_adaptive = B_ADAPT_NONE
     p.rc.i_aq_mode = 1
     p.analyse.b_transform_8x8 = True

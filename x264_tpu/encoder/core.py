@@ -169,8 +169,8 @@ class Encoder:
         # return no frame; flush() drains, x264.c:870-873).
         self._pending: list = []
         self._delay = max(0, p.i_frame_parallel - 1)
-        if self._rows_mesh is not None:
-            self._delay = 0   # sharded path finalizes synchronously
+        if self._rows_mesh is not None and not p.b_cabac:
+            self._delay = 0   # sharded CAVLC finalizes synchronously
         # B-frame state: one display-buffered candidate (x264 delays
         # inputs in frames.next until slicetype_decide promotes them,
         # encoder/encoder.c:1423-1457); _prev_ref is the past reference
@@ -447,12 +447,14 @@ class Encoder:
         device queue and serialize the pipeline. The worker then only
         performs transfers of already-scheduled arrays."""
         out = pend.get("out")
-        if out is None or "host32" not in out:
+        kind = pend["kind"]
+        if out is None or ("host32" not in out
+                           and kind != "cabac_rows"):
             return
         res: dict = {}
-        kind = pend["kind"]
         cap_words = pend.get("cap_words")
         CH = self._FETCH_CHUNK
+        band_chunks = None
         if kind == "cabac":
             nch = (out["ops"].shape[0] + CH - 1) // CH
             chunks = [out["ops"][k * CH:(k + 1) * CH] for k in range(nch)]
@@ -460,9 +462,18 @@ class Encoder:
             nch = (out["words"].shape[0] + CH - 1) // CH
             chunks = [out["words"][k * CH:(k + 1) * CH]
                       for k in range(nch)]
+        elif kind == "cabac_rows":
+            # per-band op streams: slice every chunk at submit time
+            # (device work must be enqueued behind THIS frame's program)
+            chunks = []
+            nb = pend["n_bands"]
+            cap = pend["cap_ops"]
+            nch = (cap + CH - 1) // CH
+            band_chunks = [[out["ops"][k][j * CH:(j + 1) * CH]
+                            for j in range(nch)] for k in range(nb)]
         else:
             chunks = []
-        h32_dev = out["host32"]
+        h32_dev = out["host32"] if kind != "cabac_rows"             else pend["hostv"]
 
         def work():
             try:
@@ -480,6 +491,15 @@ class Encoder:
                     parts = [np.asarray(c) for c in chunks[:need]]
                     res["words"] = (np.concatenate(parts) if parts
                                     else np.zeros(0, np.uint32))
+                elif kind == "cabac_rows":
+                    bands = []
+                    for k, bc in enumerate(band_chunks):
+                        nk = int(h32[k])
+                        need = (nk + CH - 1) // CH
+                        parts = [np.asarray(c) for c in bc[:need]]
+                        bands.append(np.concatenate(parts)[:nk] if parts
+                                     else np.zeros(0, np.uint32))
+                    res["band_ops"] = bands
             except Exception as e:      # surfaced at join time
                 res["error"] = e
 
@@ -537,12 +557,20 @@ class Encoder:
         elif kind == "cabac":
             payload = self._cabac_payload(pend, int(h32[0]),
                                           res.get("ops"))
+        elif kind == "cabac_rows":
+            payload = self._rows_cabac_payload(pend, res)
         else:
             payload = self._cavlc_payload(pend, int(h32[0]),
                                           res.get("words"))
 
         nmb = p.mb_width * p.mb_height
-        if h32 is not None:
+        if kind == "cabac_rows":
+            nb = pend["n_bands"]
+            n_intra, n_skip = int(h32[nb]), int(h32[nb + 1])
+            counts = ((n_intra, nmb - n_intra - n_skip, n_skip)
+                      if ftype in ("P", "B") else (nmb, 0, 0))
+            h32 = None     # no packed metrics in the band path
+        elif h32 is not None:
             if ftype in ("P", "B"):
                 n_intra, n_skip = int(h32[1]), int(h32[2])
                 counts = (n_intra, nmb - n_intra - n_skip, n_skip)
@@ -802,6 +830,7 @@ class Encoder:
         self.poc = 0
         self._prev_mv = None
         if p.b_cabac:
+            import jax.numpy as jnp
             hdrs = self._band_cabac_headers(qp, SLICE_I, 3, band, n)
             cap_ops = pipeline.cabac_capacity(band * mb_w)
             out = prows.encode_i_rows_cabac(
@@ -812,8 +841,18 @@ class Encoder:
                 2 * p.i_deblocking_filter_beta,
                 p.analyse.i_chroma_qp_offset, cap_ops,
                 t8_mode=self._t8)
-            payload = self._assemble_band_cabac_nals(
-                out, hdrs, True, qp, NAL_SLICE_IDR, 3, cap_ops)
+            hostv = jnp.concatenate([
+                out["n_ops"].reshape(-1).astype(jnp.int32),
+                jnp.asarray([mb_h * mb_w, 0], jnp.int32)])
+            pend = dict(kind="cabac_rows", out=out, hdrs=hdrs,
+                        slice_is_i=True, nal_type=NAL_SLICE_IDR,
+                        nal_ref_idc=3, cap_ops=cap_ops, n_bands=n,
+                        hostv=hostv, nmb=mb_h * mb_w)
+            pend["recon"] = self._finish_frame(out, frame)
+            self._prev_ref = None
+            self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+            self._last_mb_counts = (mb_h * mb_w, 0, 0)
+            return pend
         else:
             hv, hl = self._band_headers(qp, SLICE_I, 3, band, n)
             cap_words = pipeline.capacity_words(band * mb_w)
@@ -869,8 +908,17 @@ class Encoder:
                 rd=self._rd, p8x8=self._p8x8, aq=self._aq,
                 aq_qp_min=int(p.rc.i_qp_min),
                 aq_qp_max=int(p.rc.i_qp_max))
-            payload = self._assemble_band_cabac_nals(
-                out, hdrs, False, qp, NAL_SLICE, 2, cap_ops)
+            hostv = jnp.concatenate([
+                out["n_ops"].reshape(-1).astype(jnp.int32),
+                jnp.stack([out["intra_mb"].sum().astype(jnp.int32),
+                           out["skip"].sum().astype(jnp.int32)])])
+            self._prev_mv = out["mv"]
+            pend = dict(kind="cabac_rows", out=out, hdrs=hdrs,
+                        slice_is_i=False, nal_type=NAL_SLICE,
+                        nal_ref_idc=2, cap_ops=cap_ops, n_bands=n,
+                        hostv=hostv, nmb=mb_h * mb_w)
+            pend["recon"] = self._finish_frame(out, frame)
+            return pend
         else:
             hv, hl = self._band_headers(qp, SLICE_P, 2, band, n)
             cap_words = pipeline.capacity_words(band * mb_w)
@@ -922,19 +970,26 @@ class Encoder:
             2 * p.i_deblocking_filter_beta,
             p.analyse.i_chroma_qp_offset, mvp_seed, col_ref4, col_mv4,
             cap_ops, mvp_seed_l1=mvp_seed_l1, t8=self._t8)
-        payload = self._assemble_band_cabac_nals(
-            out, hdrs, False, qp, NAL_SLICE, 0, cap_ops)
-        recon = self._finish_frame(out, frame, is_ref=False)
-        n_intra = out["intra_mb"].sum()
-        n_skip = out["skip"].sum()
-        self._last_mb_counts = (n_intra, mb_h * mb_w - n_intra - n_skip,
-                                n_skip)
-        return payload, recon
+        import jax.numpy as jnp
+        hostv = jnp.concatenate([
+            out["n_ops"].reshape(-1).astype(jnp.int32),
+            jnp.stack([out["intra_mb"].sum().astype(jnp.int32),
+                       out["skip"].sum().astype(jnp.int32)])])
+        pend = dict(kind="cabac_rows", out=out, hdrs=hdrs,
+                    slice_is_i=False, nal_type=NAL_SLICE,
+                    nal_ref_idc=0, cap_ops=cap_ops,
+                    n_bands=self._n_shards, hostv=hostv,
+                    nmb=mb_h * mb_w)
+        pend["recon"] = self._finish_frame(out, frame, is_ref=False)
+        return pend
 
     def _submit_idr(self, frame: Frame, qp: int) -> dict:
         p = self.params
         if self._rows_mesh is not None:
-            payload, recon = self._encode_idr_rows(frame, qp)
+            r = self._encode_idr_rows(frame, qp)
+            if isinstance(r, dict):
+                return r        # pipelined CABAC band pend
+            payload, recon = r
             return dict(kind="done", payload=payload, recon=recon)
         mb_w, mb_h = p.mb_width, p.mb_height
         y, u, v = self._pad_input(frame)
@@ -1019,7 +1074,10 @@ class Encoder:
         import jax.numpy as jnp
         p = self.params
         if self._rows_mesh is not None:
-            payload, recon = self._encode_p_rows(frame, qp)
+            r = self._encode_p_rows(frame, qp)
+            if isinstance(r, dict):
+                return r        # pipelined CABAC band pend
+            payload, recon = r
             return dict(kind="done", payload=payload, recon=recon,
                         counts=self._last_mb_counts)
         mb_w, mb_h = p.mb_width, p.mb_height
@@ -1129,10 +1187,8 @@ class Encoder:
             col_ref4 = jnp.full((mb_h * 4, mb_w * 4), -1, jnp.int32)
             col_mv4 = jnp.zeros((mb_h * 4, mb_w * 4, 2), jnp.int32)
         if self._rows_mesh is not None and p.b_cabac:
-            payload, recon = self._encode_b_rows(
+            return self._encode_b_rows(
                 frame, qp, mvp_seed, mvp_seed_l1, col_ref4, col_mv4)
-            return dict(kind="done", payload=payload, recon=recon,
-                        counts=self._last_mb_counts)
         if p.b_cabac:
             hdr_bytes = self._cabac_header(qp, SLICE_B, 0)
             out = pipeline.encode_b_cabac(
@@ -1212,6 +1268,30 @@ class Encoder:
         if pad:
             hdr.put((1 << pad) - 1, pad)
         return bytearray(hdr.pack())
+
+    def _rows_cabac_payload(self, pend: dict, res: dict) -> bytes:
+        """Host tail of a band-sliced frame: arithmetic-code each
+        band's fetched op stream with fresh per-slice contexts."""
+        from ..entropy import cabac as ecabac
+        from ..entropy import cabac_tables as ctab
+        payload = []
+        band_ops = res.get("band_ops")
+        qp = pend["qp"]
+        for k, hdr_bytes in enumerate(pend["hdrs"]):
+            ops_k = (band_ops[k] if band_ops is not None
+                     else np.asarray(pend["out"]["ops"][k]))
+            if ops_k.shape[0] > pend["cap_ops"]:
+                raise RuntimeError(
+                    f"band {k} CABAC ops overflowed ({ops_k.shape[0]})")
+            states = ctab.init_states(pend["slice_is_i"], qp,
+                                      self.params.i_cabac_init_idc)
+            body, fixup = ecabac.encode_ops(states, ops_k, hdr_bytes[-1])
+            hdr_bytes = bytearray(hdr_bytes)
+            hdr_bytes[-1] = fixup
+            payload.append(nal_unit(pend["nal_type"],
+                                    pend["nal_ref_idc"],
+                                    bytes(hdr_bytes) + body))
+        return b"".join(payload)
 
     def _cabac_payload(self, pend: dict, n_ops: int, ops=None) -> bytes:
         """Native arithmetic coding of the device-produced op stream
