@@ -393,8 +393,11 @@ class EncoderParams:
         return (f"cabac={int(self.b_cabac)} ref={self.i_frame_reference} "
                 f"deblock={int(self.b_deblocking_filter)} "
                 f"me={ME_NAMES[a.i_me_method]} subme={a.i_subpel_refine} "
+                f"psy_rd={a.f_psy_rd:g} "
                 f"8x8dct={int(a.b_transform_8x8)} trellis={a.i_trellis} "
-                f"bframes={self.i_bframe} keyint={self.i_keyint_max} "
+                f"decimate={int(a.b_dct_decimate)} "
+                f"bframes={self.i_bframe} b_adapt={self.i_bframe_adaptive} "
+                f"keyint={self.i_keyint_max} "
                 f"rc={['cqp','crf','abr'][rc.i_rc_method]} "
                 f"qp={rc.i_qp_constant} aq={rc.i_aq_mode}:{rc.f_aq_strength}")
 
