@@ -10,7 +10,7 @@ B rate control (ratecontrol.c:1419-1452).
 import numpy as np
 import pytest
 
-from x264_tpu.params import EncoderParams
+from x264_tpu.params import EncoderParams, B_ADAPT_NONE
 from x264_tpu.encoder.core import Encoder, Frame
 
 from refdec.decoder import Decoder

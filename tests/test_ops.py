@@ -203,3 +203,52 @@ class TestPixel:
             s = int(p[i].astype(np.int64).sum())
             sq = int((p[i].astype(np.int64) ** 2).sum())
             assert out[i] == sq - ((s * s) >> 8)
+
+
+def test_hadamard_ac_matches_scalar_model():
+    """ops/pixel.hadamard_ac vs a direct transcription of
+    pixel_hadamard_ac (common/pixel.c:306-358) + the HADAMARD_AC
+    16x16 composition shifts."""
+    import numpy as np
+    from x264_tpu.ops import pixel as opix
+
+    def scalar_had_ac8(p):
+        h = np.array([[1, 1], [1, -1]])
+        h4 = np.kron(h, h)
+        h8 = np.kron(h4, h)
+        had8 = h8 @ p @ h8
+        sum8 = np.abs(had8).sum()
+        sum4 = 0
+        for by in range(2):
+            for bx in range(2):
+                b = p[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                sum4 += np.abs(h4 @ b @ h4).sum()
+        dc = p.sum()
+        return sum4 - dc, sum8 - dc
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, (3, 16, 16)).astype(np.int64)
+    satd_ac, sa8d_ac = opix.hadamard_ac(pix)
+    for i in range(3):
+        s4 = s8 = 0
+        for qy in range(2):
+            for qx in range(2):
+                a, b = scalar_had_ac8(
+                    pix[i, qy * 8:qy * 8 + 8, qx * 8:qx * 8 + 8])
+                s4 += a
+                s8 += b
+        assert int(satd_ac[i]) == s4 >> 1
+        assert int(sa8d_ac[i]) == s8 >> 2
+
+
+def test_ac_energy_model():
+    """ac_energy == SATD(pix, 0) - (sum >> 1) (the PIXEL_16x16 psy
+    branch of ssd_plane, encoder/rdo.c:122-125)."""
+    import numpy as np
+    from x264_tpu.ops import pixel as opix
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, (4, 16, 16)).astype(np.int64)
+    got = np.asarray(opix.ac_energy(pix))
+    z = np.zeros_like(pix)
+    want = np.asarray(opix.satd(pix, z)) - (pix.sum(axis=(1, 2)) >> 1)
+    np.testing.assert_array_equal(got, want)

@@ -236,6 +236,9 @@ class EncoderParams:
             # off, so no-fast-pskip is already the behavior
             self._log("fast_pskip has no effect (skip is derived "
                       "exactly in the batched path)", once="pskip")
+        if a.b_chroma_me and a.i_subpel_refine >= 5:
+            self._log("chroma ME term not implemented; sub-pel search "
+                      "scores luma only", once="chromame")
         if not self.b_deterministic:
             self._log("encoding is always deterministic on this "
                       "backend; ignoring --non-deterministic",
