@@ -141,26 +141,30 @@ def split_timings(w, h):
     jax.block_until_ready(out)
     dev_ms = (time.time() - t0) / reps * 1e3
 
-    # d2h: host32 then the op stream in tunnel-safe chunks
+    # d2h: host32 then the halfword-packed op stream in tunnel-safe
+    # chunks (hw_pack: ~2 B per typical op instead of 4)
     t0 = time.time()
     h32 = np.asarray(out["host32"])
-    n_ops = int(h32[0])
+    n_hw = int(h32[0])
+    nw = (n_hw + 1) // 2
     CH = 131072
     parts = []
-    for k in range(0, n_ops, CH):
+    for k in range(0, nw, CH):
         parts.append(np.asarray(out["ops"][k:k + CH]))
-    ops = np.concatenate(parts)[:n_ops] if parts else np.zeros(0, np.uint32)
+    words = (np.concatenate(parts)[:nw] if parts
+             else np.zeros(0, np.uint32))
     d2h_ms = (time.time() - t0) * 1e3
-    d2h_bytes = int(n_ops) * 4 + h32.nbytes
+    d2h_bytes = nw * 4 + h32.nbytes
 
-    # host entropy tail: native CABAC over the op stream
+    # host entropy tail: unpack + native CABAC over the op stream
     t0 = time.time()
+    ops = ecabac.unpack_hw(words, n_hw)
     states = ctab.init_states(False, qp, 0)
     ecabac.encode_ops(states, ops, 0xFF)
     host_ms = (time.time() - t0) * 1e3
     return dict(device_ms=round(dev_ms, 1), d2h_ms=round(d2h_ms, 1),
                 d2h_bytes=d2h_bytes, host_ms=round(host_ms, 1),
-                n_ops=n_ops)
+                n_ops=int(len(ops)), n_hw=n_hw)
 
 
 def cif_tpu_smoke():

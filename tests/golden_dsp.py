@@ -384,3 +384,111 @@ def predict_4x4(mode, left, topleft, top, topright, has_top, has_left):
     else:
         return None
     return S
+
+
+# ---- Intra_8x8 (High profile; spec 8.3.2) --------------------------------
+
+def predict_8x8_filter(left, topleft, top16, ht, hl, htl):
+    """Spec 8.3.2.2.1 reference-sample filtering. top16: 16 samples with
+    any top-right substitution already applied. Returns (lf, tlf, tf)."""
+    t = np.zeros(16, np.int64)
+    for x in range(16):
+        pm1 = topleft if (x == 0 and htl) else top16[max(x - 1, 0)]
+        pp1 = top16[min(x + 1, 15)]
+        t[x] = (pm1 + 2 * top16[x] + pp1 + 2) >> 2
+    lf = np.zeros(8, np.int64)
+    for y in range(8):
+        pm1 = topleft if (y == 0 and htl) else left[max(y - 1, 0)]
+        pp1 = left[min(y + 1, 7)]
+        lf[y] = (pm1 + 2 * left[y] + pp1 + 2) >> 2
+    if ht and hl:
+        tlf = (top16[0] + 2 * topleft + left[0] + 2) >> 2
+    elif ht:
+        tlf = (3 * topleft + top16[0] + 2) >> 2
+    else:
+        tlf = (3 * topleft + left[0] + 2) >> 2
+    return lf, int(tlf), t
+
+
+def predict_8x8(mode, lf, tlf, t, ht, hl):
+    """Spec 8.3.2.2.2-8.3.2.2.10 per-pixel 8x8 prediction from the
+    filtered edges. Returns (8,8) int64 or None if mode unavailable."""
+    htl = True  # callers gate DDR/VR/HD availability themselves
+    avail = [ht, hl, True, ht, ht and hl, ht and hl, ht and hl, ht, hl]
+    if not avail[mode]:
+        return None
+    p = np.zeros((8, 8), np.int64)
+    t_ = lambda i: tlf if i < 0 else t[i]
+    l_ = lambda i: tlf if i < 0 else lf[i]
+    for y in range(8):
+        for x in range(8):
+            if mode == 0:
+                p[y, x] = t[x]
+            elif mode == 1:
+                p[y, x] = lf[y]
+            elif mode == 3:                      # DDL
+                if x == 7 and y == 7:
+                    p[y, x] = (t[14] + 3 * t[15] + 2) >> 2
+                else:
+                    i = x + y
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+            elif mode == 4:                      # DDR
+                if x > y:
+                    p[y, x] = (t_(x - y - 2) + 2 * t_(x - y - 1)
+                               + t[x - y] + 2) >> 2
+                elif x < y:
+                    p[y, x] = (l_(y - x - 2) + 2 * l_(y - x - 1)
+                               + lf[y - x] + 2) >> 2
+                else:
+                    p[y, x] = (t[0] + 2 * tlf + lf[0] + 2) >> 2
+            elif mode == 5:                      # VR
+                zvr = 2 * x - y
+                i = x - (y >> 1)
+                if zvr >= 0 and zvr % 2 == 0:
+                    p[y, x] = (t_(i - 1) + t[i] + 1) >> 1
+                elif zvr >= 1:
+                    p[y, x] = (t_(i - 2) + 2 * t_(i - 1) + t[i] + 2) >> 2
+                elif zvr == -1:
+                    p[y, x] = (lf[0] + 2 * tlf + t[0] + 2) >> 2
+                else:
+                    p[y, x] = (l_(y - 2 * x - 1) + 2 * l_(y - 2 * x - 2)
+                               + l_(y - 2 * x - 3) + 2) >> 2
+            elif mode == 6:                      # HD
+                zhd = 2 * y - x
+                i = y - (x >> 1)
+                if zhd >= 0 and zhd % 2 == 0:
+                    p[y, x] = (l_(i - 1) + lf[i] + 1) >> 1
+                elif zhd >= 1:
+                    p[y, x] = (l_(i - 2) + 2 * l_(i - 1) + lf[i] + 2) >> 2
+                elif zhd == -1:
+                    p[y, x] = (t[0] + 2 * tlf + lf[0] + 2) >> 2
+                else:
+                    p[y, x] = (t_(x - 2 * y - 1) + 2 * t_(x - 2 * y - 2)
+                               + t_(x - 2 * y - 3) + 2) >> 2
+            elif mode == 7:                      # VL
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+            elif mode == 8:                      # HU
+                zhu = x + 2 * y
+                i = y + (x >> 1)
+                if zhu < 13 and zhu % 2 == 0:
+                    p[y, x] = (lf[i] + lf[i + 1] + 1) >> 1
+                elif zhu < 13:
+                    p[y, x] = (lf[i] + 2 * lf[i + 1] + lf[i + 2] + 2) >> 2
+                elif zhu == 13:
+                    p[y, x] = (lf[6] + 3 * lf[7] + 2) >> 2
+                else:
+                    p[y, x] = lf[7]
+    if mode == 2:                                # DC
+        if ht and hl:
+            p[:] = (t[:8].sum() + lf.sum() + 8) >> 4
+        elif hl:
+            p[:] = (lf.sum() + 4) >> 3
+        elif ht:
+            p[:] = (t[:8].sum() + 4) >> 3
+        else:
+            p[:] = 128
+    return p

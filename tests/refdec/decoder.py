@@ -221,9 +221,31 @@ def parse_pps(rbsp: bytes) -> PPSInfo:
     p.redundant_pic = br.bit()
     p.transform_8x8 = 0
     p.second_chroma_qp_offset = p.chroma_qp_offset
+    p.scaling4 = None
+    p.scaling8 = None
     if br.more_rbsp_data():
         p.transform_8x8 = br.bit()
-        assert br.bit() == 0, "pic scaling matrix unsupported"
+        if br.bit():
+            # pic_scaling_matrix: spec list order with fall-back rule A
+            # (7.3.2.1.1.1 / Table 7-2); Cb == Cr required here
+            from x264_tpu import cqm as xcqm
+            l0 = xcqm.read_scaling_list(br, 16, xcqm.JVT_4IY,
+                                        xcqm.JVT_4IY)
+            l1 = xcqm.read_scaling_list(br, 16, l0, xcqm.JVT_4IY)
+            l2 = xcqm.read_scaling_list(br, 16, l1, xcqm.JVT_4IY)
+            assert np.array_equal(l1, l2), "Cb != Cr unsupported"
+            l3 = xcqm.read_scaling_list(br, 16, xcqm.JVT_4PY,
+                                        xcqm.JVT_4PY)
+            l4 = xcqm.read_scaling_list(br, 16, l3, xcqm.JVT_4PY)
+            l5 = xcqm.read_scaling_list(br, 16, l4, xcqm.JVT_4PY)
+            assert np.array_equal(l4, l5), "Cb != Cr unsupported"
+            p.scaling4 = np.stack([l0, l3, l1, l4])  # [4IY,4PY,4IC,4PC]
+            if p.transform_8x8:
+                l6 = xcqm.read_scaling_list(br, 64, xcqm.JVT_8IY,
+                                            xcqm.JVT_8IY)
+                l7 = xcqm.read_scaling_list(br, 64, xcqm.JVT_8PY,
+                                            xcqm.JVT_8PY)
+                p.scaling8 = np.stack([l6, l7])
         p.second_chroma_qp_offset = br.se()
     return p
 
@@ -249,6 +271,20 @@ class Decoder:
         self._pic = None  # in-progress picture (multi-slice)
         self._row0 = 0    # top MB row of the slice being decoded
 
+    def _quant_tables(self):
+        """QuantTables for the active PPS scaling matrices (cached);
+        deadzones are irrelevant on the decode side."""
+        if getattr(self, "_qt_cache", None) is not None:
+            return self._qt_cache
+        s4 = getattr(self.pps, "scaling4", None)
+        s8 = getattr(self.pps, "scaling8", None)
+        if s4 is None and s8 is None:
+            self._qt_cache = enc_tables.DEFAULT_QUANT
+        else:
+            self._qt_cache = enc_tables.QuantTables(
+                scaling_list4=s4, scaling_list8=s8)
+        return self._qt_cache
+
     def decode_nal(self, nal: bytes):
         nal_type = nal[0] & 0x1F
         nal_ref_idc = (nal[0] >> 5) & 3
@@ -257,6 +293,7 @@ class Decoder:
             self.sps = parse_sps(rbsp)
         elif nal_type == 8:
             self.pps = parse_pps(rbsp)
+            self._qt_cache = None
         elif nal_type in (1, 5):
             frame = self._decode_slice(rbsp, nal_type == 5, nal_ref_idc)
             if frame is not None:     # None while a picture is partial
@@ -368,7 +405,7 @@ class Decoder:
                 saved_l1 = ref_f1[row0 * 4 - 1].copy()
                 ref_f1[row0 * 4 - 1] = -2
 
-        qt = enc_tables.DEFAULT_QUANT
+        qt = self._quant_tables()
 
         mv_f1, ref_f1 = pic["mv_f1"], pic["ref_f1"]
         if is_p:
@@ -551,7 +588,8 @@ class Decoder:
                                       qt, Y, U, V,
                                       nnz_l, nnz_c, dcnz, cdcnz,
                                       cm_map, i4mb, i4grid,
-                                      cbp_l_map, cbp_c_map)
+                                      cbp_l_map, cbp_c_map,
+                                      t8_map=self._pic["t8_map"])
             qp_mb[my, mx] = self._qpstate["qp"]
             intra_mb[my, mx] = True
             mb_i += 1
@@ -1152,10 +1190,148 @@ class Decoder:
         self._recon_chroma_intra(my, mx, cm, cbp_chroma, qpc, qt,
                                  cdc2, cac2, U, V, qp)
 
+    def _decode_mb_i8_cabac(self, cd, my, mx, qp, qt, Y, U, V,
+                            nnz_l, nnz_c, cdcnz, cm_map, i4grid,
+                            cbp_l_map, cbp_c_map):
+        """I_8x8 macroblock (I_NxN + transform_size_8x8_flag), CABAC:
+        4 pred modes (same 68/69 contexts as 4x4), cat-5 residual,
+        spec 8.3.2 filtered-edge prediction."""
+        pps = self.pps
+        mb_w = self.sps.mb_width
+        avail_l, avail_t = mx > 0, my > self._row0
+
+        # prev_intra8x8_pred_mode: neighbor modes from the 4x4-grid
+        # cache (replicated for 8x8 MBs — spec 8.3.2.1)
+        modes = []
+        for z in range(4):
+            by8, bx8 = z >> 1, z & 1
+            gy, gx = my * 4 + 2 * by8, mx * 4 + 2 * bx8
+            ma = int(i4grid[gy, gx - 1]) if gx > 0 else 2
+            mb_ = int(i4grid[gy - 1, gx]) if gy > 0 else 2
+            mpm = min(ma, mb_)
+            if cd.decision(68):
+                mode = mpm
+            else:
+                rem = cd.decision(69) | (cd.decision(69) << 1) \
+                    | (cd.decision(69) << 2)
+                mode = rem + (rem >= mpm)
+            i4grid[gy:gy + 2, gx:gx + 2] = mode
+            modes.append(mode)
+
+        cctx = 64 \
+            + (1 if (avail_l and cm_map[my, mx - 1] != 0) else 0) \
+            + (1 if (avail_t and cm_map[my - 1, mx] != 0) else 0)
+        if not cd.decision(cctx):
+            cm = 0
+        elif not cd.decision(67):
+            cm = 1
+        elif not cd.decision(67):
+            cm = 2
+        else:
+            cm = 3
+        cm_map[my, mx] = cm
+
+        def cbp_nbr(m, gy, gx, avail):
+            return int(m[gy, gx]) if avail else -1
+
+        cl = cbp_nbr(cbp_l_map, my, mx - 1, avail_l)
+        ct = cbp_nbr(cbp_l_map, my - 1, mx, avail_t)
+        cbp = 0
+        cbp |= cd.decision(76 - ((cl >> 1) & 1) - ((ct >> 1) & 2)) << 0
+        cbp |= cd.decision(76 - ((cbp >> 0) & 1) - ((ct >> 2) & 2)) << 1
+        cbp |= cd.decision(76 - ((cl >> 3) & 1) - ((cbp << 1) & 2)) << 2
+        cbp |= cd.decision(76 - ((cbp >> 2) & 1) - ((cbp >> 0) & 2)) << 3
+        ccl = cbp_nbr(cbp_c_map, my, mx - 1, avail_l)
+        cct = cbp_nbr(cbp_c_map, my - 1, mx, avail_t)
+        c0 = 77 + (1 if (ccl > 0) else 0) + 2 * (1 if (cct > 0) else 0)
+        cbp_chroma = 0
+        if cd.decision(c0):
+            c1 = 77 + 4 + (1 if ccl == 2 else 0) + 2 * (1 if cct == 2 else 0)
+            cbp_chroma = 2 if cd.decision(c1) else 1
+        cbp_l_map[my, mx] = cbp
+        cbp_c_map[my, mx] = cbp_chroma
+
+        if cbp or cbp_chroma:
+            qp = self._read_dqp_cabac(cd)
+        else:
+            qp = self._skip_dqp_cabac()
+        qpc = _chroma_qp(qp, pps.chroma_qp_offset)
+
+        # parse the 4 cat-5 blocks (bitstream order), recon after
+        blocks = [None] * 4
+        for z in range(4):
+            by8, bx8 = z >> 1, z & 1
+            cy, cx = my * 4 + 2 * by8, mx * 4 + 2 * bx8
+            if (cbp >> z) & 1:
+                zc = self._residual_cabac8(cd)
+                blocks[z] = zc
+                nnz_l[cy:cy + 2, cx:cx + 2] = np.count_nonzero(zc)
+            else:
+                nnz_l[cy:cy + 2, cx:cx + 2] = 0
+
+        dmf8 = qt.dequant8_mf[enc_tables.CQM_8IY, qp % 6]
+        y0, x0 = my * 16, mx * 16
+        for z in range(4):
+            by8, bx8 = z >> 1, z & 1
+            r0, c0 = y0 + 8 * by8, x0 + 8 * bx8
+            ht = avail_t if by8 == 0 else True
+            hl = avail_l if bx8 == 0 else True
+            if z == 0:
+                htl = avail_t and avail_l
+            elif z == 1:
+                htl = avail_t
+            elif z == 2:
+                htl = avail_l
+            else:
+                htl = True
+            # top-right availability (decoder raster order): block 1
+            # reads the top-right MB; block 3's right MB is undecoded
+            if z == 0:
+                htr = avail_t
+            elif z == 1:
+                htr = avail_t and (mx + 1 < mb_w)
+            elif z == 2:
+                htr = True
+            else:
+                htr = False
+            top16 = np.zeros(16, np.int64)
+            if ht:
+                top16[:8] = Y[r0 - 1, c0:c0 + 8]
+                if htr:
+                    top16[8:] = Y[r0 - 1, c0 + 8:c0 + 16]
+                else:
+                    top16[8:] = top16[7]
+            left = Y[r0:r0 + 8, c0 - 1] if hl else np.zeros(8, np.int64)
+            tl = int(Y[r0 - 1, c0 - 1]) if htl else 0
+            lf, tlf, tf = G.predict_8x8_filter(left, tl, top16,
+                                               ht, hl, htl)
+            pred = G.predict_8x8(modes[z], lf, tlf, tf, ht, hl)
+            assert pred is not None, (modes[z], ht, hl)
+            if blocks[z] is not None:
+                a = np.zeros(64, np.int64)
+                a[np.asarray(enc_tables.ZIGZAG8)] = blocks[z]
+                r = G.idct8x8(G.dequant(a, dmf8, qp, 6).reshape(8, 8))
+            else:
+                r = 0
+            Y[r0:r0 + 8, c0:c0 + 8] = np.clip(pred + r, 0, 255)
+
+        cdc, cac = self._decode_chroma_res_cabac(
+            cd, my, mx, cbp_chroma, nnz_c, cdcnz, 1, self._row0)
+        cdc2 = np.stack([c.reshape(2, 2) for c in cdc])
+        cac2 = np.zeros((2, 4, 4, 4), np.int64)
+        for ch in range(2):
+            for i in range(4):
+                a = np.zeros(16, np.int64)
+                a[np.asarray(ZIG4)[1:]] = cac[ch, i]
+                cac2[ch, i] = a.reshape(4, 4)
+        self._recon_chroma_intra(my, mx, cm, cbp_chroma, qpc, qt,
+                                 cdc2, cac2, U, V, qp)
+
     def _decode_mb_i16_cabac(self, cd, my, mx, qp, qt, Y, U, V,
                              nnz_l, nnz_c, dcnz, cdcnz, cm_map,
                              i4mb=None, i4grid=None,
-                             cbp_l_map=None, cbp_c_map=None):
+                             cbp_l_map=None, cbp_c_map=None,
+                             t8_map=None):
         pps = self.pps
         mb_w, mb_h = self.sps.mb_width, self.sps.mb_height
         avail_l, avail_t = mx > 0, my > self._row0
@@ -1168,13 +1344,29 @@ class Decoder:
                                       and i4mb[my - 1, mx])) else 0)
         if cd.decision(ctx) == 0:
             assert i4grid is not None, "I_4x4 in this slice unsupported"
+            t8 = False
             if pps.transform_8x8:
-                assert cd.decision(399) == 0, "I_8x8 unsupported"
+                # transform_size_8x8_flag for I_NxN
+                # (x264_cabac_mb_transform_size ctx 399 + neighbors)
+                tl = bool(t8_map[my, mx - 1]) if (avail_l
+                                                  and t8_map is not None) \
+                    else 0
+                tt = bool(t8_map[my - 1, mx]) if (avail_t
+                                                  and t8_map is not None) \
+                    else 0
+                t8 = bool(cd.decision(399 + int(tl) + int(tt)))
+            if t8_map is not None:
+                t8_map[my, mx] = t8
             i4mb[my, mx] = True
             dcnz[my, mx] = 0
-            self._decode_mb_i4_cabac(cd, my, mx, qp, qt, Y, U, V,
-                                     nnz_l, nnz_c, cdcnz, cm_map, i4grid,
-                                     cbp_l_map, cbp_c_map)
+            if t8:
+                self._decode_mb_i8_cabac(cd, my, mx, qp, qt, Y, U, V,
+                                         nnz_l, nnz_c, cdcnz, cm_map,
+                                         i4grid, cbp_l_map, cbp_c_map)
+            else:
+                self._decode_mb_i4_cabac(cd, my, mx, qp, qt, Y, U, V,
+                                         nnz_l, nnz_c, cdcnz, cm_map,
+                                         i4grid, cbp_l_map, cbp_c_map)
             return
         assert cd.terminal() == 0, "I_PCM unsupported"
         cbp_luma = 15 if cd.decision(6) else 0

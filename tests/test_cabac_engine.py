@@ -121,3 +121,39 @@ def test_decision_bypass_roundtrip():
         else:
             assert dec.ue_bypass(0) == ues[i], i
     assert dec.terminal() == 1             # the flush's terminate(1)
+
+
+def test_hw_pack_roundtrip():
+    """Device halfword transfer format (cabac_planes.hw_pack) must
+    round-trip every op kind through the host unpack (unpack_hw)."""
+    import jax.numpy as jnp
+    from x264_tpu.entropy import cabac_planes as CP
+
+    rng = np.random.default_rng(11)
+    ops = np.asarray(_random_ops(rng, 5000), np.uint32)
+    want = ops[(ops >> 29) != CP.KIND_PAD]
+    cap = len(ops) + 64
+    cops, n = CP.compact_ops(jnp.asarray(ops), cap)
+    words, n_hw = CP.hw_pack(cops, n, 3 * cap)
+    got = EC.unpack_hw(np.asarray(words), int(n_hw))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hw_pack_extreme_fields():
+    """Ops with maxed a/b fields take the 3-halfword extended form and
+    still round-trip exactly."""
+    import jax.numpy as jnp
+    from x264_tpu.entropy import cabac_planes as CP
+
+    ops = np.asarray([
+        EC.pack_op(7, 0x1FFFF, 1),        # huge |level|-1
+        EC.pack_op(6, 0xFFFF, 5 | (62 << 3) | (3 << 9)),  # cat5 part 3
+        EC.pack_op(5, 459, 0xFFF),        # max ones run
+        EC.pack_op(2, 0x1FFFF, 3),        # big ue value
+        EC.pack_op(0, 459, 1),            # compact decision
+        EC.pack_op(3, 0, 0),              # terminal
+    ], np.uint32)
+    cops, n = CP.compact_ops(jnp.asarray(ops), 16)
+    words, n_hw = CP.hw_pack(cops, n, 48)
+    got = EC.unpack_hw(np.asarray(words), int(n_hw))
+    np.testing.assert_array_equal(got, ops)

@@ -68,16 +68,17 @@ def main():
         t_device = time.time() - t0
 
         t0 = time.time()
-        n_ops = int(pend["out"]["n_ops"])
+        n_ops = int(pend["out"]["n_ops"])     # halfword count (hw_pack)
         t_nops = time.time() - t0
 
         t0 = time.time()
-        ops = np.asarray(pend["out"]["ops"][:n_ops])
+        words = np.asarray(pend["out"]["ops"][:(n_ops + 1) // 2])
         t_d2h = time.time() - t0
 
         from x264_tpu.entropy import cabac as ecabac
         from x264_tpu.entropy import cabac_tables as ctab
         t0 = time.time()
+        ops = ecabac.unpack_hw(words, n_ops)
         states = ctab.init_states(False, qp, 0)
         payload, _ = ecabac.encode_ops(states, ops, pend["hdr_bytes"][-1])
         t_fsm = time.time() - t0

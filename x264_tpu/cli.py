@@ -61,6 +61,10 @@ def build_argparser():
     ap.add_argument("--me", choices=ME_NAMES, default="hex")
     ap.add_argument("--merange", type=int, default=16)
     ap.add_argument("--trellis", type=int, default=0)
+    ap.add_argument("--cqm", choices=("flat", "jvt"), default="flat",
+                    help="quantization matrix preset")
+    ap.add_argument("--cqmfile", default=None,
+                    help="JM-format custom quantization matrix file")
     ap.add_argument("--aq-mode", type=int, default=1)
     ap.add_argument("--aq-strength", type=float, default=1.0)
     ap.add_argument("--psy-rd", type=float, default=1.0,
@@ -135,6 +139,9 @@ def params_from_args(args, width, height, fps_num, fps_den) -> EncoderParams:
     p.analyse.i_me_method = ME_NAMES.index(args.me)
     p.analyse.i_me_range = args.merange
     p.analyse.i_trellis = args.trellis
+    p.i_cqm_preset = {"flat": 0, "jvt": 1}[args.cqm]
+    if args.cqmfile:
+        p.psz_cqm_file = args.cqmfile
     p.rc.i_aq_mode = args.aq_mode
     p.rc.f_aq_strength = args.aq_strength
     p.analyse.f_psy_rd = args.psy_rd

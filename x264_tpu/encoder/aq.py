@@ -114,6 +114,9 @@ def qtab_rows(full, qp_map, qpc_map, intra_cqm: bool,
         out["y_dmf0"] = d4[iy][qp_map % 6, 0]
         out["y_mf_dc"] = q4[iy][qp_map, 0] >> 1
         out["y_bias_dc"] = b4[iy][qp_map, 0] << 1
+        out["y8_mf"] = full["q8_mf"][tables.CQM_8IY][qp_map]
+        out["y8_bias"] = full["q8_bias"][tables.CQM_8IY][qp_map]
+        out["y8_dmf"] = full["dq8_mf"][tables.CQM_8IY][qp_map % 6]
     else:
         out["p8_mf"] = full["q8_mf"][tables.CQM_8PY][qp_map]
         out["p8_bias"] = full["q8_bias"][tables.CQM_8PY][qp_map]

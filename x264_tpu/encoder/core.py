@@ -72,9 +72,12 @@ class Encoder:
         self.idr_pic_id = 0
         self.poc = 0
         self.frame_count = 0
+        from .. import cqm as xcqm
+        _sl4, _sl8 = xcqm.scaling_lists(p.i_cqm_preset, p.cqm)
         self.qt = tables.QuantTables(
             luma_deadzone_inter=p.analyse.i_luma_deadzone[0],
-            luma_deadzone_intra=p.analyse.i_luma_deadzone[1])
+            luma_deadzone_intra=p.analyse.i_luma_deadzone[1],
+            scaling_list4=_sl4, scaling_list8=_sl8)
         self._qtab_cache = {}
         self._qtab_p_cache = {}
         # DPB: deblocked reconstruction of the reference frame + the MV
@@ -100,6 +103,10 @@ class Encoder:
         self._p8x8 = self._parts
         # adaptive 8x8 transform (High profile; CABAC P slices v1)
         self._t8 = bool(p.analyse.b_transform_8x8)
+        # I8x8 intra ladder in I slices (High profile; params gates it
+        # to CABAC + t8 + unsharded)
+        from ..params import ANALYSE_I8x8
+        self._i8x8 = bool(p.analyse.intra & ANALYSE_I8x8)
         # variance AQ (per-MB QP + mb_qp_delta syntax)
         from ..params import AQ_NONE
         self._aq = p.rc.i_aq_mode != AQ_NONE
@@ -467,7 +474,7 @@ class Encoder:
             # (device work must be enqueued behind THIS frame's program)
             chunks = []
             nb = pend["n_bands"]
-            cap = pend["cap_ops"]
+            cap = int(out["ops"].shape[1])     # packed words per band
             nch = (cap + CH - 1) // CH
             band_chunks = [[out["ops"][k][j * CH:(j + 1) * CH]
                             for j in range(nch)] for k in range(nb)]
@@ -481,9 +488,10 @@ class Encoder:
                 res["h32"] = h32
                 n = int(h32[0])
                 if kind == "cabac":
-                    need = (n + CH - 1) // CH
+                    nw = (n + 1) // 2   # n counts halfwords (hw_pack)
+                    need = (nw + CH - 1) // CH
                     parts = [np.asarray(c) for c in chunks[:need]]
-                    res["ops"] = (np.concatenate(parts)[:n] if parts
+                    res["ops"] = (np.concatenate(parts)[:nw] if parts
                                   else np.zeros(0, np.uint32))
                 elif kind == "cavlc":
                     nwords = min((n + 31) // 32, cap_words)
@@ -494,10 +502,10 @@ class Encoder:
                 elif kind == "cabac_rows":
                     bands = []
                     for k, bc in enumerate(band_chunks):
-                        nk = int(h32[k])
-                        need = (nk + CH - 1) // CH
+                        nw = (int(h32[k]) + 1) // 2   # halfwords->words
+                        need = (nw + CH - 1) // CH
                         parts = [np.asarray(c) for c in bc[:need]]
-                        bands.append(np.concatenate(parts)[:nk] if parts
+                        bands.append(np.concatenate(parts)[:nw] if parts
                                      else np.zeros(0, np.uint32))
                     res["band_ops"] = bands
             except Exception as e:      # surfaced at join time
@@ -790,30 +798,6 @@ class Encoder:
             hdrs.append(bytearray(hdr.pack()))
         return hdrs
 
-    def _assemble_band_cabac_nals(self, out, hdrs, slice_is_i: bool,
-                                  qp: int, nal_type: int,
-                                  nal_ref_idc: int, cap_ops: int) -> bytes:
-        """Arithmetic-code each band's op stream with fresh per-slice
-        contexts (spec 9.3.1 — bands are independent)."""
-        from ..entropy import cabac as ecabac
-        from ..entropy import cabac_tables as ctab
-        n_ops = np.asarray(out["n_ops"]).reshape(-1)
-        ops_all = np.asarray(out["ops"])
-        payload = []
-        for k, hdr_bytes in enumerate(hdrs):
-            nk = int(n_ops[k])
-            if nk > cap_ops:
-                raise RuntimeError(
-                    f"band {k} CABAC ops overflowed ({nk} > {cap_ops})")
-            states = ctab.init_states(slice_is_i, qp,
-                                      self.params.i_cabac_init_idc)
-            body, fixup = ecabac.encode_ops(states, ops_all[k][:nk],
-                                            hdr_bytes[-1])
-            hdr_bytes[-1] = fixup
-            payload.append(nal_unit(nal_type, nal_ref_idc,
-                                    bytes(hdr_bytes) + body))
-        return b"".join(payload)
-
     def _encode_idr_rows(self, frame: Frame, qp: int):
         from ..parallel import rows as prows
         p = self.params
@@ -1010,7 +994,8 @@ class Encoder:
                 y, u, v, self._qtab(qp, qp_c), lam, qp, qp_c,
                 2 * p.i_deblocking_filter_alphac0,
                 2 * p.i_deblocking_filter_beta,
-                p.analyse.i_chroma_qp_offset, t8=self._t8, **self._crop, **self._aq_kw)
+                p.analyse.i_chroma_qp_offset, t8=self._t8,
+                i8x8=self._i8x8, **self._crop, **self._aq_kw)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=True, nal_type=NAL_SLICE_IDR,
                         nal_ref_idc=3, nmb=mb_h * mb_w)
@@ -1276,13 +1261,19 @@ class Encoder:
         from ..entropy import cabac_tables as ctab
         payload = []
         band_ops = res.get("band_ops")
+        h32 = res.get("h32")
         qp = pend["qp"]
+        if h32 is None:
+            h32 = np.asarray(pend["hostv"])
         for k, hdr_bytes in enumerate(pend["hdrs"]):
-            ops_k = (band_ops[k] if band_ops is not None
-                     else np.asarray(pend["out"]["ops"][k]))
-            if ops_k.shape[0] > pend["cap_ops"]:
+            nk = int(h32[k])                  # halfword count (hw_pack)
+            if nk > 3 * pend["cap_ops"]:
                 raise RuntimeError(
-                    f"band {k} CABAC ops overflowed ({ops_k.shape[0]})")
+                    f"band {k} CABAC ops overflowed ({nk} halfwords)")
+            words_k = (band_ops[k] if band_ops is not None
+                       else np.asarray(
+                           pend["out"]["ops"][k][:(nk + 1) // 2]))
+            ops_k = ecabac.unpack_hw(words_k, nk)
             states = ctab.init_states(pend["slice_is_i"], qp,
                                       self.params.i_cabac_init_idc)
             body, fixup = ecabac.encode_ops(states, ops_k, hdr_bytes[-1])
@@ -1302,12 +1293,14 @@ class Encoder:
         from ..entropy import cabac_tables as ctab
 
         out = pend["out"]
-        cap = pipeline.cabac_capacity(pend["nmb"])
-        if n_ops > cap:
+        cap = pipeline.cabac_capacity_hw(pend["nmb"])
+        if n_ops > cap:      # n_ops counts halfwords (hw_pack)
             raise RuntimeError(
-                f"CABAC op stream overflowed device buffer ({n_ops} ops)")
+                f"CABAC op stream overflowed device buffer "
+                f"({n_ops} halfwords)")
         if ops is None:
-            ops = np.asarray(out["ops"][:n_ops])
+            ops = np.asarray(out["ops"][:(n_ops + 1) // 2])
+        ops = ecabac.unpack_hw(ops, n_ops)
 
         hdr_bytes = pend["hdr_bytes"]
         states = ctab.init_states(pend["slice_is_i"], pend["qp"],

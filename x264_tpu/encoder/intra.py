@@ -264,24 +264,35 @@ def chroma_ac_scan(fencc, cpred, qtab, pfx="pc"):
     return lv[..., zig]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8, 9))
 def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
-                     i4x4: bool = False, lossless: bool = False):
-    """Encode one intra frame (I16x16, optionally with the I4x4 ladder).
+                     i4x4: bool = False, lossless: bool = False,
+                     i8x8: bool = False):
+    """Encode one intra frame (I16x16, optionally with the I4x4/I8x8
+    ladders).
 
     y: (mb_h*16, mb_w*16) int32; u, v: (mb_h*8, mb_w*8) int32.
     qtab: dict of quant table arrays (see core.make_qtab).
     lam: int32 lambda for mode cost.
     i4x4: also evaluate I_4x4 per MB and pick the cheaper type
     (x264_mb_analyse_intra ladder, encoder/analyse.c:612-843).
+    i8x8: also evaluate I_8x8 (High profile). The 8x8 edge FILTER reads
+    top-right-MB samples the x+y wavefront never has, so I8x8 frames run
+    slope-2 diagonals (d = x + 2y — the reference's own frame-thread
+    dependency offset, doc/threads.txt), which also legalizes the 4x4
+    z5 top-right.
 
     Returns dict of per-MB arrays. `luma_ac` holds the per-4x4 block
     coefficients (z-scan, zig-zag): AC-only for I16x16 MBs, full 16
-    coefficients for I4x4 MBs; `i4_mb`/`i4_modes`/`cbp_luma_bits`
-    describe the per-MB type.
+    coefficients for I4x4 MBs; I8x8 MBs carry `luma8_z`/`t8_mb` with
+    `i4_mb` still true (I_NxN); `i4_modes` holds replicated 8x8 modes.
     """
-    K = min(mb_h, mb_w)            # max wavefront width
-    D = mb_h + mb_w - 1            # number of diagonals
+    if i8x8:
+        K = min(mb_h, (mb_w + 2) // 2)
+        D = mb_w + 2 * mb_h - 2
+    else:
+        K = min(mb_h, mb_w)        # max wavefront width
+        D = mb_h + mb_w - 1        # number of diagonals
     zig = jnp.asarray(tables.ZIGZAG4)
 
     y_tiles = _tile16(y.astype(I32), mb_h, mb_w)
@@ -303,10 +314,18 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
         i4_modes=jnp.full((mb_h, mb_w, 4, 4), 2, I32),
         cbp_luma_bits=jnp.zeros((mb_h, mb_w), I32),
     )
+    if i8x8:
+        state["t8_mb"] = jnp.zeros((mb_h, mb_w), bool)
+        state["luma8_z"] = jnp.zeros((mb_h, mb_w, 4, 64), I32)
 
     def diag_step(state, d):
-        ys = jnp.maximum(0, d - (mb_w - 1)) + jnp.arange(K, dtype=I32)
-        xs = d - ys
+        if i8x8:
+            ys = jnp.maximum(0, (d - (mb_w - 1) + 1) // 2) \
+                + jnp.arange(K, dtype=I32)
+            xs = d - 2 * ys
+        else:
+            ys = jnp.maximum(0, d - (mb_w - 1)) + jnp.arange(K, dtype=I32)
+            xs = d - ys
         valid = (ys < mb_h) & (xs >= 0) & (xs < mb_w)
         yc = jnp.clip(ys, 0, mb_h - 1)
         xc = jnp.clip(xs, 0, mb_w - 1)
@@ -337,21 +356,48 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
         cbp_bits = jnp.where(lp["cbp"], 15, 0).astype(I32)
         use_i4 = jnp.zeros_like(has_top)
         i4_modes_sel = jnp.full((K, 4, 4), 2, I32)
+        best_cost = lp["cost"]
 
-        if i4x4:
+        if i4x4 or i8x8:
             nmt = jnp.where(has_top[:, None],
                             state["i4_modes"][ym, xc, 3, :], 2)
             nml = jnp.where(has_left[:, None],
                             state["i4_modes"][yc, xm, :, 3], 2)
+        if i4x4:
             lp4 = luma_i4_path(fenc, top, topleft, left, nmt, nml,
                                has_top, has_left, qtab, lam, lossless)
-            use_i4 = valid & (lp4["cost"] < lp["cost"])
+            use_i4 = valid & (lp4["cost"] < best_cost)
             sel = use_i4[:, None, None]
             recon = jnp.where(sel, lp4["recon"], recon)
             ac_z = jnp.where(sel, lp4["blocks_z"], ac_z)
             dc_z = jnp.where(use_i4[:, None], 0, dc_z)
             cbp_bits = jnp.where(use_i4, lp4["cbp_bits"], cbp_bits)
             i4_modes_sel = jnp.where(sel, lp4["modes"], i4_modes_sel)
+            best_cost = jnp.minimum(best_cost, lp4["cost"])
+
+        use_i8 = jnp.zeros_like(has_top)
+        if i8x8:
+            # top-right MB bottom row (block 1's top-right samples —
+            # legal here because the slope-2 wavefront finished it)
+            xp = jnp.clip(xs + 1, 0, mb_w - 1)
+            tr8 = ty[ym, xp, 15, 0:8]
+            has_tr = valid & (ys > 0) & (xs < mb_w - 1)
+            lp8 = luma_i8_path(fenc, top, topleft, left, tr8, nmt, nml,
+                               has_top, has_left, has_tr, qtab, lam)
+            use_i8 = valid & (lp8["cost"] < best_cost)
+            sel8 = use_i8[:, None, None]
+            recon = jnp.where(sel8, lp8["recon"], recon)
+            ac_z = jnp.where(sel8, 0, ac_z)
+            dc_z = jnp.where(use_i8[:, None], 0, dc_z)
+            cbp_bits = jnp.where(use_i8, lp8["cbp_bits"], cbp_bits)
+            # replicate the 8x8 modes into the 4x4 grid (spec 8.3.2.1
+            # neighbor-mode derivation; x264 caches the same way)
+            rep8 = jnp.repeat(jnp.repeat(lp8["modes"], 2, axis=1),
+                              2, axis=2)
+            i4_modes_sel = jnp.where(sel8, rep8, i4_modes_sel)
+            use_i4 = use_i4 | use_i8     # i4_mb means I_NxN
+            blocks8_sel = jnp.where(use_i8[:, None, None],
+                                    lp8["blocks8_z"], 0)
 
         # ------------------------------------------------ chroma
         def chroma_path(t_ref, c_tiles):
@@ -384,7 +430,7 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
         def scat(dst, val):
             return dst.at[oy, ox].set(val, mode="drop")
 
-        state = dict(
+        new_state = dict(
             ty=scat(ty, recon),
             tu=scat(tu, ru),
             tv=scat(tv, rv),
@@ -400,11 +446,14 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
             i4_modes=scat(state["i4_modes"], i4_modes_sel),
             cbp_luma_bits=scat(state["cbp_luma_bits"], cbp_bits),
         )
-        return state, None
+        if i8x8:
+            new_state["t8_mb"] = scat(state["t8_mb"], use_i8)
+            new_state["luma8_z"] = scat(state["luma8_z"], blocks8_sel)
+        return new_state, None
 
     state, _ = jax.lax.scan(diag_step, state, jnp.arange(D, dtype=I32))
 
-    return dict(
+    out = dict(
         recon_y=_untile(state["ty"]),
         recon_u=_untile(state["tu"]),
         recon_v=_untile(state["tv"]),
@@ -418,6 +467,10 @@ def encode_i16_frame(mb_h: int, mb_w: int, y, u, v, qtab, lam,
         i4_modes=state["i4_modes"],
         cbp_luma_bits=state["cbp_luma_bits"],
     )
+    if i8x8:
+        out["t8_mb"] = state["t8_mb"]
+        out["luma8_z"] = state["luma8_z"]
+    return out
 
 
 def _q16(t):
@@ -462,6 +515,10 @@ def make_qtab(qp_y: int, qp_c: int, qt: tables.QuantTables | None = None):
         c_mf_dc=a(qt.quant4_mf[tables.CQM_4IC, qp_c][0] >> 1),
         c_bias_dc=a(qt.quant4_bias[tables.CQM_4IC, qp_c][0] << 1),
         c_qpdiv6=a(qp_c // 6),
+        # I8x8 (High profile, CQM_8IY)
+        y8_mf=a(qt.quant8_mf[tables.CQM_8IY, qp_y]),
+        y8_bias=a(qt.quant8_bias[tables.CQM_8IY, qp_y]),
+        y8_dmf=a(qt.dequant8_mf[tables.CQM_8IY, qp_y % 6]),
     )
 
 
@@ -580,3 +637,91 @@ def luma_i4_path(fenc, top_row, topleft_px, left_col,
     return dict(cost=total_cost + lam * _I4_COST_BITS, modes=modes_r,
                 blocks_z=blocks_z, recon=recon,
                 cbp_bits=cbp_bits, nnz_z=nnz_z)
+
+
+# mb-level signalling cost for I8x8 (mb_type bin + transform flag +
+# shorter per-block mode list than I4x4)
+_I8_COST_BITS = 10
+
+
+def luma_i8_path(fenc, top_row, topleft_px, left_col, tr8,
+                 nbr_modes_top, nbr_modes_left, has_top, has_left,
+                 has_tr, qtab, lam):
+    """I8x8 luma: 4 blocks in z-scan (== 2x2 raster) order, sequential
+    (each reads decoded-neighbor reconstruction), vectorized over a
+    batch of MBs (x264_mb_analyse_intra i8x8 ladder,
+    encoder/analyse.c:683-706 + x264_mb_encode_i8x8,
+    encoder/macroblock.c:158; prediction spec 8.3.2 via
+    ops/predict.predict_8x8_filter / predict_8x8).
+
+    fenc: (K,16,16); top_row/left_col: (K,16) neighbor-MB recon;
+    topleft_px: (K,); tr8: (K,8) bottom row of the TOP-RIGHT MB (block
+    1's top-right samples — callers must schedule the wavefront so the
+    top-right MB is already reconstructed, see encode_i16_frame's
+    slope-2 diagonals); nbr_modes_top/left: (K,4) neighbor 4x4-grid
+    modes. Returns dict(cost, modes (K,2,2), blocks8_z (K,4,64) 8x8
+    scan-order coefficients, recon (K,16,16), cbp_bits (K,)).
+    """
+    from ..ops import predict as opred8
+    K = fenc.shape[0]
+    zig8 = jnp.asarray(tables.ZIGZAG8)
+    ones = jnp.ones_like(has_top)
+    zeros = jnp.zeros_like(has_top)
+    ext = jnp.zeros((K, 17, 25), I32)
+    ext = ext.at[:, 0, 0].set(topleft_px)
+    ext = ext.at[:, 0, 1:17].set(top_row)
+    ext = ext.at[:, 0, 17:25].set(tr8)
+    ext = ext.at[:, 1:17, 0].set(left_col)
+
+    modes8 = jnp.full((K, 2, 2), 2, I32)
+    total_cost = jnp.zeros(K, I32)
+    blocks8_z = jnp.zeros((K, 4, 64), I32)
+    mode_ids = jnp.arange(9, dtype=I32)
+    # availability per block: (ht, hl, htl, htr); block 3's top-right
+    # lies in the not-yet-decoded right MB on BOTH sides -> substituted
+    flag_sets = ((has_top, has_left, has_top & has_left, has_top),
+                 (has_top, ones, has_top, has_tr),
+                 (ones, has_left, has_left, ones),
+                 (ones, ones, ones, zeros))
+    for z, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        ht, hl, htl, htr = flag_sets[z]
+        r0, c0 = 8 * by, 8 * bx
+        t = ext[:, r0, c0 + 1:c0 + 9]
+        tr = ext[:, r0, c0 + 9:c0 + 17]
+        l = ext[:, r0 + 1:r0 + 9, c0]
+        tl = ext[:, r0, c0]
+        lf, tlf, tf = opred8.predict_8x8_filter(l, tl, t, tr,
+                                                ht, hl, htl, htr)
+        preds = opred8.predict_8x8(lf, tlf, tf, ht, hl)
+        avail = opred8.mode_available_8x8(ht, hl, htl)
+
+        lmode = modes8[:, by, bx - 1] if bx else nbr_modes_left[:, 2 * by]
+        tmode = modes8[:, by - 1, bx] if by else nbr_modes_top[:, 2 * bx]
+        mpm = jnp.minimum(lmode, tmode)
+
+        fb = fenc[:, r0:r0 + 8, c0:c0 + 8]
+        sa8d = opix.sa8d_8x8(fb[:, None], preds)          # (K,9)
+        bits = jnp.where(mode_ids[None, :] == mpm[:, None], 1, 4)
+        cost = jnp.where(avail, sa8d + lam * bits, _BIG)
+        mode = jnp.argmin(cost, axis=-1).astype(I32)
+        total_cost = total_cost + jnp.min(cost, axis=-1)
+        pred = jnp.take_along_axis(
+            preds, mode[:, None, None, None], axis=1)[:, 0]
+
+        coef = odct.dct8x8(fb - pred)
+        lv = oquant.quant(coef.reshape(K, 64), qtab["y8_mf"],
+                          qtab["y8_bias"])
+        deq = oquant.dequant(lv, qtab["y8_dmf"],
+                             _qc(qtab["y_qpdiv6"], 1), 6)
+        rec = jnp.clip(pred + odct.idct8x8(deq.reshape(K, 8, 8)),
+                       0, 255)
+        ext = ext.at[:, r0 + 1:r0 + 9, c0 + 1:c0 + 9].set(rec)
+        modes8 = modes8.at[:, by, bx].set(mode)
+        blocks8_z = blocks8_z.at[:, z].set(lv[:, zig8])
+
+    cbp8 = jnp.any(blocks8_z != 0, axis=-1)               # (K,4) z==raster
+    cbp_bits = (cbp8[:, 0] * 1 + cbp8[:, 1] * 2
+                + cbp8[:, 2] * 4 + cbp8[:, 3] * 8).astype(I32)
+    return dict(cost=total_cost + lam * _I8_COST_BITS, modes=modes8,
+                blocks8_z=blocks8_z, recon=ext[:, 1:17, 1:17],
+                cbp_bits=cbp_bits)

@@ -60,19 +60,19 @@ def host32_pack(first, oy, ou, ov, ry, ru, rv, crop_w, crop_h,
 
 def _encode_i16_aq(mb_h, mb_w, y, u, v, qtab, lam, qp, i4x4,
                    lossless, aq, aq_qp_min, aq_qp_max,
-                   chroma_qp_offset):
+                   chroma_qp_offset, i8x8: bool = False):
     """Run the intra wavefront with optional per-MB AQ tables; returns
     (out dict incl. dqp syntax maps, per-MB effective QP map)."""
     qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
     if not aq:
         out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, qtab, lam,
-                                     i4x4, lossless)
+                                     i4x4, lossless, i8x8)
         return out, qp_mb
     qp_map, qpc_map = _aq_maps(y, u, v, mb_h, mb_w, qp, qtab,
                                aq_qp_min, aq_qp_max, chroma_qp_offset)
     rows = eaq.qtab_rows(qtab["full"], qp_map, qpc_map, intra_cqm=True)
     out = intra.encode_i16_frame(mb_h, mb_w, y, u, v, {**qtab, **rows},
-                                 lam, i4x4, lossless)
+                                 lam, i4x4, lossless, i8x8)
     cnz = (jnp.any(out["chroma_ac"][..., 1:] != 0, axis=(-3, -2, -1))
            | jnp.any(out["chroma_dc"] != 0, axis=(-2, -1)))
     i4_mb = out.get("i4_mb")
@@ -267,10 +267,25 @@ def cabac_capacity(nmb: int) -> int:
     return nmb * CABAC_OPS_PER_MB + 4096
 
 
+def cabac_capacity_hw(nmb: int) -> int:
+    """Halfword capacity of the packed transfer stream: worst case is
+    3 halfwords per op (see cabac_planes.hw_pack); even so the packed
+    words buffer stays 1.5x the op-count buffer."""
+    return 3 * cabac_capacity(nmb)
+
+
+def _hw_ops(ops, nmb: int):
+    """compact + halfword-pack an op plane for transfer; returns
+    (packed words, n_hw)."""
+    from ..entropy import cabac_planes
+    cops, n_ops = cabac_planes.compact_ops(ops, cabac_capacity(nmb))
+    return cabac_planes.hw_pack(cops, n_ops, cabac_capacity_hw(nmb))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
                    static_argnames=("crop_w", "crop_h", "with_metrics",
                                     "t8", "aq", "aq_qp_min",
-                                    "aq_qp_max"))
+                                    "aq_qp_max", "i8x8"))
 def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
                          i4x4: bool, lossless: bool,
                          y, u, v, qtab, lam, qp, qp_c,
@@ -278,10 +293,11 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
                          crop_w: int = 0, crop_h: int = 0,
                          with_metrics: bool = False, t8: bool = False,
                          aq: bool = False, aq_qp_min: int = 10,
-                         aq_qp_max: int = 51):
+                         aq_qp_max: int = 51, i8x8: bool = False):
     """All-I16x16 IDR frame, CABAC entropy: the wavefront encode runs as
     in encode_i16_idr, but emits a compacted packed bin-op stream for
-    the host-native arithmetic coder instead of packed CAVLC words."""
+    the host-native arithmetic coder instead of packed CAVLC words.
+    i8x8 adds the I8x8 ladder (slope-2 wavefront, High profile)."""
     from ..entropy import cabac_planes
 
     y = _plane(y, mb_h * 16, mb_w * 16)
@@ -289,11 +305,10 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
     v = _plane(v, mb_h * 8, mb_w * 8)
     out, qp_mb = _encode_i16_aq(mb_h, mb_w, y, u, v, qtab, lam, qp,
                                 i4x4, lossless, aq, aq_qp_min,
-                                aq_qp_max, chroma_qp_offset)
+                                aq_qp_max, chroma_qp_offset, i8x8)
 
     ops = cabac_planes.i16_slice_ops(out, mb_h, mb_w, t8_mode=t8)
-    cops, n_ops = cabac_planes.compact_ops(
-        ops, cabac_capacity(mb_h * mb_w))
+    cops, n_ops = _hw_ops(ops, mb_h * mb_w)
 
     ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
     if deblock_on:
@@ -303,7 +318,8 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
         ry, ru, rv = odeblock.deblock_frame(
             mb_h, mb_w, ry, ru, rv, qp_mb, intra_mb,
             z4, z4, zmv, z4, zmv, False,
-            alpha_off, beta_off, chroma_qp_offset)
+            alpha_off, beta_off, chroma_qp_offset,
+            t8_mb=out.get("t8_mb") if i8x8 else None)
 
     h32 = host32_pack([n_ops, mb_h * mb_w, 0], y, u, v, ry, ru, rv,
                       crop_w or mb_w * 16, crop_h or mb_h * 16,
@@ -365,8 +381,7 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
         qp_mb = qp_eff
 
     ops = cabac_planes.p_slice_ops(out, mb_h, mb_w, n_refs, t8_mode=t8)
-    cops, n_ops = cabac_planes.compact_ops(
-        ops, cabac_capacity(mb_h * mb_w))
+    cops, n_ops = _hw_ops(ops, mb_h * mb_w)
 
     ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
     if deblock_on:
@@ -465,7 +480,7 @@ def encode_b_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                               mvp_seed_l1=mvp_seed_l1)
 
     ops = cabac_planes.b_slice_ops(out, mb_h, mb_w, t8_mode=t8)
-    cops, n_ops = cabac_planes.compact_ops(ops, cabac_capacity(mb_h * mb_w))
+    cops, n_ops = _hw_ops(ops, mb_h * mb_w)
 
     ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
     if deblock_on:

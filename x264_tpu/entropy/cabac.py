@@ -65,6 +65,41 @@ def pack_op(kind, a, b):
     return (kind << 29) | (b << 17) | a
 
 
+# halfword transfer format (see cabac_planes.hw_pack): compact ops pack
+# (b << HW_A_BITS[kind]) | a into 12 payload bits; extended ops span 3
+# halfwords whose continuations always carry bit15 = 0
+HW_A_BITS = np.array([11, 8, 9, 11, 0, 9, 0, 11], np.uint32)
+
+
+def unpack_hw(words: np.ndarray, n_hw: int) -> np.ndarray:
+    """Expand a packed halfword stream (uint32 words, two halfwords per
+    word, low first) back to the 32-bit op stream — vectorized; runs on
+    the host right after the d2h fetch."""
+    if n_hw == 0:
+        return np.zeros(0, np.uint32)
+    w = np.ascontiguousarray(words, np.uint32)
+    hws = np.empty(w.shape[0] * 2, np.uint32)
+    hws[0::2] = w & 0xFFFF
+    hws[1::2] = w >> 16
+    hws = hws[:n_hw]
+    e = (hws >> 15) != 0                    # extended-op start halfwords
+    cont = np.zeros(n_hw, bool)
+    cont[1:] = e[:-1]
+    if n_hw > 2:
+        cont[2:] |= e[:-2]
+    sidx = np.nonzero(~cont)[0]             # op start positions
+    kind = (hws[sidx] >> 12) & 7
+    is_e = e[sidx]
+    i1 = np.minimum(sidx + 1, n_hw - 1)
+    i2 = np.minimum(sidx + 2, n_hw - 1)
+    abits = HW_A_BITS[kind]
+    p = hws[sidx] & 0xFFF
+    a = np.where(is_e, hws[i1] | (hws[i2] << 15),
+                 p & ((np.uint32(1) << abits) - 1))
+    b = np.where(is_e, p, p >> abits)
+    return ((kind << 29) | (b << 17) | a).astype(np.uint32)
+
+
 def encode_ops(states: np.ndarray, ops: np.ndarray,
                prev_byte: int) -> tuple[bytes, int]:
     """Run the arithmetic coder over the packed op stream.

@@ -179,9 +179,14 @@ def _nbr_grids(flag_map, unavail):
     return a, b
 
 
-def i4_pred_mode_ops(i4_mb, i4_modes, mb_h: int, mb_w: int):
-    """Per-block intra-4x4 pred-mode bins in z-scan order, 4 slots per
-    block (x264_cabac_mb_intra4x4_pred_mode, encoder/cabac.c:199)."""
+def i4_pred_mode_ops(i4_mb, i4_modes, mb_h: int, mb_w: int, i8_mb=None):
+    """Per-block intra pred-mode bins in z-scan order, 4 slots per block
+    (x264_cabac_mb_intra4x4_pred_mode, encoder/cabac.c:199). i4_mb marks
+    4x4-transform I_NxN MBs (16 blocks each); i8_mb (optional) marks
+    I8x8 MBs (4 blocks each, same 68/69 contexts — spec 9.3.3.1.1.10
+    uses one context set for both; neighbor modes come from the same
+    4x4-granularity grid, which callers fill with the replicated 8x8
+    modes for I8x8 MBs per spec 8.3.2.1)."""
     from .. import tables
 
     nmb = mb_h * mb_w
@@ -207,7 +212,23 @@ def i4_pred_mode_ops(i4_mb, i4_modes, mb_h: int, mb_w: int):
             slots.append(_sel(act & ~eq_z[:, i],
                               op(KIND_DECISION, jnp.full(nmb, 69, I32),
                                  (rem_z[:, i] >> k) & 1)))
-    return jnp.stack(slots, axis=1)        # (nmb, 64)
+    if i8_mb is not None:
+        t8f = i8_mb.reshape(nmb)
+        def to_r(g):
+            return g.reshape(mb_h, 4, mb_w, 4).swapaxes(1, 2) \
+                .reshape(nmb, 16)
+        eq_r, rem_r = to_r(eq), to_r(rem)
+        # 8x8 z-scan blocks -> top-left 4x4 cell in MB raster coords
+        for cell in (0, 2, 8, 10):
+            slots.append(_sel(t8f,
+                              op(KIND_DECISION, jnp.full(nmb, 68, I32),
+                                 eq_r[:, cell])))
+            for k in range(3):
+                slots.append(_sel(t8f & ~eq_r[:, cell],
+                                  op(KIND_DECISION,
+                                     jnp.full(nmb, 69, I32),
+                                     (rem_r[:, cell] >> k) & 1)))
+    return jnp.stack(slots, axis=1)
 
 
 def i16_slice_ops(out, mb_h: int, mb_w: int, t8_mode: bool = False):
@@ -239,6 +260,12 @@ def i16_slice_ops(out, mb_h: int, mb_w: int, t8_mode: bool = False):
     cbp_lf = cbp_l_bits.reshape(nmb)
     cbp_luma16 = (~i4f) & (cbp_lf > 0)
 
+    # I8x8: i4_mb means I_NxN; t8_mb distinguishes the transform
+    t8_mb = out.get("t8_mb")
+    if t8_mb is None:
+        t8_mb = jnp.zeros((mb_h, mb_w), bool)
+    t8f = t8_mb.reshape(nmb)
+
     cnz_ac = jnp.any(chroma_ac[..., 1:] != 0, axis=(-3, -2, -1))
     cnz_dc = jnp.any(chroma_dc != 0, axis=(-2, -1))
     cbp_chroma = jnp.where(cnz_ac, 2, jnp.where(cnz_dc, 1, 0)).astype(I32)
@@ -251,11 +278,13 @@ def i16_slice_ops(out, mb_h: int, mb_w: int, t8_mode: bool = False):
     ni4_l, ni4_t = _nbr_grids((~i4_mb).astype(I32), 0)
     ctx_mbtype = 3 + (avail_l & (ni4_l.reshape(nmb) > 0)).astype(I32) \
         + (avail_t & (ni4_t.reshape(nmb) > 0)).astype(I32)
+    t8l, t8t = _nbr_grids(t8_mb.astype(I32), 0)
+    tctx = (399 + t8l + t8t).reshape(nmb)
     h = [
         op(KIND_DECISION, ctx_mbtype, ~i4f),
         # transform_size_8x8_flag for I_NxN when the PPS enables 8x8
-        # (always 0 — no I8x8 mode yet; encoder/cabac.c:826-828)
-        (_sel(i4f, op(KIND_DECISION, jnp.full(nmb, 399, I32), 0))
+        # (x264_cabac_mb_transform_size, encoder/cabac.c:369 + :826-828)
+        (_sel(i4f, op(KIND_DECISION, tctx, t8f))
          if t8_mode else jnp.full((nmb,), PAD_OP)),
         _sel(~i4f, jnp.broadcast_to(op(KIND_TERMINAL, 0, 0), (nmb,))),
         _sel(~i4f, op(KIND_DECISION, jnp.full(nmb, 6, I32), cbp_luma16)),
@@ -268,7 +297,8 @@ def i16_slice_ops(out, mb_h: int, mb_w: int, t8_mode: bool = False):
     ]
     header1 = jnp.stack(h, axis=1)
 
-    pm_ops = i4_pred_mode_ops(i4_mb, i4_modes, mb_h, mb_w)
+    pm_ops = i4_pred_mode_ops(i4_mb & ~t8_mb, i4_modes, mb_h, mb_w,
+                              i8_mb=t8_mb)
 
     h2 = []
     cm_l, cm_t = _nbr_grids(modec, 0)
@@ -315,6 +345,16 @@ def i16_slice_ops(out, mb_h: int, mb_w: int, t8_mode: bool = False):
     counts_z = (jnp.count_nonzero(luma_ac, axis=-1) > 0).astype(I32) \
         * blk_coded
     counts_raster = jnp.zeros_like(counts_z).at[:, R].set(counts_z)
+    luma8_z = out.get("luma8_z")
+    if luma8_z is not None:
+        # I8x8 neighbors expose the 8x8 block's coded status on every
+        # covered 4x4 cell (the nnz4-replication rule of the P path)
+        c8 = jnp.any(luma8_z.reshape(nmb, 4, 64) != 0,
+                     axis=-1).astype(I32)
+        cellmap = jnp.asarray(
+            [0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+        counts_raster = jnp.where(t8f[:, None], c8[:, cellmap],
+                                  counts_raster)
     lmap = counts_raster.reshape(mb_h, mb_w, 4, 4).swapaxes(1, 2) \
         .reshape(mb_h * 4, mb_w * 4)
     a, b = _nbr_grids(lmap, 1)
@@ -346,12 +386,22 @@ def i16_slice_ops(out, mb_h: int, mb_w: int, t8_mode: bool = False):
     full16 = residual_block_ops(
         luma_ac.reshape(nmb * 16, 16), 2,
         ctx_ac.reshape(nmb * 16),
-        jnp.repeat(i4f, 16) & blk_coded.reshape(nmb * 16))
+        jnp.repeat(i4f & ~t8f, 16) & blk_coded.reshape(nmb * 16))
     w15, w16 = ac15.shape[1], full16.shape[1]
     ac15p = jnp.concatenate(
         [ac15, jnp.full((nmb * 16, w16 - w15), PAD_OP)], axis=1)
     blk_ops = jnp.where(jnp.repeat(i4f, 16)[:, None], full16, ac15p) \
         .reshape(nmb, -1)
+    if luma8_z is not None:
+        # I8x8 residual: 4 cat-5 blocks ride the same luma slot region
+        cbp8 = ((cbp_lf[:, None] >> jnp.arange(4, dtype=I32)) & 1) > 0
+        ops8 = residual_block_ops8(
+            luma8_z.reshape(nmb * 4, 64),
+            jnp.repeat(t8f, 4) & cbp8.reshape(nmb * 4)).reshape(nmb, -1)
+        pad8 = jnp.full((nmb, blk_ops.shape[1] - ops8.shape[1]), PAD_OP)
+        blk_ops = jnp.where(t8f[:, None],
+                            jnp.concatenate([ops8, pad8], axis=1),
+                            blk_ops)
     cdc_ops = residual_block_ops(
         chroma_dc.reshape(nmb * 2, 4), 3,
         ctx_cdc.reshape(nmb * 2), jnp.repeat(cbp_chroma > 0, 2))
@@ -386,6 +436,48 @@ def compact_ops(ops_flat, cap: int):
     dst = jnp.where(keep, pos, cap)
     out = jnp.zeros(cap, U32).at[dst].set(ops_flat, mode="drop")
     return out, keep.sum()
+
+
+# halfword transfer format: d2h of the op stream dominates the frame
+# wall on tunneled devices (~10 MB/s), so ops cross as 16-bit halfwords
+# packed in pairs into uint32. Per-op layout (bit 15 = extended flag):
+#   compact (1 hw):  0 | kind<<12 | payload12, where payload12 packs
+#                    (b << HW_A_BITS[kind]) | a — covers decisions,
+#                    levels, terminals, short bypass/ue/ones;
+#   extended (3 hw): (0x8000 | kind<<12 | b), (a & 0x7FFF), (a >> 15)
+#                    — continuation halfwords always have bit15 = 0, so
+#                    the host parse is branch-free/vectorized.
+# The host expands this back to the 32-bit op stream (cabac.unpack_hw)
+# before the serial engine; native/cabac.c is unchanged.
+HW_A_BITS = np.array([11, 8, 9, 11, 0, 9, 0, 11], np.int32)
+
+
+def hw_pack(cops, n, cap_hw: int):
+    """Halfword-pack a compacted op stream (cops from compact_ops,
+    first n entries live). Returns (packed uint32[cap_hw // 2] with two
+    halfwords per word, low halfword first; n_hw)."""
+    cap_hw = cap_hw + (cap_hw & 1)          # pair packing needs even
+    kind = (cops >> 29).astype(I32)
+    a = (cops & jnp.uint32(0x1FFFF)).astype(I32)
+    b = ((cops >> 17) & jnp.uint32(0xFFF)).astype(I32)
+    valid = jnp.arange(cops.shape[0]) < n
+    abits = jnp.asarray(HW_A_BITS)[kind]
+    small = (a < (1 << abits)) & (b < (1 << (12 - abits)))
+    hw0 = jnp.where(small,
+                    (kind << 12) | (b << abits) | a,
+                    0x8000 | (kind << 12) | b)
+    nhw = jnp.where(valid, jnp.where(small, 1, 3), 0)
+    off = jnp.cumsum(nhw) - nhw
+    ext = valid & ~small
+    buf = jnp.zeros(cap_hw, I32)
+    buf = buf.at[jnp.where(valid, off, cap_hw)].set(hw0, mode="drop")
+    buf = buf.at[jnp.where(ext, off + 1, cap_hw)].set(a & 0x7FFF,
+                                                      mode="drop")
+    buf = buf.at[jnp.where(ext, off + 2, cap_hw)].set(a >> 15,
+                                                      mode="drop")
+    pairs = buf.reshape(-1, 2).astype(U32)
+    words = pairs[:, 0] | (pairs[:, 1] << 16)
+    return words, nhw.sum()
 
 
 # mvd unary context ladder (x264_cabac_mb_mvd_cpn ctxes, encoder/cabac.c)

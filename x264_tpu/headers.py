@@ -216,9 +216,14 @@ class PPS:
     deblocking_filter_control: bool = True
     transform_8x8_mode: bool = False
     profile_idc: int = PROFILE_HIGH
+    cqm_preset: int = 0
+    scaling4: object = None       # (4,16) raster [4IY,4PY,4IC,4PC]
+    scaling8: object = None       # (2,64) raster [8IY,8PY]
 
     @classmethod
     def from_params(cls, p: EncoderParams) -> "PPS":
+        from . import cqm as xcqm
+        sl4, sl8 = xcqm.scaling_lists(p.i_cqm_preset, p.cqm)
         return cls(
             cabac=p.b_cabac,
             num_ref_idx_l0=p.i_frame_reference,
@@ -227,6 +232,8 @@ class PPS:
             chroma_qp_index_offset=p.analyse.i_chroma_qp_offset,
             transform_8x8_mode=p.analyse.b_transform_8x8,
             profile_idc=p.profile(),
+            cqm_preset=p.i_cqm_preset,
+            scaling4=sl4, scaling8=sl8,
         )
 
     def write(self) -> bytes:
@@ -246,9 +253,33 @@ class PPS:
         bs.bit(self.deblocking_filter_control)
         bs.bit(0)  # constrained_intra_pred
         bs.bit(0)  # redundant_pic_cnt_present
-        if self.transform_8x8_mode:
-            bs.bit(1)
-            bs.bit(0)  # pic_scaling_matrix_present (flat CQM)
+        if self.transform_8x8_mode or self.cqm_preset != 0:
+            bs.bit(self.transform_8x8_mode)
+            bs.bit(self.cqm_preset != 0)  # pic_scaling_matrix_present
+            if self.cqm_preset != 0:
+                # spec list order IntraY, IntraCb, (Cr=Cb), InterY,
+                # InterCb, (Cr=Cb) [+ 8x8 IntraY, InterY]
+                # (x264_pps_write, encoder/set.c:449-466)
+                from . import cqm as xcqm
+                from . import tables as _t
+                s4, s8 = self.scaling4, self.scaling8
+                xcqm.write_scaling_list(bs, s4[_t.CQM_4IY],
+                                        xcqm.JVT_4IY, xcqm.JVT_4IY, 16)
+                xcqm.write_scaling_list(bs, s4[_t.CQM_4IC],
+                                        s4[_t.CQM_4IY], xcqm.JVT_4IY, 16)
+                bs.bit(0)   # Cr falls back to Cb
+                xcqm.write_scaling_list(bs, s4[_t.CQM_4PY],
+                                        xcqm.JVT_4PY, xcqm.JVT_4PY, 16)
+                xcqm.write_scaling_list(bs, s4[_t.CQM_4PC],
+                                        s4[_t.CQM_4PY], xcqm.JVT_4PY, 16)
+                bs.bit(0)   # Cr falls back to Cb
+                if self.transform_8x8_mode:
+                    xcqm.write_scaling_list(bs, s8[_t.CQM_8IY],
+                                            xcqm.JVT_8IY, xcqm.JVT_8IY,
+                                            64)
+                    xcqm.write_scaling_list(bs, s8[_t.CQM_8PY],
+                                            xcqm.JVT_8PY, xcqm.JVT_8PY,
+                                            64)
             bs.se(self.chroma_qp_index_offset)  # second_chroma_qp_offset
         bs.rbsp_trailing()
         return nal_unit(NAL_PPS, 3, bs.pack())

@@ -276,3 +276,164 @@ def mode_available_4x4(has_top, has_left):
     both = ht & hl
     return jnp.stack([ht, hl, jnp.ones_like(ht), ht, both, both, both,
                       ht, hl], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# 8x8 luma prediction (High profile; common/predict.c:499-751; spec 8.3.2)
+#
+# Same gather-table scheme as 4x4, over the FILTERED 25-entry edge vector
+# e' = [l7'..l0', lt', t0'..t15'] (spec 8.3.2.2.1 low-pass filters the
+# reference samples before prediction — the x264_predict_8x8_filter role).
+# The linear layout makes the T(-1)/L(-1) -> lt' wraparound of the VR/HD
+# zVR==0 / zHD==0 rows fall out of the indexing automatically.
+# ---------------------------------------------------------------------------
+
+def predict_8x8_filter(left, topleft, top, topright, ht, hl, htl, htr):
+    """Reference-sample filtering for Intra_8x8 (spec 8.3.2.2.1).
+
+    left: (..., 8) l0..l7 top-to-bottom; top: (..., 8); topright: (..., 8)
+    t8..t15; topleft: (...,); ht/hl/htl/htr: (...) bool availability.
+    Unavailable top-right samples are substituted with t7 before
+    filtering (the decoder applies the same rule, so substitution here
+    is conformant only when htr mirrors the decoder's availability).
+    Returns (l_f (...,8), tl_f (...,), t_f (...,16))."""
+    left = left.astype(I32)
+    top = top.astype(I32)
+    tl = jnp.asarray(topleft).astype(I32)
+    tr = jnp.where(htr[..., None], topright.astype(I32), top[..., 7:8])
+    t16 = jnp.concatenate([top, jnp.broadcast_to(
+        tr, top.shape[:-1] + (8,))], axis=-1)
+
+    prev = jnp.concatenate(
+        [jnp.where(htl[..., None], tl[..., None], t16[..., 0:1]),
+         t16[..., :-1]], axis=-1)
+    nxt = jnp.concatenate([t16[..., 1:], t16[..., 15:16]], axis=-1)
+    t_f = (prev + 2 * t16 + nxt + 2) >> 2
+
+    lprev = jnp.concatenate(
+        [jnp.where(htl[..., None], tl[..., None], left[..., 0:1]),
+         left[..., :-1]], axis=-1)
+    lnxt = jnp.concatenate([left[..., 1:], left[..., 7:8]], axis=-1)
+    l_f = (lprev + 2 * left + lnxt + 2) >> 2
+
+    tl_f = jnp.where(
+        ht & hl, (top[..., 0] + 2 * tl + left[..., 0] + 2) >> 2,
+        jnp.where(ht, (3 * tl + top[..., 0] + 2) >> 2,
+                  (3 * tl + left[..., 0] + 2) >> 2))
+    return l_f, tl_f, t_f
+
+
+def _build_8x8_tables():
+    import numpy as np
+    L = lambda i: 7 - i          # i = -1 -> 8 == LT (intentional)
+    LT = 8
+    T = lambda i: 9 + i          # i = -1 -> 8 == LT (intentional)
+    idx = np.zeros((9, 8, 8, 3), np.int64)
+    wgt = np.zeros((9, 8, 8, 3), np.int64)
+
+    def setp(m, x, y, ids, ws):
+        idx[m, y, x] = ids
+        wgt[m, y, x] = ws
+
+    F2 = (1, 2, 1)
+    F1 = (2, 2, 0)
+    CP = (4, 0, 0)
+    for x in range(8):
+        for y in range(8):
+            setp(0, x, y, (T(x),) * 3, CP)              # V
+            setp(1, x, y, (L(y),) * 3, CP)              # H
+            setp(2, x, y, (T(0),) * 3, CP)              # DC placeholder
+            # DDL (spec 8.3.2.2.5)
+            if x == 7 and y == 7:
+                setp(3, x, y, (T(14), T(15), T(15)), F2)
+            else:
+                i = x + y
+                setp(3, x, y, (T(i), T(i + 1), T(i + 2)), F2)
+            # DDR (8.3.2.2.6)
+            if x > y:
+                setp(4, x, y, (T(x - y - 2), T(x - y - 1), T(x - y)), F2)
+            elif x < y:
+                setp(4, x, y, (L(y - x - 2), L(y - x - 1), L(y - x)), F2)
+            else:
+                setp(4, x, y, (T(0), LT, L(0)), F2)
+            # VR (8.3.2.2.7)
+            zvr = 2 * x - y
+            if zvr >= 0 and zvr % 2 == 0:
+                setp(5, x, y, (T(x - (y >> 1) - 1), T(x - (y >> 1)),
+                               T(x - (y >> 1) - 1)), F1)
+            elif zvr >= 1:
+                setp(5, x, y, (T(x - (y >> 1) - 2), T(x - (y >> 1) - 1),
+                               T(x - (y >> 1))), F2)
+            elif zvr == -1:
+                setp(5, x, y, (L(0), LT, T(0)), F2)
+            else:
+                setp(5, x, y, (L(y - 2 * x - 1), L(y - 2 * x - 2),
+                               L(y - 2 * x - 3)), F2)
+            # HD (8.3.2.2.8)
+            zhd = 2 * y - x
+            if zhd >= 0 and zhd % 2 == 0:
+                setp(6, x, y, (L(y - (x >> 1) - 1), L(y - (x >> 1)),
+                               L(y - (x >> 1) - 1)), F1)
+            elif zhd >= 1:
+                setp(6, x, y, (L(y - (x >> 1) - 2), L(y - (x >> 1) - 1),
+                               L(y - (x >> 1))), F2)
+            elif zhd == -1:
+                setp(6, x, y, (T(0), LT, L(0)), F2)
+            else:
+                setp(6, x, y, (T(x - 2 * y - 1), T(x - 2 * y - 2),
+                               T(x - 2 * y - 3)), F2)
+            # VL (8.3.2.2.9)
+            if y % 2 == 0:
+                setp(7, x, y, (T(x + (y >> 1)), T(x + (y >> 1) + 1),
+                               T(x + (y >> 1))), F1)
+            else:
+                setp(7, x, y, (T(x + (y >> 1)), T(x + (y >> 1) + 1),
+                               T(x + (y >> 1) + 2)), F2)
+            # HU (8.3.2.2.10)
+            zhu = x + 2 * y
+            if zhu < 13 and zhu % 2 == 0:
+                setp(8, x, y, (L(y + (x >> 1)), L(y + (x >> 1) + 1),
+                               L(y + (x >> 1))), F1)
+            elif zhu < 13:
+                setp(8, x, y, (L(y + (x >> 1)), L(y + (x >> 1) + 1),
+                               L(y + (x >> 1) + 2)), F2)
+            elif zhu == 13:
+                setp(8, x, y, (L(6), L(7), L(7)), F2)
+            else:
+                setp(8, x, y, (L(7),) * 3, CP)
+    return idx, wgt
+
+
+_P8_IDX, _P8_WGT = _build_8x8_tables()
+
+
+def predict_8x8(l_f, tl_f, t_f, has_top, has_left):
+    """All nine 8x8 predictions from the FILTERED edges
+    (predict_8x8_filter). l_f: (..., 8); t_f: (..., 16); tl_f: (...).
+    Returns (..., 9, 8, 8) int32; unavailable modes are garbage (mask
+    via mode_available_8x8). Mode order matches 4x4:
+    0=V 1=H 2=DC 3=DDL 4=DDR 5=VR 6=HD 7=VL 8=HU."""
+    e = jnp.concatenate([l_f[..., ::-1].astype(I32),
+                         jnp.asarray(tl_f).astype(I32)[..., None],
+                         t_f.astype(I32)], axis=-1)
+    g = e[..., jnp.asarray(_P8_IDX, I32)]               # (..., 9,8,8,3)
+    p = (jnp.sum(g * jnp.asarray(_P8_WGT, I32), axis=-1) + 2) >> 2
+
+    st = jnp.sum(t_f[..., :8], axis=-1)
+    sl = jnp.sum(l_f, axis=-1)
+    dc = jnp.where(has_top & has_left, (st + sl + 8) >> 4,
+                   jnp.where(has_left, (sl + 4) >> 3,
+                             jnp.where(has_top, (st + 4) >> 3, 128)))
+    p = p.at[..., 2, :, :].set(
+        jnp.broadcast_to(dc[..., None, None], dc.shape + (8, 8)))
+    return p
+
+
+def mode_available_8x8(has_top, has_left, has_topleft):
+    """(..., 9) mask over [V H DC DDL DDR VR HD VL HU] for Intra_8x8.
+    DDR/VR/HD read the filtered topleft, so they additionally require
+    the topleft neighbor (x264's MB_TOPLEFT gate)."""
+    ht, hl = has_top, has_left
+    diag = ht & hl & has_topleft
+    return jnp.stack([ht, hl, jnp.ones_like(ht), ht, diag, diag, diag,
+                      ht, hl], axis=-1)

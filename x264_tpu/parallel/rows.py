@@ -214,6 +214,8 @@ def _p_rows_cabac_fn(mesh: Mesh, band: int, mb_w: int, me_range: int,
         ops = cabac_planes.p_slice_ops(out, band, mb_w, n_refs,
                                        t8_mode=t8)
         cops, n_ops = cabac_planes.compact_ops(ops, cap_ops)
+        cops, n_ops = cabac_planes.hw_pack(cops, n_ops,
+                                           3 * cap_ops)
 
         ryo, ruo, rvo = out["recon_y"], out["recon_u"], out["recon_v"]
         if deblock_on:
@@ -289,6 +291,8 @@ def _i_rows_cabac_fn(mesh: Mesh, band: int, mb_w: int, i4x4: bool,
         ops = cabac_planes.i16_slice_ops(out, band, mb_w,
                                          t8_mode=t8_mode)
         cops, n_ops = cabac_planes.compact_ops(ops, cap_ops)
+        cops, n_ops = cabac_planes.hw_pack(cops, n_ops,
+                                           3 * cap_ops)
 
         ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
         if deblock_on:
@@ -404,6 +408,8 @@ def _b_rows_cabac_fn(mesh: Mesh, band: int, mb_w: int, me_range: int,
             ref_prepadded=True)
         ops = cabac_planes.b_slice_ops(out, band, mb_w, t8_mode=t8)
         cops, n_ops = cabac_planes.compact_ops(ops, cap_ops)
+        cops, n_ops = cabac_planes.hw_pack(cops, n_ops,
+                                           3 * cap_ops)
         ryo, ruo, rvo = out["recon_y"], out["recon_u"], out["recon_v"]
         if deblock_on:
             qp_mb = jnp.broadcast_to(qp, (band, mb_w)).astype(I32)

@@ -131,6 +131,11 @@ class EncoderParams:
     i_mb_row_shards: int = 1
     i_frame_parallel: int = 1
     b_deterministic: bool = True
+    # custom quantization matrices (x264_param_t i_cqm_preset /
+    # psz_cqm_file / cqm_* fields; common/set.c:244 parser)
+    i_cqm_preset: int = 0         # cqm.CQM_FLAT
+    psz_cqm_file: str = ""
+    cqm: dict = field(default_factory=dict)  # raster-order lists
     # VUI (x264_param_t vui struct, x264.h:186-199)
     vui_sar_width: int = 0
     vui_sar_height: int = 0
@@ -153,6 +158,15 @@ class EncoderParams:
             raise ValueError("width/height must be even for i420")
 
         self.i_cabac_init_idc = _clip(self.i_cabac_init_idc, 0, 2)
+
+        # custom quantization matrices (x264_cqm_parse_file,
+        # common/set.c:244)
+        self.i_cqm_preset = _clip(self.i_cqm_preset, 0, 2)
+        if self.psz_cqm_file:
+            from . import cqm as xcqm
+            with open(self.psz_cqm_file) as fh:
+                self.cqm = xcqm.parse_jm_file(fh.read())
+            self.i_cqm_preset = xcqm.CQM_CUSTOM
 
         rc = self.rc
         rc.i_qp_constant = _clip(rc.i_qp_constant, 0, 51)
@@ -191,7 +205,16 @@ class EncoderParams:
             # interleave (x264_zigzag_interleave) is not built yet
             self._log("8x8 transform requires CABAC here, disabling")
             a.b_transform_8x8 = False
-        a.intra &= ~ANALYSE_I8x8    # I8x8 predictors not built yet
+        if a.intra & ANALYSE_I8x8 and not (
+                self.b_cabac and a.b_transform_8x8
+                and self.i_mb_row_shards <= 1):
+            # I8x8 rides the CABAC cat-5 residual path; the sharded
+            # I-band kernel doesn't take the slope-2 wavefront yet
+            self._log("I8x8 needs CABAC + 8x8 transform, unsharded; "
+                      "disabling", once="i8x8")
+            a.intra &= ~ANALYSE_I8x8
+        # P/B-slice intra stays I16x16-only (encoder/inter.py intra
+        # demotion path) — I8x8 applies to I slices
         a.inter &= ~ANALYSE_I8x8
         if a.inter & ANALYSE_PSUB8x8:
             self._log("sub-8x8 partitions (p4x4/p8x4/4x8) not built; "
@@ -317,7 +340,7 @@ class EncoderParams:
         (x264_sps_init logic, encoder/set.c:77-110)."""
         if self.rc.i_rc_method == RC_CQP and self.rc.i_qp_constant == 0:
             return PROFILE_HIGH444    # qpprime_y_zero_transform_bypass
-        if self.analyse.b_transform_8x8:
+        if self.analyse.b_transform_8x8 or self.i_cqm_preset != 0:
             return PROFILE_HIGH
         if self.b_cabac or self.i_bframe > 0:
             return PROFILE_MAIN
@@ -348,6 +371,9 @@ class EncoderParams:
         "dct-decimate": ("analyse.b_dct_decimate",
                          lambda v: bool(int(v))),
         "fast-pskip": ("analyse.b_fast_pskip", lambda v: bool(int(v))),
+        "cqm": ("i_cqm_preset",
+                lambda v: {"flat": 0, "jvt": 1}[v]),
+        "cqmfile": ("psz_cqm_file", str),
         "psnr": ("analyse.b_psnr", lambda v: bool(int(v))),
         "ssim": ("analyse.b_ssim", lambda v: bool(int(v))),
         "ipratio": ("rc.f_ip_factor", float),
