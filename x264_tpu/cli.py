@@ -61,6 +61,8 @@ def build_argparser():
     ap.add_argument("--me", choices=ME_NAMES, default="hex")
     ap.add_argument("--merange", type=int, default=16)
     ap.add_argument("--trellis", type=int, default=0)
+    ap.add_argument("--nr", type=int, default=0,
+                    help="noise reduction strength (0 off)")
     ap.add_argument("--cqm", choices=("flat", "jvt"), default="flat",
                     help="quantization matrix preset")
     ap.add_argument("--cqmfile", default=None,
@@ -139,6 +141,7 @@ def params_from_args(args, width, height, fps_num, fps_den) -> EncoderParams:
     p.analyse.i_me_method = ME_NAMES.index(args.me)
     p.analyse.i_me_range = args.merange
     p.analyse.i_trellis = args.trellis
+    p.analyse.i_noise_reduction = args.nr
     p.i_cqm_preset = {"flat": 0, "jvt": 1}[args.cqm]
     if args.cqmfile:
         p.psz_cqm_file = args.cqmfile

@@ -158,6 +158,23 @@ class Encoder:
                 xlog.log(xlog.LOG_INFO, "mb-row sharding unavailable "
                          f"(shards={p.i_mb_row_shards}, "
                          f"mb_h={p.mb_height}); encoding unsharded")
+        # noise reduction (x264_denoise_dct, common/quant.c:180 +
+        # x264_noise_reduction_update, encoder/macroblock.c:890):
+        # adaptive per-position coefficient shrinkage on inter luma
+        self._nr = int(p.analyse.i_noise_reduction)
+        if self._nr and (self._rows_mesh is not None or self._lossless):
+            from .. import log as xlog
+            xlog.log(xlog.LOG_INFO, "noise reduction is off in the "
+                     "sharded/lossless paths")
+            self._nr = 0
+        if self._nr:
+            from ..ops import quant as _oq
+            self._nr_w = _oq.nr_weight2()
+            self._nr_sum = [np.zeros(16, np.float64),
+                            np.zeros(64, np.float64)]
+            self._nr_cnt = [0.0, 0.0]
+            self._nr_off = [np.zeros(16, np.int32),
+                            np.zeros(64, np.int32)]
         self.stats = estats.Stats(
             p.i_width, p.i_height, p.i_fps_num / max(1, p.i_fps_den),
             b_psnr=p.analyse.b_psnr, b_ssim=p.analyse.b_ssim)
@@ -482,10 +499,17 @@ class Encoder:
             chunks = []
         h32_dev = out["host32"] if kind != "cabac_rows"             else pend["hostv"]
 
+        nr4 = out.get("nr_sum4") if out is not None else None
+        nr8 = out.get("nr_sum8") if out is not None else None
+
         def work():
             try:
                 h32 = np.asarray(h32_dev)
                 res["h32"] = h32
+                if nr4 is not None:
+                    res["nr4"] = np.asarray(nr4)
+                if nr8 is not None:
+                    res["nr8"] = np.asarray(nr8)
                 n = int(h32[0])
                 if kind == "cabac":
                     nw = (n + 1) // 2   # n counts halfwords (hw_pack)
@@ -560,6 +584,14 @@ class Encoder:
             res = {}
             h32 = (np.asarray(out["host32"])
                    if out is not None and "host32" in out else None)
+        if self._nr and ftype == "P":
+            nr4 = res.get("nr4")
+            if nr4 is None and out is not None and "nr_sum4" in out:
+                nr4 = np.asarray(out["nr_sum4"])
+            nr8 = res.get("nr8")
+            if nr8 is None and out is not None and "nr_sum8" in out:
+                nr8 = np.asarray(out["nr_sum8"])
+            self._nr_update(nr4, nr8, p.mb_width * p.mb_height)
         if kind == "done":
             payload = pend["payload"]
         elif kind == "cabac":
@@ -607,6 +639,37 @@ class Encoder:
         self.stats.add_frame(ftype, bits, qp, metrics, counts)
         return EncodedFrame(payload, ftype, recon, bits,
                             pend.get("disp", -1))
+
+    def _nr_kw(self) -> dict:
+        """Per-frame noise-reduction offset arrays for the P pipeline
+        (empty when NR is off)."""
+        if not self._nr:
+            return {}
+        import jax.numpy as jnp
+        kw = {"nr_offset4": jnp.asarray(self._nr_off[0])}
+        if self._t8:
+            kw["nr_offset8"] = jnp.asarray(self._nr_off[1])
+        return kw
+
+    def _nr_update(self, s4, s8, nmb: int):
+        """x264_noise_reduction_update (encoder/macroblock.c:890-911):
+        accumulate per-position |coef| sums, periodically halve, and
+        recompute offsets as nr*count / (sum * weight2/256 + 1).
+        Deviation: updated once per frame over all-MB inter residuals
+        (the batched pipeline has no per-MB accumulation point)."""
+        for cat, (s, blocks, cap) in enumerate(
+                ((s4, 16, 1 << 18), (s8, 4, 1 << 16))):
+            if s is None:
+                continue
+            self._nr_sum[cat] += np.asarray(s, np.float64)
+            self._nr_cnt[cat] += nmb * blocks
+            if self._nr_cnt[cat] > cap:
+                self._nr_sum[cat] *= 0.5
+                self._nr_cnt[cat] *= 0.5
+            w = self._nr_w[cat]
+            off = ((self._nr * self._nr_cnt[cat] + self._nr_sum[cat] / 2)
+                   // (self._nr_sum[cat] * w / 256 + 1))
+            self._nr_off[cat] = np.clip(off, 0, 65535).astype(np.int32)
 
     def _qtab(self, qp_y: int, qp_c: int):
         key = (qp_y, qp_c)
@@ -1096,7 +1159,7 @@ class Encoder:
                 mvp_seed, r2y, r2u, r2v, t8=self._t8,
                 decimate=p.analyse.b_dct_decimate, rd=self._rd,
                 p8x8=self._p8x8, row_qp_off=row_off,
-                **self._crop, **self._aq_kw)
+                **self._nr_kw(), **self._crop, **self._aq_kw)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=False, nal_type=NAL_SLICE,
                         nal_ref_idc=2, nmb=mb_h * mb_w)
@@ -1118,7 +1181,7 @@ class Encoder:
                 mvp_seed, r2y, r2u, r2v,
                 decimate=p.analyse.b_dct_decimate, rd=self._rd,
                 p8x8=self._p8x8, row_qp_off=row_off,
-                **self._crop, **self._aq_kw)
+                **self._nr_kw(), **self._crop, **self._aq_kw)
             pend = dict(kind="cavlc", out=out,
                         cap_words=pipeline.capacity_words(mb_h * mb_w),
                         nal_type=NAL_SLICE, nal_ref_idc=2)

@@ -89,6 +89,15 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab,
     decimate-score < 4 is zeroed, a whole MB scoring < 6 loses all luma
     residual.
 
+    When qtab carries "nr_offset4" (noise reduction,
+    x264_denoise_dct, common/quant.c:180), each AC coefficient is
+    shrunk toward zero by the adaptive per-position offset before
+    quantization and the per-position |coef| sums are returned in
+    qtab["nr_sum4"] for the host-side offset update. Deviation from the
+    reference: sums cover every MB's inter residual (the batched
+    pipeline computes residuals before mode selection), not just
+    MBs finally coded inter.
+
     Returns (recon, blocks_z (mbh,mbw,16,16) zig-zag in z-scan block
     order, cbp_bits (mbh,mbw) 4-bit per-8x8 pattern)."""
     lead = fenc_tiles.shape[:-2]
@@ -107,6 +116,10 @@ def inter_luma_residual(fenc_tiles, pred_tiles, qtab,
         blocks_z = lv[..., zorder, :][..., zig]
         return recon, blocks_z, cbp_bits
     coef = odct.dct4x4(blocks)
+    if qtab.get("nr_offset4") is not None:
+        cf, qtab["nr_sum4"] = oquant.denoise(
+            coef.reshape(*lead, 16, 16), qtab["nr_offset4"])
+        coef = cf.reshape(coef.shape)
     if qtab.get("trellis") is not None:
         from ..ops import trellis as otrellis
         zz = jnp.asarray(tables.ZIGZAG4)
@@ -162,6 +175,10 @@ def inter_luma_residual8(fenc_tiles, pred_tiles, qtab,
     diff = fenc_tiles - pred_tiles
     blocks = diff.reshape(*lead, 2, 8, 2, 8).swapaxes(-3, -2)
     coef = odct.dct8x8(blocks)
+    if qtab.get("nr_offset8") is not None:
+        cf, qtab["nr_sum8"] = oquant.denoise(
+            coef.reshape(*lead, 4, 64), qtab["nr_offset8"])
+        coef = cf.reshape(coef.shape)
     if qtab.get("trellis8") is not None:
         from ..ops import trellis as otrellis
         z8 = jnp.asarray(tables.ZIGZAG8)
@@ -799,7 +816,7 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
     nnz4 = nnz_raster.reshape(mb_h, mb_w, 4, 4).swapaxes(1, 2) \
         .reshape(mb_h * 4, mb_w * 4)
 
-    return dict(
+    out = dict(
         t8_mb=t8_mb, luma8_z=blocks8_z,
         recon_y=_untile(state["ty"]),
         recon_u=_untile(state["tu"]),
@@ -813,6 +830,12 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         mvd4=mvd4, skip=skip,
         nnz4=nnz4, ref4=ref4, mv4=mv4, ref_idx=ref_sel_map,
     )
+    # noise-reduction |coef| sums stashed by the residual passes
+    # (x264 nr_residual_sum; consumed by Encoder._nr_update)
+    for k in ("nr_sum4", "nr_sum8"):
+        if qtab_p.get(k) is not None:
+            out[k] = qtab_p[k]
+    return out
 
 
 def encode_b_body(mb_h: int, mb_w: int, me_range: int,

@@ -191,7 +191,8 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
              with_metrics: bool = False, aq: bool = False,
              aq_qp_min: int = 10, aq_qp_max: int = 51,
              decimate: bool = False, rd: bool = False,
-             p8x8: bool = False, row_qp_off=None):
+             p8x8: bool = False, row_qp_off=None,
+             nr_offset4=None, nr_offset8=None):
     """P frame: ME + inter/intra decision + entropy + pack + deblock,
     fused. ref_* is the deblocked reconstruction of the reference frame
     (int32, MB-aligned); with n_refs=2, ref2_* is L0[1] (the older
@@ -213,6 +214,13 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     qp_map, qpc_map = _apply_row_rc(qp_map, qpc_map, row_qp_off, mb_h,
                                     mb_w, qp, aq_qp_min, aq_qp_max,
                                     chroma_qp_offset)
+    if nr_offset4 is not None:
+        # noise reduction (x264_denoise_dct): adaptive offsets ride the
+        # qtab; the residual passes stash the |coef| sums back
+        qtab = dict(qtab)
+        qtab["nr_offset4"] = nr_offset4
+        if nr_offset8 is not None:
+            qtab["nr_offset8"] = nr_offset8
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
                               ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
                               subpel_steps, parts=parts,
@@ -250,10 +258,14 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
         [nbits, out["intra_mb"].sum(), out["skip"].sum()],
         y, u, v, ry, ru, rv, crop_w or mb_w * 16, crop_h or mb_h * 16,
         with_metrics)
-    return dict(recon_y=ry, recon_u=ru, recon_v=rv,
-                words=words, nbits=nbits, host32=h32,
-                mv=out["mv"], intra_mb=out["intra_mb"],
-                skip=out["skip"], mv4=out["mv4"], ref4=out["ref4"])
+    ret = dict(recon_y=ry, recon_u=ru, recon_v=rv,
+               words=words, nbits=nbits, host32=h32,
+               mv=out["mv"], intra_mb=out["intra_mb"],
+               skip=out["skip"], mv4=out["mv4"], ref4=out["ref4"])
+    for k in ("nr_sum4", "nr_sum8"):
+        if k in out:
+            ret[k] = out[k]
+    return ret
 
 
 # op-stream capacity per MB for the CABAC path: the slot layout is
@@ -343,7 +355,7 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    aq: bool = False, aq_qp_min: int = 10,
                    aq_qp_max: int = 51, decimate: bool = False,
                    rd: bool = False, p8x8: bool = False,
-                   row_qp_off=None):
+                   row_qp_off=None, nr_offset4=None, nr_offset8=None):
     """P frame with CABAC entropy: same encode as encode_p, emitting the
     packed bin-op stream for the host arithmetic coder. n_refs=2 takes
     ref2_* as L0[1]."""
@@ -363,6 +375,13 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
     qp_map, qpc_map = _apply_row_rc(qp_map, qpc_map, row_qp_off, mb_h,
                                     mb_w, qp, aq_qp_min, aq_qp_max,
                                     chroma_qp_offset)
+    if nr_offset4 is not None:
+        # noise reduction (x264_denoise_dct): adaptive offsets ride the
+        # qtab; the residual passes stash the |coef| sums back
+        qtab = dict(qtab)
+        qtab["nr_offset4"] = nr_offset4
+        if nr_offset8 is not None:
+            qtab["nr_offset8"] = nr_offset8
     out = inter.encode_p_body(mb_h, mb_w, me_range, y, u, v,
                               ref_y, ref_u, ref_v, qtab, lam, mvp_seed,
                               subpel_steps, parts=parts,
@@ -397,10 +416,14 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
         [n_ops, out["intra_mb"].sum(), out["skip"].sum()],
         y, u, v, ry, ru, rv, crop_w or mb_w * 16, crop_h or mb_h * 16,
         with_metrics)
-    return dict(recon_y=ry, recon_u=ru, recon_v=rv,
-                ops=cops, n_ops=n_ops, host32=h32,
-                mv=out["mv"], intra_mb=out["intra_mb"],
-                skip=out["skip"], mv4=out["mv4"], ref4=out["ref4"])
+    ret = dict(recon_y=ry, recon_u=ru, recon_v=rv,
+               ops=cops, n_ops=n_ops, host32=h32,
+               mv=out["mv"], intra_mb=out["intra_mb"],
+               skip=out["skip"], mv4=out["mv4"], ref4=out["ref4"])
+    for k in ("nr_sum4", "nr_sum8"):
+        if k in out:
+            ret[k] = out[k]
+    return ret
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),

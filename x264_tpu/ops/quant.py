@@ -115,3 +115,37 @@ def decimate_score(levels_scan, table):
     score = per_coef.sum(axis=-1)
     big = jnp.any(jnp.abs(levels_scan) > 1, axis=-1)
     return jnp.where(big, 9, score)
+
+
+def denoise(coef, offset):
+    """Batched x264_denoise_dct (common/quant.c:180): shrink every AC
+    coefficient toward zero by the adaptive per-position offset,
+    accumulating per-position |coef| sums for the next offset update.
+    Position 0 (DC) is passed through and not accumulated, as the
+    reference's i=1 loop start.
+
+    coef: (..., nblk, N) int32; offset: (N,) int32.
+    Returns (denoised coef, sums (N,) float32)."""
+    a = jnp.abs(coef)
+    pos0 = jnp.arange(coef.shape[-1]) == 0
+    sums = jnp.where(pos0, 0,
+                     a.astype(jnp.float32).reshape(-1, coef.shape[-1])
+                     .sum(axis=0))
+    shrunk = jnp.maximum(a - offset, 0) * jnp.sign(coef)
+    return jnp.where(pos0, coef, shrunk), sums
+
+
+def nr_weight2():
+    """The dct4/dct8 weight2 tables (common/dct.h FIX8 class patterns)
+    used by the noise-reduction offset update. Returns ((16,), (64,))
+    int64 raster-order weights."""
+    import numpy as np
+    w4c = np.array([800, 320, 128], np.int64)          # FIX8 3.125/1.25/0.5
+    i = np.arange(16)
+    j4 = (i & 1) + ((i >> 2) & 1)
+    w8c = np.array([256, 201, 656, 227, 410, 363], np.int64)
+    pat = np.array([[0, 3, 4, 3], [3, 1, 5, 1],
+                    [4, 5, 2, 5], [3, 1, 5, 1]])
+    y8, x8 = np.mgrid[0:8, 0:8]
+    j8 = pat[y8 % 4, x8 % 4].ravel()
+    return w4c[j4], w8c[j8]

@@ -245,10 +245,8 @@ class EncoderParams:
             self._log("interlaced coding not supported; using "
                       "progressive", once="interlaced")
             self.b_interlaced = False
-        if a.i_noise_reduction:
-            self._log("noise reduction not implemented; ignoring "
-                      "--nr", once="nr")
-            a.i_noise_reduction = 0
+        # noise reduction (x264_denoise_dct): clamp as the reference
+        a.i_noise_reduction = _clip(a.i_noise_reduction, 0, 1 << 16)
         if a.b_mixed_references:
             self._log("mixed references not implemented (one ref per "
                       "MB); ignoring", once="mixedref")
