@@ -201,13 +201,16 @@ class Encoder:
         # (L0) once the future reference (L1 = _ref) is encoded
         self._bframes = p.i_bframe
         self._bqueue = []
-        # adaptive B placement (b-adapt fast greedy over device lowres
-        # costs, slicetype.c:545-573) + lowres-seeded B ME; the
-        # B_ADAPT_TRELLIS request runs the same greedy (Viterbi path
-        # search not built — logged in validate)
-        from ..params import B_ADAPT_NONE
+        # adaptive B placement over device lowres costs: b-adapt 1 is
+        # the fast greedy (slicetype.c:545-573), b-adapt 2 the
+        # exhaustive path search over the queued window
+        # (x264_slicetype_path, slicetype.c:395-434); both use
+        # lowres-seeded B ME
+        from ..params import B_ADAPT_NONE, B_ADAPT_TRELLIS
         self._badapt = (self._bframes > 0
                         and p.i_bframe_adaptive != B_ADAPT_NONE)
+        self._badapt2 = (self._bframes > 0
+                         and p.i_bframe_adaptive == B_ADAPT_TRELLIS)
         self._la_ref_lows = None    # lowres planes of last non-B ref
         self._la_prev_lows = None   # ... of the reference before it
         self._la_bh = p.mb_height
@@ -311,11 +314,15 @@ class Encoder:
                 self._advance_gop(True)
                 self._submit_ip(frame, True, forced_qp, 0, disp_abs)
             elif (forced_type == "P"
-                  or len(self._bqueue) >= self._bframes):
+                  or (not self._badapt2
+                      and len(self._bqueue) >= self._bframes)):
                 self._submit_ip(frame, False, forced_qp, disp_poc,
                                 disp_abs)
                 self._advance_gop(False)
                 self._submit_bqueue()
+            elif self._badapt2 and self._ref is not None:
+                self._badapt2_step(frame, forced_qp, disp_poc, disp_abs)
+                self._advance_gop(False)
             elif self._badapt and self._ref is not None:
                 self._badapt_step(frame, forced_qp, disp_poc, disp_abs)
                 self._advance_gop(False)
@@ -383,6 +390,73 @@ class Encoder:
             self._submit_bqueue()
         else:
             q.append((frame, fqp, poc, disp, lows))
+
+    def _badapt2_step(self, frame: Frame, fqp, poc: int, disp: int):
+        """b-adapt-2: queue up to i_bframe+1 undecided frames, then run
+        the exhaustive path search (x264_slicetype_path semantics,
+        slicetype.c:395-434) over the window and commit its FIRST
+        segment (the reference also only commits the leading decision
+        and re-searches as the lookahead refills)."""
+        lows = self._lowres(frame)
+        q = self._bqueue
+        q.append((frame, fqp, poc, disp, lows))
+        if self._la_ref_lows is None:
+            f = q.pop(0)
+            self._submit_ip(f[0], False, f[1], f[2], f[3], lows=f[4])
+            return
+        if len(q) <= self._bframes:
+            return
+        self._badapt2_decide()
+
+    def _badapt2_decide(self):
+        """Pick the cheapest segmentation of the queued window into
+        B-runs each closed by a P, by summed lowres cost estimates;
+        commit the first segment."""
+        from . import lookahead as la
+        q = self._bqueue
+        L = len(q)
+        bh, bw, r = self._la_bh, self._la_bw, self._la_r
+        memo = {}
+
+        def est(m: int, a: int, j: int):
+            """[bcost of q[m] between anchors, pcost of q[m] from a];
+            a == -1 means the last non-B reference."""
+            key = (m, a, j)
+            if key not in memo:
+                al = self._la_ref_lows if a < 0 else q[a][4]
+                c = np.asarray(la.b_cost_fused(q[m][4], al, q[j][4],
+                                               bh, bw, r))
+                memo[key] = (int(c[0]), int(c[1]))
+            return memo[key]
+
+        def paths(n: int):
+            """Segment lengths: k Bs then a P, k <= i_bframe."""
+            if n == 0:
+                yield []
+                return
+            for k in range(min(n, self._bframes + 1)):
+                for rest in paths(n - k - 1):
+                    yield [k] + rest
+
+        best_cost, best_path = None, None
+        for path in paths(L):
+            cost, anchor, idx = 0, -1, 0
+            for k in path:
+                jp = idx + k
+                for m in range(idx, jp):
+                    cost += est(m, anchor, jp)[0]
+                cost += est(jp, anchor, jp)[1]
+                anchor, idx = jp, jp + 1
+            if best_cost is None or cost < best_cost:
+                best_cost, best_path = cost, path
+
+        k = best_path[0]                 # first segment: k Bs + a P
+        seg, rest = q[:k + 1], q[k + 1:]
+        self._bqueue = seg[:-1]
+        pf = seg[-1]
+        self._submit_ip(pf[0], False, pf[1], pf[2], pf[3], lows=pf[4])
+        self._submit_bqueue()
+        self._bqueue = rest
 
     def _submit_bqueue(self):
         """Encode the queued candidates as the B run between the

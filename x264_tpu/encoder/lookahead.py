@@ -335,3 +335,28 @@ def b_seed_mvs_fused(lows_b, planes_l0, planes_l1, bh: int, bw: int,
     # mv is in lowres half-pel units; one lowres half-pel step is one
     # fullres pel = 4 qpel units
     return mv0 * 4, mv1 * 4
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def b_cost_fused(lows_b, planes_l0, planes_l1, bh: int, bw: int,
+                 r: int):
+    """Estimated cost pair for the b-adapt-2 path search
+    (x264_slicetype_path_cost's frame_cost terms, slicetype.c:360-434):
+    [cost as a B between l0/l1 (incl. the bi-average candidate),
+    cost as a P from l0] — interior sums, one program."""
+    low = lows_b[0]
+    i_ = intra_cost_plane(low, bh, bw)
+    c0, mv0 = inter_cost_plane(low, planes_l0, bh, bw, r)
+    c1, mv1 = inter_cost_plane(low, planes_l1, bh, bw, r)
+    pa = _fetch_blocks(planes_l0, mv0, bh, bw, r)
+    pb = _fetch_blocks(planes_l1, mv1, bh, bw, r)
+    cur = _pad8(low, bh, bw).reshape(bh, 8, bw, 8).swapaxes(1, 2)
+    pen = (ome.se_bits(mv0[..., 0]) + ome.se_bits(mv0[..., 1])
+           + ome.se_bits(mv1[..., 0]) + ome.se_bits(mv1[..., 1]))
+    bi = opix.satd(cur, (pa + pb + 1) >> 1) + pen
+    inner = (slice(1, -1), slice(1, -1)) if min(bh, bw) > 2 \
+        else (slice(None), slice(None))
+    bcost = jnp.minimum(jnp.minimum(c0, c1),
+                        jnp.minimum(bi, i_))[inner].sum()
+    pcost = jnp.minimum(c0, i_)[inner].sum()
+    return jnp.stack([bcost, pcost]).astype(I32)

@@ -282,10 +282,6 @@ class EncoderParams:
             self.i_frame_reference = 1
 
         self.i_bframe = _clip(self.i_bframe, 0, 16)
-        if self.i_bframe_adaptive == B_ADAPT_TRELLIS:
-            self._log("b-adapt 2 (Viterbi) not built; using the "
-                      "b-adapt 1 greedy", once="badapt")
-            self.i_bframe_adaptive = B_ADAPT_FAST
         if self.i_bframe > 3:
             # current B support: runs of up to 3 non-reference Bs
             # between references (no B-pyramid)
