@@ -105,11 +105,16 @@ def test_trellis_beats_deadzone_bits():
         frames.append(Frame(y, u, v))
 
     def run(trellis, qp):
+        from x264_tpu.params import ANALYSE_I4x4
         p = EncoderParams(i_width=w, i_height=h, b_cabac=True,
                           i_log_level=0, i_keyint_max=50)
         p.rc.i_rc_method = 0
         p.rc.i_qp_constant = qp
         p.analyse.i_trellis = trellis
+        # pin intra to I16+I4: this test isolates trellis-vs-deadzone
+        # INTER quantization; the I8x8 ladder (deadzone either way)
+        # only adds RD-plane noise to the comparison
+        p.analyse.intra = ANALYSE_I4x4
         enc = Encoder(p)
         stream = enc.headers()
         bits = 0

@@ -419,6 +419,7 @@ class EncoderParams:
                 f"psy_rd={a.f_psy_rd:g} "
                 f"8x8dct={int(a.b_transform_8x8)} trellis={a.i_trellis} "
                 f"decimate={int(a.b_dct_decimate)} "
+                f"nr={a.i_noise_reduction} cqm={self.i_cqm_preset} "
                 f"bframes={self.i_bframe} b_adapt={self.i_bframe_adaptive} "
                 f"keyint={self.i_keyint_max} "
                 f"rc={['cqp','crf','abr'][rc.i_rc_method]} "
