@@ -140,6 +140,9 @@ class Encoder:
         # subme >= 6 enables the true RD-cost mode decision ladder
         # (i_mbrd, x264_mb_analyse_init semantics)
         self._rd = sp >= 6 and not self._lossless
+        # chroma ME term in the sub-pel refine (b_chroma_me at
+        # subme >= 5, the reference's own gate)
+        self._chroma_me = bool(p.analyse.b_chroma_me and sp >= 5)
         # MB-row sharding across devices: one slice per row band
         # (parallel/rows.py; the i_threads/slice-threading analogue)
         self._rows_mesh = None
@@ -261,6 +264,7 @@ class Encoder:
         sp = a.i_subpel_refine
         self._subpel = () if sp <= 1 else ((2,) if sp <= 3 else (2, 1))
         self._rd = sp >= 6 and not self._lossless
+        self._chroma_me = bool(a.b_chroma_me and sp >= 5)
         self._with_metrics = bool(a.b_psnr or a.b_ssim)
         self._crop["with_metrics"] = self._with_metrics
 
@@ -1233,6 +1237,7 @@ class Encoder:
                 mvp_seed, r2y, r2u, r2v, t8=self._t8,
                 decimate=p.analyse.b_dct_decimate, rd=self._rd,
                 p8x8=self._p8x8, row_qp_off=row_off,
+                chroma_me=self._chroma_me,
                 **self._nr_kw(), **self._crop, **self._aq_kw)
             pend = dict(kind="cabac", out=out, hdr_bytes=hdr_bytes,
                         slice_is_i=False, nal_type=NAL_SLICE,
@@ -1255,6 +1260,7 @@ class Encoder:
                 mvp_seed, r2y, r2u, r2v,
                 decimate=p.analyse.b_dct_decimate, rd=self._rd,
                 p8x8=self._p8x8, row_qp_off=row_off,
+                chroma_me=self._chroma_me,
                 **self._nr_kw(), **self._crop, **self._aq_kw)
             pend = dict(kind="cavlc", out=out,
                         cap_words=pipeline.capacity_words(mb_h * mb_w),

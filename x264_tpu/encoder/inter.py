@@ -219,7 +219,8 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                   ref2_y=None, ref2_u=None, ref2_v=None,
                   n_refs: int = 1, t8: bool = False,
                   qp_map=None, qpc_map=None, decimate: bool = False,
-                  rd: bool = False, p8x8: bool = False):
+                  rd: bool = False, p8x8: bool = False,
+                  chroma_me: bool = False):
     """Encode one P frame (pre-deblock). All planes int32, MB-aligned;
     ref_* are the deblocked reference reconstruction. mvp_seed:
     (mb_h, mb_w, 2) qpel MV predictors for ME cost (previous frame's
@@ -295,6 +296,29 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
         mv, satd_inter = ome.subpel_refine(y_tiles, planes, mv_fp, lam,
                                            mvp_seed, steps=subpel_steps,
                                            ref_sel=sel)
+        if chroma_me:
+            # b_chroma_me (refine_subpel chroma term, encoder/me.c:61):
+            # re-rank the winner's 3x3 qpel neighborhood with U/V SATD
+            # included; the kept cost stays luma-only (see
+            # ome.chroma_rerank)
+            cme_u = (ref_u.astype(I32) if ref_prepadded
+                     else omc.pad_plane(ref_u.astype(I32),
+                                        omc.PAD // 2))
+            cme_v = (ref_v.astype(I32) if ref_prepadded
+                     else omc.pad_plane(ref_v.astype(I32),
+                                        omc.PAD // 2))
+            if n_refs == 2:
+                cme_u = jnp.stack([
+                    cme_u, ref2_u.astype(I32) if ref_prepadded
+                    else omc.pad_plane(ref2_u.astype(I32),
+                                       omc.PAD // 2)])
+                cme_v = jnp.stack([
+                    cme_v, ref2_v.astype(I32) if ref_prepadded
+                    else omc.pad_plane(ref2_v.astype(I32),
+                                       omc.PAD // 2)])
+            mv, satd_inter = ome.chroma_rerank(
+                y_tiles, planes, u_tiles, v_tiles, cme_u, cme_v,
+                mv, lam, mvp_seed, ref_sel=sel)
     else:      # subme 1: full-pel only (cost stays SAD-comparable)
         mv, satd_inter = mv_fp, sad_fp
     cost16 = satd_inter + lam * (ome.mv_cost_bits(mv, mvp_seed) + 1

@@ -181,7 +181,8 @@ def encode_i16_idr(mb_h: int, mb_w: int, deblock_on: bool, i4x4: bool,
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
                    static_argnames=("crop_w", "crop_h", "with_metrics",
                                     "aq", "aq_qp_min", "aq_qp_max",
-                                    "decimate", "rd", "p8x8"))
+                                    "decimate", "rd", "p8x8",
+                                    "chroma_me"))
 def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
              subpel_steps, parts, lossless, n_refs,
              y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
@@ -192,7 +193,8 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
              aq_qp_min: int = 10, aq_qp_max: int = 51,
              decimate: bool = False, rd: bool = False,
              p8x8: bool = False, row_qp_off=None,
-             nr_offset4=None, nr_offset8=None):
+             nr_offset4=None, nr_offset8=None,
+             chroma_me: bool = False):
     """P frame: ME + inter/intra decision + entropy + pack + deblock,
     fused. ref_* is the deblocked reconstruction of the reference frame
     (int32, MB-aligned); with n_refs=2, ref2_* is L0[1] (the older
@@ -228,7 +230,8 @@ def encode_p(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                               ref2_y=ref2_y, ref2_u=ref2_u,
                               ref2_v=ref2_v, n_refs=n_refs,
                               qp_map=qp_map, qpc_map=qpc_map,
-                              decimate=decimate, rd=rd, p8x8=p8x8)
+                              decimate=decimate, rd=rd, p8x8=p8x8,
+                              chroma_me=chroma_me)
     qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
     if qp_map is not None:
         has_dqp = (~out["skip"]) & (out["intra_mb"]
@@ -344,7 +347,8 @@ def encode_i16_idr_cabac(mb_h: int, mb_w: int, deblock_on: bool,
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
                    static_argnames=("crop_w", "crop_h", "with_metrics",
                                     "t8", "aq", "aq_qp_min", "aq_qp_max",
-                                    "decimate", "rd", "p8x8"))
+                                    "decimate", "rd", "p8x8",
+                                    "chroma_me"))
 def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    subpel_steps, parts, lossless, n_refs,
                    y, u, v, ref_y, ref_u, ref_v, qtab, lam, qp, qp_c,
@@ -355,7 +359,8 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                    aq: bool = False, aq_qp_min: int = 10,
                    aq_qp_max: int = 51, decimate: bool = False,
                    rd: bool = False, p8x8: bool = False,
-                   row_qp_off=None, nr_offset4=None, nr_offset8=None):
+                   row_qp_off=None, nr_offset4=None, nr_offset8=None,
+                   chroma_me: bool = False):
     """P frame with CABAC entropy: same encode as encode_p, emitting the
     packed bin-op stream for the host arithmetic coder. n_refs=2 takes
     ref2_* as L0[1]."""
@@ -389,7 +394,8 @@ def encode_p_cabac(mb_h: int, mb_w: int, me_range: int, deblock_on: bool,
                               ref2_y=ref2_y, ref2_u=ref2_u,
                               ref2_v=ref2_v, n_refs=n_refs, t8=t8,
                               qp_map=qp_map, qpc_map=qpc_map,
-                              decimate=decimate, rd=rd, p8x8=p8x8)
+                              decimate=decimate, rd=rd, p8x8=p8x8,
+                              chroma_me=chroma_me)
     qp_mb = jnp.broadcast_to(qp, (mb_h, mb_w)).astype(I32)
     if qp_map is not None:
         has_dqp = (~out["skip"]) & (out["intra_mb"]

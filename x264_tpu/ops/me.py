@@ -363,3 +363,71 @@ def partition_fullpel(cur_tiles, ref_pad, mv16_qpel, lam, mvp_qpel,
         out[key] = jnp.take_along_axis(
             mvs, best[None, ..., None], axis=0)[0]
     return out
+
+
+def chroma_rerank(cur_tiles, planes, cur_u, cur_v, cu_pad, cv_pad,
+                  mv_qpel, lam, mvp_qpel, ref_sel=None):
+    """b_chroma_me: re-rank the 3x3 qpel neighborhood of the luma
+    sub-pel winner with luma SATD + U/V SATD at the chroma-interpolated
+    MV (the refine_subpel chroma term, encoder/me.c:61-66, which the
+    reference applies in the final qpel iteration at subme >= 5).
+
+    Returns (mv, luma satd at the chosen position): the returned cost
+    stays in luma units so the caller's cross-mode comparisons remain
+    comparable (deviation: the reference carries the summed cost).
+
+    cur_tiles: (mb_h, mb_w, 16, 16); cur_u/cur_v: (mb_h, mb_w, 8, 8);
+    cu_pad/cv_pad: padded chroma ref plane(s) (stacked when ref_sel).
+    """
+    mb_h, mb_w = cur_tiles.shape[:2]
+    ys = (jnp.arange(mb_h, dtype=I32) * 16)[:, None] \
+        + jnp.zeros((mb_w,), I32)
+    xs = (jnp.arange(mb_w, dtype=I32) * 16)[None, :] \
+        + jnp.zeros((mb_h, 1), I32)
+    pad = omc.PAD
+    Wy = Wx = 19
+    by = ys + (mv_qpel[..., 1] >> 2) - 1 + pad
+    bx = xs + (mv_qpel[..., 0] >> 2) - 1 + pad
+    if ref_sel is None:
+        def one(y0, x0):
+            return jax.lax.dynamic_slice(planes, (0, y0, x0),
+                                         (4, Wy, Wx))
+        win = jax.vmap(one)(by.reshape(-1), bx.reshape(-1)) \
+            .reshape(mb_h, mb_w, 4, Wy, Wx)
+    else:
+        def one_r(s0, y0, x0):
+            return jax.lax.dynamic_slice(planes, (s0, y0, x0),
+                                         (4, Wy, Wx))
+        win = jax.vmap(one_r)(4 * ref_sel.reshape(-1),
+                              by.reshape(-1), bx.reshape(-1)) \
+            .reshape(mb_h, mb_w, 4, Wy, Wx)
+    win = jnp.moveaxis(win, -3, 0)
+
+    ref0, ref1 = omc._HPEL_REF0, omc._HPEL_REF1
+    best_cost = best_mv = best_lsatd = None
+    for oy in (-1, 0, 1):
+        for ox in (-1, 0, 1):
+            fx, fy = ox & 3, oy & 3
+            qidx = (fy << 2) | fx
+            p0, p1 = int(ref0[qidx]), int(ref1[qidx])
+            iy, ix = 1 + (oy >> 2), 1 + (ox >> 2)
+            a = win[p0, ..., iy + (fy == 3):iy + (fy == 3) + 16,
+                    ix:ix + 16]
+            b = win[p1, ..., iy:iy + 16,
+                    ix + (fx == 3):ix + (fx == 3) + 16]
+            lsatd = opix.satd(cur_tiles, (a + b + 1) >> 1)
+            mv = mv_qpel + jnp.asarray([ox, oy], I32)
+            pu = omc.mc_chroma(cu_pad, ys >> 1, xs >> 1, mv, 8, 8,
+                               ref_sel=ref_sel)
+            pv = omc.mc_chroma(cv_pad, ys >> 1, xs >> 1, mv, 8, 8,
+                               ref_sel=ref_sel)
+            csatd = opix.satd(cur_u, pu) + opix.satd(cur_v, pv)
+            cost = lsatd + csatd + lam * mv_cost_bits(mv, mvp_qpel)
+            if best_cost is None:
+                best_cost, best_mv, best_lsatd = cost, mv, lsatd
+            else:
+                upd = cost < best_cost
+                best_cost = jnp.where(upd, cost, best_cost)
+                best_mv = jnp.where(upd[..., None], mv, best_mv)
+                best_lsatd = jnp.where(upd, lsatd, best_lsatd)
+    return best_mv, best_lsatd

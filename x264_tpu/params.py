@@ -257,9 +257,10 @@ class EncoderParams:
             # off, so no-fast-pskip is already the behavior
             self._log("fast_pskip has no effect (skip is derived "
                       "exactly in the batched path)", once="pskip")
-        if a.b_chroma_me and a.i_subpel_refine >= 5:
-            self._log("chroma ME term not implemented; sub-pel search "
-                      "scores luma only", once="chromame")
+        if (a.b_chroma_me and a.i_subpel_refine >= 5
+                and self.i_mb_row_shards > 1):
+            self._log("chroma ME not in the sharded path; sub-pel "
+                      "search scores luma only there", once="chromame")
         if not self.b_deterministic:
             self._log("encoding is always deterministic on this "
                       "backend; ignoring --non-deterministic",
