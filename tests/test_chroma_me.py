@@ -19,19 +19,28 @@ from x264_tpu.encoder.core import Frame  # noqa: E402
 
 
 def _frames(w, h, n, seed=8):
-    """Luma nearly flat, chroma strongly textured and panning: the
-    luma-only search is indifferent among qpel candidates while chroma
-    prefers the true motion."""
+    """Consistent true motion with a fractional phase: the whole scene
+    pans 0.5 luma px/frame horizontally (mv_x = 2 qpel — within the
+    +-1-qpel chroma re-rank window of the luma winner). Luma is weak
+    and noisy so its sub-pel refine errs by +-1 qpel; chroma is strong
+    and smooth so the chroma term disambiguates. (Analytic sinusoids
+    give exact fractional shifts without resampling.)"""
     rng = np.random.default_rng(seed)
-    cu = rng.integers(0, 255, (h // 2 + 16, w // 2 + 16))
-    cv = rng.integers(0, 255, (h // 2 + 16, w // 2 + 16))
-    ybase = rng.integers(118, 138, (h + 16, w + 16))
+    yy, xx = np.mgrid[0:h, 0:w]
+    yc, xc = np.mgrid[0:h // 2, 0:w // 2]
     out = []
-    for i in range(n):
-        y = ybase[i:i + h, i:i + w].astype(np.uint8)
-        u = cu[i:i + h // 2, i:i + w // 2].astype(np.uint8)
-        v = cv[i:i + h // 2, i:i + w // 2].astype(np.uint8)
-        out.append(Frame(y, u, v))
+    for t in range(n):
+        sh = 0.5 * t  # luma px
+        y = (128 + 5 * np.sin(2 * np.pi * (xx + sh) / 7.3)
+             + 4 * np.sin(2 * np.pi * yy / 11.0)
+             + rng.normal(0, 3, (h, w)))
+        u = (128 + 90 * np.sin(2 * np.pi * (xc + sh / 2) / 5.1)
+             + 20 * np.sin(2 * np.pi * yc / 6.7))
+        v = (128 + 90 * np.cos(2 * np.pi * (xc + sh / 2) / 4.3)
+             + 20 * np.cos(2 * np.pi * yc / 8.1))
+        out.append(Frame(np.clip(y, 0, 255).astype(np.uint8),
+                         np.clip(u, 0, 255).astype(np.uint8),
+                         np.clip(v, 0, 255).astype(np.uint8)))
     return out
 
 

@@ -378,45 +378,24 @@ def chroma_rerank(cur_tiles, planes, cur_u, cur_v, cu_pad, cv_pad,
 
     cur_tiles: (mb_h, mb_w, 16, 16); cur_u/cur_v: (mb_h, mb_w, 8, 8);
     cu_pad/cv_pad: padded chroma ref plane(s) (stacked when ref_sel).
+
+    NB: the static-phase window trick of subpel_refine_blocks does NOT
+    apply here — mv_qpel is the *sub-pel* winner, so each candidate's
+    qpel phase varies per MB; predictions go through mc_luma (per-MB
+    phase gathers).
     """
     mb_h, mb_w = cur_tiles.shape[:2]
     ys = (jnp.arange(mb_h, dtype=I32) * 16)[:, None] \
         + jnp.zeros((mb_w,), I32)
     xs = (jnp.arange(mb_w, dtype=I32) * 16)[None, :] \
         + jnp.zeros((mb_h, 1), I32)
-    pad = omc.PAD
-    Wy = Wx = 19
-    by = ys + (mv_qpel[..., 1] >> 2) - 1 + pad
-    bx = xs + (mv_qpel[..., 0] >> 2) - 1 + pad
-    if ref_sel is None:
-        def one(y0, x0):
-            return jax.lax.dynamic_slice(planes, (0, y0, x0),
-                                         (4, Wy, Wx))
-        win = jax.vmap(one)(by.reshape(-1), bx.reshape(-1)) \
-            .reshape(mb_h, mb_w, 4, Wy, Wx)
-    else:
-        def one_r(s0, y0, x0):
-            return jax.lax.dynamic_slice(planes, (s0, y0, x0),
-                                         (4, Wy, Wx))
-        win = jax.vmap(one_r)(4 * ref_sel.reshape(-1),
-                              by.reshape(-1), bx.reshape(-1)) \
-            .reshape(mb_h, mb_w, 4, Wy, Wx)
-    win = jnp.moveaxis(win, -3, 0)
-
-    ref0, ref1 = omc._HPEL_REF0, omc._HPEL_REF1
     best_cost = best_mv = best_lsatd = None
     for oy in (-1, 0, 1):
         for ox in (-1, 0, 1):
-            fx, fy = ox & 3, oy & 3
-            qidx = (fy << 2) | fx
-            p0, p1 = int(ref0[qidx]), int(ref1[qidx])
-            iy, ix = 1 + (oy >> 2), 1 + (ox >> 2)
-            a = win[p0, ..., iy + (fy == 3):iy + (fy == 3) + 16,
-                    ix:ix + 16]
-            b = win[p1, ..., iy:iy + 16,
-                    ix + (fx == 3):ix + (fx == 3) + 16]
-            lsatd = opix.satd(cur_tiles, (a + b + 1) >> 1)
             mv = mv_qpel + jnp.asarray([ox, oy], I32)
+            pl = omc.mc_luma(planes, ys, xs, mv, 16, 16,
+                             ref_sel=ref_sel)
+            lsatd = opix.satd(cur_tiles, pl)
             pu = omc.mc_chroma(cu_pad, ys >> 1, xs >> 1, mv, 8, 8,
                                ref_sel=ref_sel)
             pv = omc.mc_chroma(cv_pad, ys >> 1, xs >> 1, mv, 8, 8,
