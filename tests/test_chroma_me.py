@@ -63,25 +63,31 @@ def _run(frames, w, h, chroma_me):
         stream += ef.payload
         recons.append(ef.recon)
     enc.close()
-    ssd_c = 0
+    ssd = 0
     for f, r in zip(frames, recons):
-        for pl in ("u", "v"):
+        for pl in ("y", "u", "v"):
             d = (np.asarray(getattr(f, pl), np.int64)
                  - np.asarray(getattr(r, pl), np.int64))
-            ssd_c += int((d * d).sum())
-    return stream, recons, ssd_c
+            ssd += int((d * d).sum())
+    return stream, recons, ssd
 
 
-def test_chroma_me_improves_chroma_and_closes():
+def test_chroma_me_improves_rd_and_closes():
     w, h = 128, 96
+    qp = 26
     frames = _frames(w, h, 4)
     s_on, r_on, ssd_on = _run(frames, w, h, True)
     s_off, _, ssd_off = _run(frames, w, h, False)
 
     # the chroma term must actually change decisions on this content
     assert s_on != s_off
-    # and chroma reconstruction error must not get worse
-    assert ssd_on <= ssd_off, (ssd_on, ssd_off)
+    # and the joint RD cost (what the term optimizes: x264 adds the
+    # chroma SATD into the same satd + lambda*bits objective) must
+    # improve — lambda2 = (0.85 * 2^((qp-12)/3))^2, x264_lambda2_tab
+    lam2 = (0.85 * 2 ** ((qp - 12) / 3.0)) ** 2
+    rd_on = ssd_on + lam2 * 8 * len(s_on)
+    rd_off = ssd_off + lam2 * 8 * len(s_off)
+    assert rd_on < rd_off, (ssd_on, len(s_on), ssd_off, len(s_off))
 
     decoded = decode_annexb(s_on)
     assert len(decoded) == len(r_on)

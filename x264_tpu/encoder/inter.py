@@ -298,7 +298,7 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                                            ref_sel=sel)
         if chroma_me:
             # b_chroma_me (refine_subpel chroma term, encoder/me.c:61):
-            # re-rank the winner's 3x3 qpel neighborhood with U/V SATD
+            # re-rank the winner's qpel diamond with U/V SATD
             # included; the kept cost stays luma-only (see
             # ome.chroma_rerank)
             cme_u = (ref_u.astype(I32) if ref_prepadded
@@ -318,7 +318,8 @@ def encode_p_body(mb_h: int, mb_w: int, me_range: int,
                                        omc.PAD // 2)])
             mv, satd_inter = ome.chroma_rerank(
                 y_tiles, planes, u_tiles, v_tiles, cme_u, cme_v,
-                mv, lam, mvp_seed, ref_sel=sel)
+                mv, lam, mvp_seed, ref_sel=sel,
+                center_satd=satd_inter)
     else:      # subme 1: full-pel only (cost stays SAD-comparable)
         mv, satd_inter = mv_fp, sad_fp
     cost16 = satd_inter + lam * (ome.mv_cost_bits(mv, mvp_seed) + 1

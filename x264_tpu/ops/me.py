@@ -366,18 +366,22 @@ def partition_fullpel(cur_tiles, ref_pad, mv16_qpel, lam, mvp_qpel,
 
 
 def chroma_rerank(cur_tiles, planes, cur_u, cur_v, cu_pad, cv_pad,
-                  mv_qpel, lam, mvp_qpel, ref_sel=None):
-    """b_chroma_me: re-rank the 3x3 qpel neighborhood of the luma
-    sub-pel winner with luma SATD + U/V SATD at the chroma-interpolated
-    MV (the refine_subpel chroma term, encoder/me.c:61-66, which the
-    reference applies in the final qpel iteration at subme >= 5).
+                  mv_qpel, lam, mvp_qpel, ref_sel=None,
+                  center_satd=None):
+    """b_chroma_me: re-rank the qpel diamond around the luma sub-pel
+    winner with luma SATD + U/V SATD at the chroma-interpolated MV
+    (the refine_subpel chroma term, encoder/me.c:61-66, which the
+    reference applies in its 4-neighbor qpel diamond iterations at
+    subme >= 5).
 
     Returns (mv, luma satd at the chosen position): the returned cost
     stays in luma units so the caller's cross-mode comparisons remain
     comparable (deviation: the reference carries the summed cost).
 
     cur_tiles: (mb_h, mb_w, 16, 16); cur_u/cur_v: (mb_h, mb_w, 8, 8);
-    cu_pad/cv_pad: padded chroma ref plane(s) (stacked when ref_sel).
+    cu_pad/cv_pad: padded chroma ref plane(s) (stacked when ref_sel);
+    center_satd: the caller's luma SATD at mv_qpel (from
+    subpel_refine), saving the center's mc_luma+SATD re-evaluation.
 
     NB: the static-phase window trick of subpel_refine_blocks does NOT
     apply here — mv_qpel is the *sub-pel* winner, so each candidate's
@@ -390,23 +394,25 @@ def chroma_rerank(cur_tiles, planes, cur_u, cur_v, cu_pad, cv_pad,
     xs = (jnp.arange(mb_w, dtype=I32) * 16)[None, :] \
         + jnp.zeros((mb_h, 1), I32)
     best_cost = best_mv = best_lsatd = None
-    for oy in (-1, 0, 1):
-        for ox in (-1, 0, 1):
-            mv = mv_qpel + jnp.asarray([ox, oy], I32)
+    for (ox, oy) in ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)):
+        mv = mv_qpel + jnp.asarray([ox, oy], I32)
+        if ox == 0 and oy == 0 and center_satd is not None:
+            lsatd = center_satd
+        else:
             pl = omc.mc_luma(planes, ys, xs, mv, 16, 16,
                              ref_sel=ref_sel)
             lsatd = opix.satd(cur_tiles, pl)
-            pu = omc.mc_chroma(cu_pad, ys >> 1, xs >> 1, mv, 8, 8,
-                               ref_sel=ref_sel)
-            pv = omc.mc_chroma(cv_pad, ys >> 1, xs >> 1, mv, 8, 8,
-                               ref_sel=ref_sel)
-            csatd = opix.satd(cur_u, pu) + opix.satd(cur_v, pv)
-            cost = lsatd + csatd + lam * mv_cost_bits(mv, mvp_qpel)
-            if best_cost is None:
-                best_cost, best_mv, best_lsatd = cost, mv, lsatd
-            else:
-                upd = cost < best_cost
-                best_cost = jnp.where(upd, cost, best_cost)
-                best_mv = jnp.where(upd[..., None], mv, best_mv)
-                best_lsatd = jnp.where(upd, lsatd, best_lsatd)
+        pu = omc.mc_chroma(cu_pad, ys >> 1, xs >> 1, mv, 8, 8,
+                           ref_sel=ref_sel)
+        pv = omc.mc_chroma(cv_pad, ys >> 1, xs >> 1, mv, 8, 8,
+                           ref_sel=ref_sel)
+        csatd = opix.satd(cur_u, pu) + opix.satd(cur_v, pv)
+        cost = lsatd + csatd + lam * mv_cost_bits(mv, mvp_qpel)
+        if best_cost is None:
+            best_cost, best_mv, best_lsatd = cost, mv, lsatd
+        else:
+            upd = cost < best_cost
+            best_cost = jnp.where(upd, cost, best_cost)
+            best_mv = jnp.where(upd[..., None], mv, best_mv)
+            best_lsatd = jnp.where(upd, lsatd, best_lsatd)
     return best_mv, best_lsatd
