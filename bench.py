@@ -134,11 +134,16 @@ def split_timings(w, h):
             crop_w=w, crop_h=h, with_metrics=True)
 
     out = jax.block_until_ready(pfull())      # compile
+    _ = int(np.asarray(out["host32"][0]))
     t0 = time.time()
     reps = 3
-    for _ in range(reps):
+    for _r in range(reps):
         out = pfull()
-    jax.block_until_ready(out)
+        # on the tunneled remote backend block_until_ready can return
+        # before remote execution finishes (it would misattribute the
+        # device time to the first fetch below); a 1-element fetch of
+        # an output forces true completion at ~1 RTT of overhead
+        _ = int(np.asarray(out["host32"][0]))
     dev_ms = (time.time() - t0) / reps * 1e3
 
     # d2h: host32 then the halfword-packed op stream in tunnel-safe

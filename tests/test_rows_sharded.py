@@ -182,3 +182,49 @@ def test_sharded_cabac_composed_b_aq_t8():
                 np.asarray(getattr(d, pl), np.int64),
                 np.asarray(getattr(r, pl), np.int64),
                 err_msg=f"frame {i} plane {pl}")
+
+
+def test_sharded_uneven_mb_height_pads():
+    """mb_height that does NOT divide the shard count: the encoder pads
+    the coded height to a band multiple (edge-replicated rows hidden by
+    the SPS crop window) instead of dropping shards. 9 MB rows across 4
+    shards -> 3 pad rows, 4 bands of 3; input height additionally
+    non-MB-aligned (138 px) so both crop sources compose."""
+    w, h = 64, 138                      # 9 MB rows, 6 px MB-align crop
+    p = EncoderParams(i_width=w, i_height=h, b_cabac=True,
+                      i_log_level=0, i_keyint_max=8,
+                      i_mb_row_shards=4)
+    p.rc.i_rc_method = 0
+    p.rc.i_qp_constant = 26
+    enc = Encoder(p)
+    assert enc._rows_mesh is not None and enc._n_shards == 4
+    assert p.i_mb_height_pad == 3 and p.mb_height == 12
+    rng = np.random.default_rng(5)
+    tex = rng.integers(0, 256, (h + 32, w + 32)).astype(np.int32)
+    stream = enc.headers()
+    recons = []
+    frames = []
+    for t in range(4):
+        y = (tex[2 * t:2 * t + h, 3 * t:3 * t + w] % 256).astype(np.uint8)
+        u = ((tex[:h // 2, :w // 2] + t) % 256).astype(np.uint8)
+        v = ((tex[1:1 + h // 2, 1:1 + w // 2] - t) % 256).astype(np.uint8)
+        f = Frame(y, u, v)
+        frames.append(f)
+        ef = enc.encode(f)
+        if ef is not None:
+            stream += ef.payload
+            recons.append(ef.recon)
+    for ef in enc.flush():
+        stream += ef.payload
+        recons.append(ef.recon)
+    dec = Decoder()
+    for nal in split_annexb(stream):
+        dec.decode_nal(nal)
+    assert len(dec.frames) == len(recons)
+    for i, (d, r) in enumerate(zip(dec.frames, recons)):
+        assert np.asarray(d.y).shape == (h, w)
+        for pl in ("y", "u", "v"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(d, pl), np.int64),
+                np.asarray(getattr(r, pl), np.int64),
+                err_msg=f"frame {i} plane {pl}")

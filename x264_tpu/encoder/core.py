@@ -149,10 +149,22 @@ class Encoder:
         if p.i_mb_row_shards > 1:
             import jax
             n = min(p.i_mb_row_shards, len(jax.devices()))
-            while n > 1 and (p.mb_height % n
-                             or (p.mb_height // n) * 16 < 32):
+            mb_h0 = (p.i_height + 15) // 16
+            # uneven mb_height: pad the coded height to a band multiple
+            # (edge-replicated rows hidden by the SPS crop window) —
+            # but each band must still be >= 2 MB rows (band*16 >= the
+            # 32-px halo the ppermute exchange carries)
+            while n > 1 and ((mb_h0 + (-mb_h0 % n)) // n) * 16 < 32:
                 n -= 1
             if n > 1:
+                p.i_mb_height_pad = -mb_h0 % n
+                if p.i_mb_height_pad and p.i_log_level >= 2:
+                    from .. import log as xlog
+                    xlog.log(xlog.LOG_INFO,
+                             f"padding coded height by "
+                             f"{p.i_mb_height_pad} MB rows so "
+                             f"{mb_h0} rows split across {n} bands "
+                             "(cropped by the SPS window)")
                 from ..parallel import rows as prows
                 self._rows_mesh = prows.make_rows_mesh(n)
                 self._n_shards = n
@@ -160,7 +172,7 @@ class Encoder:
                 from .. import log as xlog
                 xlog.log(xlog.LOG_INFO, "mb-row sharding unavailable "
                          f"(shards={p.i_mb_row_shards}, "
-                         f"mb_h={p.mb_height}); encoding unsharded")
+                         f"mb_h={mb_h0}); encoding unsharded")
         # noise reduction (x264_denoise_dct, common/quant.c:180 +
         # x264_noise_reduction_update, encoder/macroblock.c:890):
         # adaptive per-position coefficient shrinkage on inter luma

@@ -130,6 +130,10 @@ class EncoderParams:
     # frames in flight (the analogue of i_threads frame pipelining)
     i_mb_row_shards: int = 1
     i_frame_parallel: int = 1
+    # internal: extra bottom MB rows so mb_height divides the shard
+    # count (set by Encoder from the actual device count; the rows are
+    # edge-replicated content hidden by the SPS crop window)
+    i_mb_height_pad: int = 0
     b_deterministic: bool = True
     # custom quantization matrices (x264_param_t i_cqm_preset /
     # psz_cqm_file / cqm_* fields; common/set.c:244 parser)
@@ -299,6 +303,9 @@ class EncoderParams:
         self.i_keyint_min = _clip(self.i_keyint_min, 1, self.i_keyint_max // 2 + 1)
         self.i_mb_row_shards = max(1, self.i_mb_row_shards)
         self.i_frame_parallel = max(1, self.i_frame_parallel)
+        # the shard pad is derived (Encoder init, from the device
+        # count); re-validation recomputes it from scratch
+        self.i_mb_height_pad = 0
         if a.i_me_method != ME_ESA and a.i_me_method != ME_TESA:
             # the TPU pipeline always runs the dense (ESA-endpoint)
             # search: pattern walks (dia/hex/umh) are latency-bound
@@ -328,7 +335,7 @@ class EncoderParams:
 
     @property
     def mb_height(self) -> int:
-        return (self.i_height + 15) // 16
+        return (self.i_height + 15) // 16 + self.i_mb_height_pad
 
     def profile(self) -> int:
         """Minimum profile for the enabled feature set
